@@ -1,13 +1,536 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.Tables
+import graft.operators.{AsofJoin, Dedup}
+import graft.ohlc.Ohlc
+import graft.query.QueryEngine
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (the §-ids are cited at each entry), plus the LLM-pipeline
+  * extension operators. Each entry has an equivalent DuckDB oracle in
+  * [[oracleSql]] unless the operator is not SQL-expressible, in which case
+  * the driver records a rows-only check.
+  *
+  * Determinism rules (SURVEY.md §5): every query ends in a total-order
+  * ORDER BY; open/close-style arg-aggregates carry composite tiebreaks;
+  * double sums go through DECIMAL(38,6) intermediates so Spark's unordered
+  * partial aggregation and DuckDB produce bit-identical doubles.
+  */
 object SparkEntry {
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** Exact, order-independent sum of a double expression: round each value
+    * to DECIMAL(38,6) (same rounding in DuckDB), sum exactly, emit double.
+    * DuckDB equivalent: CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+P2+P3+O1: projected, predicated, inclusive-range ordered scan
+    "q_ticks_range" -> ((s, dir) =>
+      QueryEngine.rangeScan(
+        ev(s, dir),
+        time = "ts",
+        start = Some("2024-01-05 00:00:00"),
+        end = Some("2024-01-20 23:59:59.999999"),
+        eqFilters = Map("event_type" -> "purchase"),
+        projection = Seq("event_id", "ts", "user_id", "value"),
+        tiebreak = Seq("event_id")
+      )),
+
+    // P4+O3: keyset pagination page (strictly-after cursor, over-fetch trim)
+    "q_cursor_page" -> ((s, dir) =>
+      ev(s, dir)
+        .filter(col("ts") > lit("2024-01-15 12:00:00").cast("timestamp"))
+        .select("event_id", "ts", "value")
+        .orderBy(col("ts"), col("event_id"))
+        .limit(100)),
+
+    // O2: ordered LIMIT/OFFSET
+    "q_limit_offset" -> ((s, dir) =>
+      ev(s, dir)
+        .select("event_id", "ts", "value")
+        .orderBy(col("ts"), col("event_id"))
+        .offset(100)
+        .limit(50)),
+
+    // O1/O2: top-k by value
+    "q_topk" -> ((s, dir) =>
+      ev(s, dir)
+        .select("event_id", "user_id", "value")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)),
+
+    // A1 (+W3): 1-minute OHLC bars with deterministic open/close tiebreak
+    "q_ohlc_1m" -> ((s, dir) =>
+      Ohlc
+        .bars(ev(s, dir), keys = Seq("event_type"), time = "ts",
+          value = "value", tiebreak = "event_id", minutes = 1)
+        .orderBy("event_type", "bar_ts")),
+
+    // A2+P5: resample 1m bars to 15m + NULL-safe derived ratios
+    "q_ohlc_resample_15m" -> ((s, dir) => {
+      val bars1m = Ohlc.bars(ev(s, dir), Seq("event_type"), "ts", "value", "event_id", 1)
+      Ohlc.withDerivedMetrics(
+          Ohlc.resample(bars1m, Seq("event_type"), "bar_ts", 15))
+        .orderBy("event_type", "bar_ts")
+    }),
+
+    // J1+W1: as-of backward join (purchases ← latest click at-or-before)
+    "q_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin
+        .leftAsof(purchases, clicks, on = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("value", "event_id"), suffix = "_c")
+        .withColumnRenamed("ts_c", "click_ts")
+        .withColumnRenamed("value_c", "click_value")
+        .withColumnRenamed("event_id_c", "click_event_id")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // J2: minute-bucket equi-join (legacy pre-ASOF semantics)
+    "q_minute_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def perMinute(tpe: String, n: String, v: String) =
+        e.filter(col("event_type") === tpe)
+          .groupBy(date_trunc("minute", col("ts")).as("minute"))
+          .agg(count(lit(1)).as(n), dsum(col("value")).as(v))
+      perMinute("purchase", "n_purchase", "v_purchase")
+        .join(perMinute("click", "n_click", "v_click"), Seq("minute"), "left")
+        .orderBy("minute")
+    }),
+
+    // A6+W2: ReplacingMergeTree-style dedup (first row per key by order)
+    "q_dedup" -> ((s, dir) =>
+      Dedup
+        .replacingDedup(
+          ev(s, dir).withColumn("minute", date_trunc("minute", col("ts"))),
+          keys = Seq("user_id", "minute"),
+          order = Seq(col("ts"), col("event_id")))
+        .select("user_id", "minute", "event_id", "ts", "value")
+        .orderBy("user_id", "minute")),
+
+    // W4: lag window
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W4: rolling 1h time-range frame
+    "q_rolling_1h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("value").cast(DecimalType(38, 6))).over(w).cast("double"))
+        .drop("value")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // U2+U3: gap detection (generated month series EXCEPT existing months)
+    "q_gap_months" -> ((s, dir) =>
+      QueryEngine.missingMonths(t(s, dir, "orders"), "o_orderdate",
+        "1994-01-01", "2002-12-01")),
+
+    // A4+U1: coverage statistics in one tagged-union pass
+    "q_coverage" -> ((s, dir) =>
+      QueryEngine.coverage(Seq(
+        ("events", ev(s, dir), "ts"),
+        ("orders", t(s, dir, "orders"), "o_orderdate")))),
+
+    // A5: DISTINCT
+    "q_distinct_types" -> ((s, dir) =>
+      ev(s, dir).select("event_type").distinct().orderBy("event_type")),
+
+    // A1-analog headline agg (TPC-H Q1 shape): group-agg with exact sums
+    "q1_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J3: lookup joins (broadcast dims) + agg
+    "q_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J4-analog: left-semi join (EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // U2-analog: left-anti join (NOT EXISTS)
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // J5: full-outer validation join with match accounting
+    "q_outer_join" -> ((s, dir) => {
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.cast("int").as("has_customer"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    }),
+
+    // O1 top-k by aggregate (TPC-H Q3 shape), broadcast customer side
+    "q_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      broadcast(c)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.8: scalar function battery (date parts/arith/format, CASE, ratios)
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+        months_between(trunc(to_date(col("o_orderdate")), "MM"), lit("1995-01-01").cast("date"))
+          .as("months_since"),
+        date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("band"),
+        when(col("o_totalprice") > 0, abs(col("o_totalprice")) / lit(1000.0)).as("kprice"))
+        .orderBy("o_orderkey")),
+
+    // A3+P5: conditional aggregation (countIf) + NULL-safe ratio
+    "q_cond_agg" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("value") > 100, lit(1))).as("n_hi"))
+        .withColumn("share_hi",
+          when(col("n_total") > 0, col("n_hi").cast("double") / col("n_total")))
+        .orderBy("event_type")),
+
+    // §2.8 timezone + P6 multi-branch conditional (session labels)
+    "q_tz_sessions" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val nyH = hour(from_utc_timestamp(col("ts"), "America/New_York"))
+      val loH = hour(from_utc_timestamp(col("ts"), "Europe/London"))
+      e.select(
+        col("event_id"),
+        nyH.cast("int").as("ny_hour"),
+        loH.cast("int").as("london_hour"),
+        when(nyH >= 9 && nyH <= 16, "NY_Session")
+          .when(nyH >= 17 && nyH <= 20, "NY_After_Hours")
+          .otherwise("NY_Closed").as("ny_session"),
+        when(loH >= 8 && loH <= 16, "London_Session")
+          .otherwise("London_Closed").as("london_session"),
+        dayofweek(col("ts")).isin(1, 7).cast("int").as("is_weekend"))
+        .orderBy("event_id")
+    })
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  /** DuckDB oracle for each query (ANSI-plus-DuckDB SQL over the same parquet
+    * tables). `events.ts` is TIMESTAMP_NS in the raw file; every oracle casts
+    * it to µs TIMESTAMP, matching the engine's normalization (truncation).
+    */
+  def oracleSql: Map[String, String] = {
+    val evTs = "CAST(ts AS TIMESTAMP)"
+    Map(
+      "q_ticks_range" ->
+        s"""SELECT event_id, $evTs AS ts, user_id, value FROM events
+            WHERE event_type = 'purchase'
+              AND $evTs >= TIMESTAMP '2024-01-05 00:00:00'
+              AND $evTs <= TIMESTAMP '2024-01-20 23:59:59.999999'
+            ORDER BY ts, event_id""",
+
+      "q_cursor_page" ->
+        s"""SELECT event_id, $evTs AS ts, value FROM events
+            WHERE $evTs > TIMESTAMP '2024-01-15 12:00:00'
+            ORDER BY ts, event_id LIMIT 100""",
+
+      "q_limit_offset" ->
+        s"""SELECT event_id, $evTs AS ts, value FROM events
+            ORDER BY ts, event_id LIMIT 50 OFFSET 100""",
+
+      "q_topk" ->
+        """SELECT event_id, user_id, value FROM events
+           ORDER BY value DESC, event_id LIMIT 20""",
+
+      "q_ohlc_1m" ->
+        s"""WITH pts AS (
+              SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
+                     $evTs AS ts, event_id, value
+              FROM events),
+            o AS (
+              SELECT *,
+                first_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+                last_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+              FROM pts)
+            SELECT event_type, bar_ts, min(open_v) AS open, max(value) AS high,
+                   min(value) AS low, min(close_v) AS close,
+                   CAST(count(*) AS BIGINT) AS tick_count
+            FROM o GROUP BY event_type, bar_ts
+            ORDER BY event_type, bar_ts""",
+
+      "q_ohlc_resample_15m" ->
+        s"""WITH pts AS (
+              SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
+                     $evTs AS ts, event_id, value
+              FROM events),
+            o AS (
+              SELECT *,
+                first_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+                last_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+              FROM pts),
+            m1 AS (
+              SELECT event_type, bar_ts, min(open_v) AS open, max(value) AS high,
+                     min(value) AS low, min(close_v) AS close,
+                     CAST(count(*) AS BIGINT) AS tick_count
+              FROM o GROUP BY event_type, bar_ts),
+            m15 AS (
+              SELECT event_type, time_bucket(INTERVAL 15 MINUTE, bar_ts) AS b15,
+                     arg_min(open, bar_ts) AS open, max(high) AS high,
+                     min(low) AS low, arg_max(close, bar_ts) AS close,
+                     CAST(sum(tick_count) AS BIGINT) AS tick_count
+              FROM m1 GROUP BY event_type, b15)
+            SELECT event_type, b15 AS bar_ts, open, high, low, close, tick_count,
+                   CASE WHEN tick_count > 0 THEN (high - low) / tick_count END AS range_per_tick,
+                   CASE WHEN tick_count > 0 THEN abs(close - open) / tick_count END AS body_per_tick
+            FROM m15 ORDER BY event_type, bar_ts""",
+
+      "q_minute_join" ->
+        s"""WITH p AS (
+              SELECT date_trunc('minute', $evTs) AS minute,
+                     CAST(count(*) AS BIGINT) AS n_purchase,
+                     CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_purchase
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            c AS (
+              SELECT date_trunc('minute', $evTs) AS minute,
+                     CAST(count(*) AS BIGINT) AS n_click,
+                     CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_click
+              FROM events WHERE event_type = 'click' GROUP BY 1)
+            SELECT p.minute, p.n_purchase, p.v_purchase, c.n_click, c.v_click
+            FROM p LEFT JOIN c ON p.minute = c.minute
+            ORDER BY p.minute""",
+
+      "q_asof_join" ->
+        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
+                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
+                   r.event_id AS click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
+            ORDER BY l.user_id, ts, l.event_id""",
+
+      "q_dedup" ->
+        s"""SELECT user_id, minute, event_id, ts, value FROM (
+              SELECT user_id, date_trunc('minute', $evTs) AS minute, event_id,
+                     $evTs AS ts, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('minute', $evTs)
+                       ORDER BY $evTs, event_id) AS rn
+              FROM events) WHERE rn = 1
+            ORDER BY user_id, minute""",
+
+      "q_window_lag" ->
+        s"""SELECT user_id, $evTs AS ts, event_id, value,
+                   lag(value) OVER w AS prev_value,
+                   value - lag(value) OVER w AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id)
+            ORDER BY user_id, ts, event_id""",
+
+      "q_rolling_1h" ->
+        s"""SELECT event_id, user_id, $evTs AS ts,
+                   CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us($evTs)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts, event_id""",
+
+      "q_gap_months" ->
+        """SELECT month FROM (
+             SELECT CAST(unnest(generate_series(DATE '1994-01-01',
+               DATE '2002-12-01', INTERVAL 1 MONTH)) AS DATE) AS month)
+           WHERE month NOT IN (
+             SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+             FROM orders)
+           ORDER BY month""",
+
+      "q_coverage" ->
+        s"""SELECT * FROM (
+              SELECT 'events' AS source, CAST(count(*) AS BIGINT) AS row_count,
+                     CAST(min(ts) AS TIMESTAMP) AS min_ts,
+                     CAST(max(ts) AS TIMESTAMP) AS max_ts
+              FROM events
+              UNION ALL
+              SELECT 'orders', CAST(count(*) AS BIGINT),
+                     min(o_orderdate), max(o_orderdate)
+              FROM orders)
+            ORDER BY source""",
+
+      "q_distinct_types" ->
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+      "q1_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(count(*) AS BIGINT) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+           GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+
+      "q_join_agg" ->
+        """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acctbal
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name
+           ORDER BY r_name, n_name""",
+
+      "q_semi_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+           ORDER BY c_custkey""",
+
+      "q_anti_join" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+           ORDER BY o_orderkey""",
+
+      "q_outer_join" ->
+        """WITH oc AS (
+             SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+             FROM orders GROUP BY o_custkey)
+           SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                  CAST(c_custkey IS NOT NULL AS INTEGER) AS has_customer,
+                  COALESCE(n_orders, 0) AS n_orders
+           FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
+           ORDER BY custkey""",
+
+      "q_top_revenue" ->
+        """SELECT o_orderkey, o_orderdate,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY o_orderkey, o_orderdate
+           ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+      "q_scalar_funcs" ->
+        """SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS m,
+             CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+             CAST(date_diff('month', DATE '1995-01-01',
+               CAST(date_trunc('month', o_orderdate) AS DATE)) AS DOUBLE) AS months_since,
+             strftime(o_orderdate, '%Y%m') AS yyyymm,
+             upper(o_orderpriority) AS pri_upper,
+             CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'high' END AS band,
+             CASE WHEN o_totalprice > 0 THEN abs(o_totalprice) / 1000.0 END AS kprice
+           FROM orders ORDER BY o_orderkey""",
+
+      "q_cond_agg" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(CASE WHEN value > 100 THEN 1 END) AS BIGINT) AS n_hi,
+             CASE WHEN count(*) > 0
+               THEN CAST(count(CASE WHEN value > 100 THEN 1 END) AS DOUBLE) / count(*)
+             END AS share_hi
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q_tz_sessions" ->
+        s"""SELECT event_id,
+              CAST(hour(($evTs AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS INTEGER) AS ny_hour,
+              CAST(hour(($evTs AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/London') AS INTEGER) AS london_hour,
+              CASE WHEN hour(($evTs AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') BETWEEN 9 AND 16 THEN 'NY_Session'
+                   WHEN hour(($evTs AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') BETWEEN 17 AND 20 THEN 'NY_After_Hours'
+                   ELSE 'NY_Closed' END AS ny_session,
+              CASE WHEN hour(($evTs AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/London') BETWEEN 8 AND 16 THEN 'London_Session'
+                   ELSE 'London_Closed' END AS london_session,
+              CAST(dayofweek($evTs) IN (0, 6) AS INTEGER) AS is_weekend
+            FROM events ORDER BY event_id"""
+    )
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join, the centerpiece operator of the reference pipeline:
+  * ClickHouse `r ASOF LEFT JOIN s ON r.instrument = s.instrument AND
+  * r.timestamp >= s.timestamp` (reference
+  * `clickhouse_ohlc_generator.py:187-190`). For each left row, attach the
+  * latest right row whose time is at-or-before the left time, per key group;
+  * unmatched left rows keep NULLs.
+  *
+  * Spark has no native as-of join in the Scala DataFrame API, so this is the
+  * classic union + ordered-window rewrite (SURVEY.md §2.3 J1 / §2.5 W1):
+  *
+  *   1. tag right rows (src=0) carrying their payload as one struct, left
+  *      rows (src=1) with a NULL payload;
+  *   2. union and run `last(payload, ignoreNulls=true)` over a window
+  *      partitioned by the keys, ordered by (time, src), rows unbounded
+  *      preceding → current;
+  *   3. keep the left rows and unpack the filled payload.
+  *
+  * Ordering (time, src) with right=0 < left=1 makes the join inclusive
+  * (right row at exactly t matches a left row at t), matching the reference's
+  * `>=`. If several right rows share one timestamp the payload struct itself
+  * is the final order key, so the winner is deterministic (max struct), which
+  * a hash-matched oracle needs — ClickHouse ASOF leaves this unspecified.
+  *
+  * Scale: exactly one shuffle (hash partition by `on` keys), then one
+  * in-partition sort — the same cost class as a sort-merge join, no
+  * broadcast/collect, works at any left:right ratio. Skewed single-key data
+  * serializes within that key's partition; for that shape use
+  * [[rangeAsof]]-style bucketing by (key, coarse time bucket) with carry-in
+  * rows, which trades a second small shuffle for parallelism within a key.
+  */
+object AsofJoin {
+
+  /** @param on           equi-join key columns (present in both sides)
+    * @param leftTime     left ordering column name
+    * @param rightTime    right ordering column name
+    * @param rightPayload right columns to attach (must not collide with left)
+    * @param suffix       suffix "" keeps payload names; otherwise appended
+    */
+  def leftAsof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      suffix: String = ""
+  ): DataFrame = {
+    val payloadCols = (rightTime +: rightPayload.filterNot(_ == rightTime))
+    val payloadStruct = struct(payloadCols.map(col): _*)
+
+    val r = right.select(
+      (on.map(col) :+ col(rightTime).cast("timestamp").as("__t")) :+
+        payloadStruct.as("__p"): _*
+    ).withColumn("__src", lit(0))
+
+    val l = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__src", lit(1))
+
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    // (__t, __src, __p): right rows sort before left rows at equal time
+    // (inclusive >=); equal-time right rows resolve by max payload struct.
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__src"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+
+    val out = payloadCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c + suffix, col("__m").getField(c))
+    }
+    out.drop("__t", "__src", "__p", "__m")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * [[replacingDedup]] reproduces the reference's ReplacingMergeTree
+  * semantics (`clickhouse_manager.py:159-161`: dedup key
+  * `(instrument, timestamp)`, merge-time row replacement) — but strictly, at
+  * write/query time, instead of eventually at background-merge time
+  * (`processor.py:155-159` documents the reference's eventual behavior).
+  *
+  * [[exactText]] is the exact-duplicate detector of the LLM-pipeline
+  * extension surface: hash-groupBy on a content digest.
+  *
+  * Scale: both are single-shuffle hash aggregations/windows on the dedup
+  * key; partial aggregation (for exactText) and AQE skew handling apply.
+  * No driver-side state.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key group, the winner being the row with the
+    * minimal `order` tuple (deterministic — important for oracle parity).
+    */
+  def replacingDedup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact-duplicate groups by content digest: one row per distinct text with
+    * the representative (minimal) id and the group size. MD5 is used because
+    * it is bit-identical across engines (Spark `md5` == DuckDB `md5`),
+    * making the operator oracle-checkable.
+    */
+  def exactText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count")
+      )
+}

@@ -1,0 +1,147 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Read-side query surface (reference `clickhouse_query_engine.py`,
+  * SURVEY.md §2.2/§2.6/§2.7): projected + predicated range scans, ordered
+  * limit/offset, keyset (cursor) pagination, batch iteration, coverage
+  * statistics, and set-difference gap detection.
+  *
+  * All methods build lazy DataFrame plans; filters and projections sit
+  * directly above the scan so Catalyst pushes them into Parquet
+  * (PushedFilters + ReadSchema pruning), which is what replaces the
+  * reference's reliance on ClickHouse's primary-key range scans.
+  */
+object QueryEngine {
+
+  /** Keyset-pagination result (reference `models.py:415` CursorResult). */
+  final case class CursorPage(
+      rows: DataFrame,
+      nextCursor: Option[Timestamp],
+      hasMore: Boolean,
+      pageSize: Int
+  )
+
+  /** Projected, predicated, ordered range scan
+    * (`clickhouse_query_engine.py:66-132`): inclusive time bounds, optional
+    * equality filter, deterministic total order (time, tiebreak).
+    */
+  def rangeScan(
+      df: DataFrame,
+      time: String,
+      start: Option[String],
+      end: Option[String],
+      eqFilters: Map[String, String] = Map.empty,
+      projection: Seq[String] = Nil,
+      tiebreak: Seq[String] = Nil,
+      limit: Option[Int] = None,
+      offset: Option[Int] = None
+  ): DataFrame = {
+    var out = df
+    start.foreach(s => out = out.filter(col(time) >= lit(s).cast("timestamp")))
+    end.foreach(e => out = out.filter(col(time) <= lit(e).cast("timestamp")))
+    eqFilters.foreach { case (c, v) => out = out.filter(col(c) === lit(v)) }
+    if (projection.nonEmpty) out = out.select(projection.map(col): _*)
+    out = out.orderBy((time +: tiebreak).map(col): _*)
+    offset.foreach(o => out = out.offset(o))
+    limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  /** One keyset page: strictly-after-cursor filter, over-fetch by one row to
+    * compute has_more, trim driver-side (`clickhouse_query_engine.py:
+    * 390-472`). The scan itself never sorts more than pageSize+1 rows
+    * globally (Spark's ordered-limit is a per-partition top-k + merge).
+    */
+  def cursorPage(
+      df: DataFrame,
+      time: String,
+      tiebreak: Seq[String],
+      cursor: Option[Timestamp],
+      pageSize: Int
+  ): CursorPage = {
+    val filtered = cursor match {
+      case Some(c) => df.filter(col(time) > lit(c))
+      case None    => df
+    }
+    val fetched = filtered.orderBy((time +: tiebreak).map(col): _*).limit(pageSize + 1)
+    val collected = fetched.collect()
+    val hasMore = collected.length > pageSize
+    val page = collected.take(pageSize)
+    val next =
+      if (page.isEmpty) None
+      else Some(page.last.getAs[Timestamp](time))
+    val trimmed = fetched.limit(pageSize)
+    CursorPage(trimmed, next.filter(_ => hasMore), hasMore, page.length)
+  }
+
+  /** Batch iterator driving [[cursorPage]] until exhaustion
+    * (`clickhouse_query_engine.py:474-534`).
+    */
+  def batches(
+      df: DataFrame,
+      time: String,
+      tiebreak: Seq[String],
+      pageSize: Int,
+      maxBatches: Option[Int] = None
+  ): Iterator[DataFrame] = new Iterator[DataFrame] {
+    private var cursor: Option[Timestamp] = None
+    private var more = true
+    private var n = 0
+    override def hasNext: Boolean = more && maxBatches.forall(n < _)
+    override def next(): DataFrame = {
+      val page = cursorPage(df, time, tiebreak, cursor, pageSize)
+      cursor = page.nextCursor
+      more = page.hasMore
+      n += 1
+      page.rows
+    }
+  }
+
+  /** Coverage statistics over several tables in one tagged-union pass
+    * (`clickhouse_query_engine.py:279-375`, SURVEY.md U1/A4): per-source row
+    * count and inclusive time range.
+    */
+  def coverage(sources: Seq[(String, DataFrame, String)]): DataFrame = {
+    val per = sources.map { case (name, df, time) =>
+      df.agg(
+        count(lit(1)).as("row_count"),
+        min(col(time)).cast("timestamp").as("min_ts"),
+        max(col(time)).cast("timestamp").as("max_ts")
+      ).withColumn("source", lit(name))
+        .select("source", "row_count", "min_ts", "max_ts")
+    }
+    per.reduce(_.unionByName(_)).orderBy("source")
+  }
+
+  /** Gap detection: generated month series EXCEPT existing months
+    * (`clickhouse_gap_detector.py:93-126`, SURVEY.md U2/U3) as
+    * sequence+explode → left_anti join. The generated side is tiny; the
+    * distinct-months side is a pushdown-friendly aggregation.
+    */
+  def missingMonths(
+      df: DataFrame,
+      time: String,
+      seriesStart: String,
+      seriesEnd: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val expected = spark
+      .range(1)
+      .select(
+        explode(
+          sequence(
+            lit(seriesStart).cast("date"),
+            lit(seriesEnd).cast("date"),
+            expr("interval 1 month")
+          )
+        ).as("month")
+      )
+    val existing = df
+      .select(trunc(col(time).cast("date"), "MM").as("month"))
+      .distinct()
+    expected.join(existing, Seq("month"), "left_anti").orderBy("month")
+  }
+}
