@@ -8,6 +8,8 @@ import graft.catalog.Tables
 import graft.operators.{AsofJoin, Dedup}
 import graft.ohlc.Ohlc
 import graft.query.QueryEngine
+import graft.text.{MinHash, TextFunctions => TF}
+import graft.vector.VectorFunctions
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (the §-ids are cited at each entry), plus the LLM-pipeline
@@ -285,7 +287,113 @@ object SparkEntry {
           .otherwise("London_Closed").as("london_session"),
         dayofweek(col("ts")).isin(1, 7).cast("int").as("is_weekend"))
         .orderBy("event_id")
-    })
+    }),
+
+    // ---- LLM-pipeline extension operators (BASELINE.json north star) ----
+
+    // text analysis: token counting + quality scoring
+    "q_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        length(col("text")).cast("int").as("n_chars_m"),
+        TF.tokenCount(col("text")).cast("int").as("n_tokens"),
+        TF.alphaCount(col("text")).cast("int").as("n_alpha"),
+        TF.digitCount(col("text")).cast("int").as("n_digit"),
+        TF.punctCount(col("text")).cast("int").as("n_punct"),
+        TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: language-ID heuristic (stopword/CJK n-gram scores)
+    "q_lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val txt = col("text")
+      d.select(
+        col("doc_id"),
+        TF.langScore(txt, "en").cast("int").as("s_en"),
+        TF.langScore(txt, "de").cast("int").as("s_de"),
+        TF.langScore(txt, "fr").cast("int").as("s_fr"),
+        TF.langScore(txt, "es").cast("int").as("s_es"),
+        TF.langScore(txt, "zh").cast("int").as("s_zh"),
+        TF.langId(txt).as("pred_lang"),
+        col("lang"),
+        (TF.langId(txt) === col("lang")).cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: corpus token frequency (explode + agg + top-k)
+    "q_token_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(50)),
+
+    // document fingerprinting: rolling polynomial hash
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // dedup (exact): content-digest groups
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactText(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("content_hash")),
+
+    // dedup (near): MinHash + LSH candidate pairs, exact-Jaccard verified
+    "q_minhash_lsh" -> ((s, dir) =>
+      MinHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 8, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // n-gram Jaccard similarity on a deterministic candidate set
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(
+          col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // similarity search: exact brute-force cosine top-k
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // vector norms / dims (embedding hygiene scan)
+    "q_embed_norm" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("int").as("dim"),
+          VectorFunctions.norm2(col("embedding")).as("norm"))
+        .orderBy("vec_id")),
+
+    // similarity search: LSH-bucketed ANN (approximate -> rows-only check;
+    // recall vs brute force is asserted in ScalaTest)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .lshTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nbits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // dedup (near): SimHash fingerprints (engine-specific hash -> rows-only)
+    "q_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), MinHash.simhash64("text").as("simhash"))
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -530,7 +638,144 @@ object SparkEntry {
               CASE WHEN hour(($evTs AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/London') BETWEEN 8 AND 16 THEN 'London_Session'
                    ELSE 'London_Closed' END AS london_session,
               CAST(dayofweek($evTs) IN (0, 6) AS INTEGER) AS is_weekend
-            FROM events ORDER BY event_id"""
+            FROM events ORDER BY event_id""",
+
+      "q_text_stats" ->
+        """SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars_m,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+             least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3
+               + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+               AS quality
+           FROM documents ORDER BY doc_id""",
+
+      "q_lang_id" ->
+        """WITH s AS (
+             SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|was|that|with)\b')) AS INTEGER) AS s_en,
+               CAST(len(regexp_extract_all(lower(text), '\b(und|ist|nicht|der|das|ein)\b')) AS INTEGER) AS s_de,
+               CAST(len(regexp_extract_all(lower(text), '\b(est|les|dans|que|pour|avec)\b')) AS INTEGER) AS s_fr,
+               CAST(len(regexp_extract_all(lower(text), '\b(es|los|las|para|como|pero)\b')) AS INTEGER) AS s_es,
+               CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS s_zh
+             FROM documents),
+           p AS (
+             SELECT *, CASE WHEN s_zh > 0 THEN 'zh'
+                            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                            WHEN s_fr >= s_es THEN 'fr'
+                            ELSE 'es' END AS pred_lang
+             FROM s)
+           SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh, pred_lang, lang,
+                  CAST(pred_lang = lang AS INTEGER) AS correct
+           FROM p ORDER BY doc_id""",
+
+      "q_token_freq" ->
+        """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                 FROM documents)
+           GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+
+      "q_doc_fingerprint" ->
+        """SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(1 AS BIGINT),
+                 list_transform(regexp_extract_all(text, '(?s).'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS fp
+           FROM documents ORDER BY doc_id""",
+
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS dup_count
+           FROM documents GROUP BY content_hash ORDER BY content_hash""",
+
+      "q_minhash_lsh" ->
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id, sh,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs),
+           banded AS (
+             SELECT doc_id, sh,
+               unnest(list_transform(range(0, 8), j -> {'band': j, 'bh':
+                 list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
+                   (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)})) AS b
+             FROM sig),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM banded a JOIN banded c
+               ON a.b.band = c.b.band AND a.b.bh = c.b.bh AND a.doc_id < c.doc_id),
+           verified AS (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+             FROM cand
+             JOIN shs sa ON sa.doc_id = id_a
+             JOIN shs sb ON sb.doc_id = id_b)
+           SELECT id_a, id_b, jaccard FROM verified
+           WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+      "q_ngram_jaccard" ->
+        """WITH shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                   FROM documents))
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) AS jaccard
+           FROM shs a JOIN shs b ON b.doc_id = a.doc_id + 1
+           ORDER BY id_a""",
+
+      "q_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                      FROM embeddings WHERE vec_id < 20),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+           s AS (
+             SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ce)+1),
+                    i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+             FROM q, c WHERE neighbor_id != query_id),
+           r AS (
+             SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+             FROM s)
+           SELECT query_id, neighbor_id, sim, rank FROM r
+           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "q_embed_norm" ->
+        """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS norm
+           FROM embeddings ORDER BY vec_id"""
     )
   }
 }

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** MinHash + LSH near-duplicate detection over a document corpus
+  * (BASELINE.json north-star dedup operator; standard
+  * shingle → minhash → band → bucket-join construction, cf. Broder 1997 /
+  * MMDS ch.3).
+  *
+  * The hash family is the seeded polynomial hash from [[TextFunctions]], so
+  * the whole pipeline — signatures, band buckets, candidate pairs, exact
+  * Jaccard verification — is reproducible in DuckDB SQL and therefore
+  * oracle-checked, which engine-specific murmur/xxhash would not be.
+  *
+  * Scale shape: signatures are one narrow projection over documents (no
+  * shuffle); candidate generation is explode(bands) + self-equi-join on
+  * (band index, band hash) — a hash-partitioned shuffle join whose build
+  * side is tiny relative to the corpus because only colliding buckets
+  * produce rows. Exact-Jaccard verification touches candidate pairs only.
+  * A giant bucket (degenerate band) would skew the join; with b·r = 16
+  * signature slots that means near-identical boilerplate docs, which is
+  * precisely what dedup wants to surface.
+  */
+object MinHash {
+
+  /** k-element MinHash signature over distinct word n-gram shingles. */
+  def signature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingles, sh => polyHash(sh, s.cast("long"))))
+    )
+
+  /** Band hashes: fold each of `bands` signature slices of length `rows`
+    * with the polynomial combiner (seed 17).
+    */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j =>
+        aggregate(
+          slice(sig, j * lit(rows) + lit(1), lit(rows)),
+          lit(17L),
+          (acc, v) => (acc * lit(PolyMul) + pmod(v, lit(PolyMod))) % lit(PolyMod)
+        )
+    )
+
+  /** Near-duplicate pairs: LSH candidates verified with exact Jaccard over
+    * the shingle sets.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("sh")
+    )
+    val banded = sh
+      .withColumn("sig", signature(col("sh"), k))
+      .select(
+        col("id"),
+        col("sh"),
+        posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh"))
+      )
+    val a = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a
+      .join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no
+    * cross-engine hash parity). Built as one SQL expression so shift
+    * amounts can be lambda variables (the Scala `shiftleft` helper only
+    * accepts Int literals).
+    */
+  def simhash64(textExpr: String): Column = expr(
+    s"""aggregate(
+          sequence(0, 63),
+          0L,
+          (acc, j) -> acc + IF(
+            aggregate(
+              split(trim(lower($textExpr)), '\\\\s+'),
+              0L,
+              (a, t) -> a + IF((xxhash64(t) & shiftleft(1L, j)) != 0, 1L, -1L)
+            ) >= 0,
+            shiftleft(1L, j), 0L)
+        )"""
+  )
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

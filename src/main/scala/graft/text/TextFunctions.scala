@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis column functions for the LLM-pipeline extension surface
+  * (BASELINE.json north star): tokenization, language-ID heuristic, quality
+  * scoring, shingling, and a rolling-hash document fingerprint.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition
+  * (codegen/vectorization-friendly, no UDFs), and every primitive is chosen
+  * to be reproducible in DuckDB SQL so the operators stay oracle-checkable:
+  * e.g. the fingerprint is a polynomial fold over code points rather than a
+  * murmur/xxhash whose implementation differs across engines.
+  */
+object TextFunctions {
+
+  /** Modulus for polynomial hashing: fits products in a signed 64-bit long
+    * ((P-1)*131 + 65535 << 2^63).
+    */
+  val PolyMod = 1000000007L
+  val PolyMul = 131L
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Case-preserving whitespace tokens. */
+  def rawTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(rawTokens(text))
+
+  /** Distinct word n-gram shingles (standard MinHash preprocessing). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(
+      size(t) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))
+        )
+      )
+    ).otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Code points of a string, '(?s).' so newlines are kept. Assumes BMP text
+    * (Spark `ascii` returns the UTF-16 unit, == code point within the BMP,
+    * matching DuckDB `unicode`).
+    */
+  private def codePoints(s: Column): Column =
+    transform(regexp_extract_all(s, lit("(?s)."), lit(0)), ch => ascii(ch).cast("long"))
+
+  /** Seeded polynomial rolling hash over code points:
+    * fold(seed+1, c => (acc*131 + c) mod P). DuckDB equivalent:
+    * list_reduce(list_prepend(seed+1, codes), (a,b) -> (a*131+b) % P).
+    */
+  def polyHash(s: Column, seed: Column): Column =
+    aggregate(
+      codePoints(s),
+      (seed + lit(1L)).cast("long"),
+      (acc, c) => (acc * lit(PolyMul) + c) % lit(PolyMod)
+    )
+
+  /** Whole-document fingerprint (SURVEY north-star "document
+    * fingerprinting"): order-sensitive rolling hash of the raw text.
+    */
+  def fingerprint(text: Column): Column = polyHash(text, lit(0L))
+
+  // ---- language identification (n-gram/stopword heuristic) ---------------
+
+  /** Distinctive stopword markers per language; zh is detected by CJK
+    * code-point count. Kept small and disjoint so the DuckDB oracle regex
+    * stays identical.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|is|was|that|with)\\b",
+    "de" -> "\\b(und|ist|nicht|der|das|ein)\\b",
+    "fr" -> "\\b(est|les|dans|que|pour|avec)\\b",
+    "es" -> "\\b(es|los|las|para|como|pero)\\b"
+  )
+  val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  def langScore(text: Column, lang: String): Column = lang match {
+    case "zh" => regexp_count(text, lit(CjkPattern))
+    case l =>
+      val pat = LangMarkers.toMap.apply(l)
+      regexp_count(lower(text), lit(pat))
+  }
+
+  /** Deterministic arg-max with fixed precedence zh > en > de > fr > es
+    * (any CJK content wins outright; ties resolve in precedence order) —
+    * the same CASE chain is expressible in ANSI SQL.
+    */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val de = langScore(text, "de")
+    val fr = langScore(text, "fr"); val es = langScore(text, "es")
+    val zh = langScore(text, "zh")
+    when(zh > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  // ---- quality scoring ----------------------------------------------------
+
+  def alphaCount(text: Column): Column = regexp_count(text, lit("[A-Za-z]"))
+  def digitCount(text: Column): Column = regexp_count(text, lit("[0-9]"))
+  def punctCount(text: Column): Column = regexp_count(text, lit("[.,;:!?]"))
+
+  /** Heuristic document quality in [0,1]: token-count saturation + alphabetic
+    * density + punctuation sanity. The exact expression tree (parenthesized
+    * identically in the oracle) makes the double bit-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nt = tokenCount(text).cast("double")
+    least(nt / lit(100.0), lit(1.0)) * lit(0.5) +
+      (alphaCount(text).cast("double") / len) * lit(0.3) +
+      (lit(1.0) - punctCount(text).cast("double") / len) * lit(0.2)
+  }
+}
