@@ -1,0 +1,249 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.TickIngest
+import graft.model._
+import graft.ohlc.{Ohlc, OhlcGenerator}
+import graft.query.QueryEngine
+
+/** Public facade — the Spark-native equivalent of `ExnessDataProcessor`
+  * (`processor.py:61-618`): input validation, ETL orchestration
+  * (ingest → dedup-write → OHLC regeneration), and the query surface
+  * (ticks, OHLC with on-demand resampling, coverage, cursor/batch
+  * pagination, gap detection). Row results are DataFrames (≙ pandas
+  * frames); summaries are the case classes in [[graft.model]].
+  *
+  * @param warehouse root dir of the engine's partitioned Parquet tables
+  */
+final class Processor(spark: SparkSession, warehouse: String) {
+
+  // ---- validation (processor.py:221-262, P7) ------------------------------
+
+  private val dateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
+
+  def validatePair(pair: String): String = {
+    val p = pair.toUpperCase
+    require(Enums.Pairs.contains(p),
+      s"Invalid pair: $pair. Valid: ${Enums.Pairs.mkString(", ")}")
+    p
+  }
+
+  def validateTimeframe(tf: String): Int =
+    Enums.Timeframes.getOrElse(tf,
+      throw new IllegalArgumentException(
+        s"Invalid timeframe: $tf. Valid: ${Enums.Timeframes.keys.mkString(", ")}"))
+
+  def validateDate(d: String): String = {
+    require(dateRe.matches(d), s"Invalid date format: $d (expected YYYY-MM-DD)")
+    java.time.LocalDate.parse(d) // throws on non-dates like 2024-02-31
+    d
+  }
+
+  def validateRange(start: Option[String], end: Option[String]): Unit = {
+    start.foreach(validateDate); end.foreach(validateDate)
+    for (s <- start; e <- end)
+      require(s <= e, s"start_date $s must be <= end_date $e")
+  }
+
+  // ---- ETL (processor.py:285-454) ----------------------------------------
+
+  /** Ingest a landing directory of tick CSVs/ZIPs for one (pair, variant)
+    * and rebuild OHLC for the affected months. The reference's sequential
+    * download→parse→insert→regenerate per month becomes one job DAG.
+    */
+  def updateData(
+      pair: String,
+      rawSpreadPath: String,
+      standardPath: String,
+      dryRun: Boolean = false
+  ): Either[DryRunResult, UpdateResult] = {
+    val p = validatePair(pair)
+    val missing = missingMonths(p)
+    if (dryRun) {
+      return Left(DryRunResult(p, missing,
+        estimatedTicks = DryRunResult.TicksPerVariantMonth * missing.size * 2,
+        estimatedMb = DryRunResult.MbPerMonth * missing.size))
+    }
+    def read(path: String): DataFrame =
+      if (path.endsWith(".zip") || path.contains("*.zip"))
+        TickIngest.readZips(spark, path)
+      else TickIngest.readCsv(spark, path)
+    val nRaw = TickIngest.writeTicks(read(rawSpreadPath), warehouse, p, "raw_spread")
+    val nStd = TickIngest.writeTicks(read(standardPath), warehouse, p, "standard")
+    val bars = OhlcGenerator.regenerate(spark, warehouse, p)
+    Right(UpdateResult(p, missing.size, nRaw + nStd, bars, missing))
+  }
+
+  /** Months with no stored raw_spread ticks, from the earliest stored month
+    * to the current month (`clickhouse_gap_detector.py:57-139`).
+    */
+  def missingMonths(pair: String): Seq[String] = {
+    val p = validatePair(pair)
+    if (!tableExists("raw_spread_ticks")) return Nil
+    val stored = TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))
+    val range = stored.agg(min("timestamp"), max("timestamp")).head()
+    if (range.isNullAt(0)) return Nil
+    val startMonth = range.getTimestamp(0).toLocalDateTime.toLocalDate.withDayOfMonth(1)
+    val gaps = QueryEngine
+      .missingMonths(stored, "timestamp", startMonth.toString,
+        java.time.LocalDate.now().withDayOfMonth(1).toString)
+      .collect()
+      .map(_.getDate(0).toLocalDate)
+    gaps.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d").toSeq
+  }
+
+  private def tableExists(name: String): Boolean =
+    new java.io.File(s"$warehouse/$name").exists()
+
+  // ---- queries (processor.py:456-548) -------------------------------------
+
+  /** Tick range scan (`query_ticks`, `clickhouse_query_engine.py:66-132`). */
+  def queryTicks(
+      pair: String,
+      variant: String = "raw_spread",
+      start: Option[String] = None,
+      end: Option[String] = None,
+      limit: Option[Int] = None
+  ): DataFrame = {
+    val p = validatePair(pair)
+    require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
+    validateRange(start, end)
+    val df = TickIngest.readTicks(spark, warehouse, variant, Some(p),
+      start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
+    val ordered = df.select("timestamp", "bid", "ask").orderBy("timestamp")
+    limit.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** OHLC query with on-demand resampling
+    * (`query_ohlc`, `clickhouse_query_engine.py:134-277`).
+    */
+  def queryOhlc(
+      pair: String,
+      timeframe: String = "1m",
+      start: Option[String] = None,
+      end: Option[String] = None,
+      limit: Option[Int] = None
+  ): DataFrame = {
+    val p = validatePair(pair)
+    val minutes = validateTimeframe(timeframe)
+    validateRange(start, end)
+    var df = spark.read.parquet(s"$warehouse/ohlc_1m")
+      .filter(col("instrument") === p)
+    start.foreach(s => df = df.filter(col("timestamp") >= lit(s).cast("timestamp") &&
+      col("yyyymm") >= date_format(lit(s).cast("timestamp"), "yyyyMM")))
+    end.foreach(e => df = df.filter(
+      col("timestamp") <= lit(e + " 23:59:59").cast("timestamp") &&
+        col("yyyymm") <= date_format(lit(e).cast("timestamp"), "yyyyMM")))
+    // partition columns come back at the end of the schema; restore the
+    // reference's 27-column order (clickhouse_manager.py:196-224)
+    val out =
+      if (minutes == 1) df.select(OhlcGenerator.Columns.map(col): _*)
+      else resampleOhlc(df, minutes)
+    val ordered = out.orderBy("timestamp")
+    limit.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** Resample stored 1m bars to an N-minute timeframe with the reference's
+    * aggregate choices + 4 derived ratio metrics
+    * (`clickhouse_query_engine.py:218-271`).
+    */
+  private def resampleOhlc(bars1m: DataFrame, minutes: Int): DataFrame = {
+    val ord = col("timestamp")
+    val aggs = Seq(
+      min_by(col("open"), ord).as("open"),
+      max(col("high")).as("high"),
+      min(col("low")).as("low"),
+      max_by(col("close"), ord).as("close"),
+      avg(col("raw_spread_avg")).as("raw_spread_avg"),
+      avg(col("standard_spread_avg")).as("standard_spread_avg"),
+      sum(col("tick_count_raw_spread")).cast("int").as("tick_count_raw_spread"),
+      sum(col("tick_count_standard")).cast("int").as("tick_count_standard"),
+      max(col("ny_hour")).as("ny_hour"),
+      max(col("london_hour")).as("london_hour"),
+      min_by(col("ny_session"), ord).as("ny_session"),
+      min_by(col("london_session"), ord).as("london_session"),
+      max(col("is_us_holiday")).as("is_us_holiday"),
+      max(col("is_uk_holiday")).as("is_uk_holiday"),
+      max(col("is_major_holiday")).as("is_major_holiday")) ++
+      graft.calendar.ExchangeRegistry.all.map(e =>
+        max(col(s"is_${e.key}_session")).as(s"is_${e.key}_session"))
+    val agged = bars1m
+      .groupBy(col("instrument"),
+        Ohlc.bucketStart(col("timestamp"), minutes).as("timestamp"))
+      .agg(aggs.head, aggs.tail: _*)
+    agged
+      .withColumn("range_per_spread",
+        when(col("raw_spread_avg") > 0,
+          (col("high") - col("low")) / col("raw_spread_avg")))
+      .withColumn("range_per_tick",
+        when(col("tick_count_raw_spread") > 0,
+          (col("high") - col("low")) / col("tick_count_raw_spread")))
+      .withColumn("body_per_spread",
+        when(col("raw_spread_avg") > 0,
+          abs(col("close") - col("open")) / col("raw_spread_avg")))
+      .withColumn("body_per_tick",
+        when(col("tick_count_raw_spread") > 0,
+          abs(col("close") - col("open")) / col("tick_count_raw_spread")))
+  }
+
+  /** Coverage statistics (`get_coverage`, `clickhouse_query_engine.py:
+    * 279-375`), with the reference's per-query zero fallbacks.
+    */
+  def getCoverage(pair: String): CoverageInfo = {
+    val p = validatePair(pair)
+    def countOf(table: String): Long =
+      if (!tableExists(table)) 0L
+      else spark.read.parquet(s"$warehouse/$table")
+        .filter(col("instrument") === p).count()
+    val (earliest, latest) =
+      if (!tableExists("raw_spread_ticks")) (None, None)
+      else {
+        val r = TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))
+          .agg(min("timestamp"), max("timestamp")).head()
+        if (r.isNullAt(0)) (None, None)
+        else (Some(r.getTimestamp(0)), Some(r.getTimestamp(1)))
+      }
+    CoverageInfo(p, countOf("raw_spread_ticks"), countOf("standard_ticks"),
+      countOf("ohlc_1m"), earliest, latest)
+  }
+
+  def getInstruments: Seq[String] =
+    if (!tableExists("raw_spread_ticks")) Nil
+    else spark.read.parquet(s"$warehouse/raw_spread_ticks")
+      .select("instrument").distinct().orderBy("instrument")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Keyset pagination over OHLC (`query_ohlc_paginated`,
+    * `clickhouse_query_engine.py:390-472`).
+    */
+  def queryOhlcPage(
+      pair: String,
+      cursor: Option[Timestamp],
+      pageSize: Int = 1000
+  ): QueryEngine.CursorPage = {
+    val p = validatePair(pair)
+    val df = spark.read.parquet(s"$warehouse/ohlc_1m")
+      .filter(col("instrument") === p)
+      .select(OhlcGenerator.Columns.map(col): _*)
+    QueryEngine.cursorPage(df, "timestamp", Nil, cursor, pageSize)
+  }
+
+  /** Batch iterator (`query_ohlc_batches`, `clickhouse_query_engine.py:
+    * 474-534`).
+    */
+  def queryOhlcBatches(
+      pair: String,
+      pageSize: Int = 1000,
+      maxBatches: Option[Int] = None
+  ): Iterator[DataFrame] = {
+    val p = validatePair(pair)
+    val df = spark.read.parquet(s"$warehouse/ohlc_1m")
+      .filter(col("instrument") === p)
+      .select(OhlcGenerator.Columns.map(col): _*)
+    QueryEngine.batches(df, "timestamp", Nil, pageSize, maxBatches)
+  }
+}

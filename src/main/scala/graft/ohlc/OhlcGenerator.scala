@@ -1,0 +1,84 @@
+package graft.ohlc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.calendar.TradingCalendar
+import graft.ingest.TickIngest
+
+/** Full 27-column OHLC generation (reference
+  * `clickhouse_ohlc_generator.py:65-215` + the session/holiday enrichment
+  * round-trip at 217-329, collapsed here into a single Spark plan):
+  *
+  *   ticks (both variants) → ASOF join → minute agg → tz/session columns →
+  *   calendar flag joins → partitioned write.
+  *
+  * The reference's three regeneration modes (`full` / `append` /
+  * `incremental range`, `clickhouse_ohlc_generator.py:78-133`) all become
+  * month-scoped dynamic partition overwrite: DELETE + poll-mutations +
+  * re-INSERT (`_wait_for_mutations`, 331-353) is replaced by one atomic
+  * overwrite of exactly the affected yyyymm partitions (SURVEY.md §2.1 S6).
+  */
+object OhlcGenerator {
+
+  /** Column order of the ohlc_1m table (`clickhouse_manager.py:196-224`). */
+  val Columns: Seq[String] =
+    Seq("instrument", "timestamp", "open", "high", "low", "close",
+      "raw_spread_avg", "standard_spread_avg",
+      "tick_count_raw_spread", "tick_count_standard",
+      "ny_hour", "london_hour", "ny_session", "london_session",
+      "is_us_holiday", "is_uk_holiday", "is_major_holiday") ++
+      graft.calendar.ExchangeRegistry.all.map(e => s"is_${e.key}_session")
+
+  /** Timezone/session projection columns added at generation time
+    * (`clickhouse_ohlc_generator.py:164-180`).
+    */
+  def withSessionColumns(bars: DataFrame): DataFrame = {
+    val nyH = hour(from_utc_timestamp(col("timestamp"), "America/New_York"))
+    val loH = hour(from_utc_timestamp(col("timestamp"), "Europe/London"))
+    bars
+      .withColumn("ny_hour", nyH.cast("int"))
+      .withColumn("london_hour", loH.cast("int"))
+      .withColumn("ny_session",
+        when(nyH >= 9 && nyH <= 16, "NY_Session")
+          .when(nyH >= 17 && nyH <= 20, "NY_After_Hours")
+          .otherwise("NY_Closed"))
+      .withColumn("london_session",
+        when(loH >= 8 && loH <= 16, "London_Session")
+          .otherwise("London_Closed"))
+  }
+
+  /** Build the full 27-column 1m OHLC frame from the two tick variants. */
+  def generate(rawSpread: DataFrame, standard: DataFrame): DataFrame = {
+    val bars = Ohlc.ticksToOhlc1m(rawSpread, standard)
+    val enriched = TradingCalendar.enrich(withSessionColumns(bars), "timestamp")
+    enriched.select(Columns.map(col): _*)
+  }
+
+  /** Regenerate OHLC months into the warehouse. `months` empty = full
+    * regeneration; non-empty = only those yyyymm partitions are rebuilt
+    * (append / incremental-range modes), others untouched.
+    */
+  def regenerate(
+      spark: SparkSession,
+      warehouse: String,
+      instrument: String,
+      months: Seq[String] = Nil
+  ): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def monthFiltered(variant: String): DataFrame = {
+      var df = TickIngest.readTicks(spark, warehouse, variant, Some(instrument))
+      if (months.nonEmpty) df = df.filter(col("yyyymm").isin(months: _*))
+      df
+    }
+    val out = generate(monthFiltered("raw_spread"), monthFiltered("standard"))
+      .withColumn("yyyymm", date_format(col("timestamp"), "yyyyMM"))
+    out.write
+      .mode("overwrite")
+      .partitionBy("instrument", "yyyymm")
+      .parquet(s"$warehouse/ohlc_1m")
+    spark.read.parquet(s"$warehouse/ohlc_1m")
+      .filter(col("instrument") === instrument.toUpperCase)
+      .count()
+  }
+}

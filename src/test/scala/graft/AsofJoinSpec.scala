@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("left asof join picks latest right row at-or-before, NULLs otherwise") {
+    val left = Seq(
+      ("A", ts("2024-01-01 00:00:05"), 1),
+      ("A", ts("2024-01-01 00:00:10"), 2),
+      ("A", ts("2024-01-01 00:00:02"), 3), // before any right row
+      ("B", ts("2024-01-01 00:00:10"), 4)  // key with no right rows
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      ("A", ts("2024-01-01 00:00:03"), 100.0),
+      ("A", ts("2024-01-01 00:00:05"), 200.0), // equal ts -> inclusive match
+      ("A", ts("2024-01-01 00:00:09"), 300.0)
+    ).toDF("k", "t", "v")
+
+    val out = AsofJoin
+      .leftAsof(left, right, Seq("k"), "t", "t", Seq("v"), suffix = "_r")
+      .select("id", "v_r")
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    assert(out(1) === Some(200.0)) // equal timestamp matches (inclusive >=)
+    assert(out(2) === Some(300.0))
+    assert(out(3) === None)        // left row before all right rows
+    assert(out(4) === None)        // key absent on right side
+  }
+
+  test("equal-timestamp right duplicates resolve deterministically (max payload)") {
+    val left = Seq(("A", ts("2024-01-01 00:00:05"), 1)).toDF("k", "t", "id")
+    val right = Seq(
+      ("A", ts("2024-01-01 00:00:05"), 1.0),
+      ("A", ts("2024-01-01 00:00:05"), 2.0)
+    ).toDF("k", "t", "v")
+    val out = AsofJoin.leftAsof(left, right, Seq("k"), "t", "t", Seq("v"), "_r")
+    assert(out.select("v_r").head().getDouble(0) === 2.0)
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Processor
+import graft.ingest.TickIngest
+
+/** End-to-end test of the reference-equivalent forex surface: fixture CSVs
+  * (FIXTURES.md A1 recipe: dup timestamps, a minute with no Standard ticks,
+  * a month boundary, a holiday) → ingest → OHLC generate → query/paginate.
+  */
+class ForexPipelineSpec extends SparkSpec {
+
+  private val rawCsv =
+    """Timestamp,Bid,Ask
+      |2024-01-01 14:30:01.000001,1.10000,1.10000
+      |2024-01-10 14:30:01.100000,1.10010,1.10010
+      |2024-01-10 14:30:02.200000,1.10030,1.10030
+      |2024-01-10 14:30:02.200000,1.10030,1.10031
+      |2024-01-10 14:30:59.900000,1.10020,1.10020
+      |2024-01-10 14:31:10.000000,1.10050,1.10052
+      |2024-01-10 14:33:00.500000,1.09990,1.09990
+      |2024-02-05 09:00:00.000000,1.08000,1.08000
+      |2024-02-05 09:00:30.000000,1.08010,1.08010
+      |""".stripMargin
+
+  private val stdCsv =
+    """Timestamp,Bid,Ask
+      |2024-01-10 14:29:59.000000,1.09995,1.10015
+      |2024-01-10 14:30:01.500000,1.10005,1.10025
+      |2024-01-10 14:30:30.000000,1.10015,1.10035
+      |2024-02-05 08:59:00.000000,1.07990,1.08012
+      |""".stripMargin
+  // note: no standard ticks at-or-before 2024-01-01 14:30 -> NULL std columns
+
+  private lazy val env: (Processor, Path) = {
+    val dir = Files.createTempDirectory("graft_forex")
+    val raw = dir.resolve("raw.csv"); Files.writeString(raw, rawCsv)
+    val std = dir.resolve("std.csv"); Files.writeString(std, stdCsv)
+    val wh = dir.resolve("warehouse").toString
+    val p = new Processor(spark, wh)
+    val res = p.updateData("eurusd", raw.toString, std.toString)
+    assert(res.isRight)
+    (p, dir)
+  }
+
+  test("ingest dedups on (instrument,timestamp) and partitions by yyyymm") {
+    val (p, dir) = env
+    val ticks = spark.read.parquet(s"${dir.resolve("warehouse")}/raw_spread_ticks")
+    assert(ticks.count() === 8) // 9 rows - 1 duplicate timestamp
+    assert(ticks.filter(col("yyyymm") === "202402").count() === 2)
+    // dedup kept the max (bid, ask) tuple of the duplicate pair
+    val dup = ticks.filter(col("timestamp") === lit("2024-01-10 14:30:02.2").cast("timestamp"))
+    assert(dup.count() === 1)
+    assert(dup.head().getAs[Double]("ask") === 1.10031)
+  }
+
+  test("1m OHLC bars: values, asof std columns, NULL minute, 28 columns") {
+    val (p, _) = env
+    val bars = p.queryOhlc("EURUSD", "1m")
+    val rows = bars.collect().map(r => r.getTimestamp(1).toString -> r).toMap
+    assert(rows.size === 5) // 14:30, 14:31, 14:33 + Jan 1 + Feb 5 minutes
+
+    val b = rows("2024-01-10 14:30:00.0")
+    assert(b.getAs[Double]("open") === 1.10010)
+    assert(b.getAs[Double]("high") === 1.10030)
+    assert(b.getAs[Double]("low") === 1.10010)
+    assert(b.getAs[Double]("close") === 1.10020)
+    assert(b.getAs[Int]("tick_count_raw_spread") === 3)
+    assert(b.getAs[Int]("tick_count_standard") === 3) // all matched via asof
+    // std spread avg = mean of (ask-bid) of matched std ticks (0.0002 each)
+    assert(math.abs(b.getAs[Double]("standard_spread_avg") - 0.0002) < 1e-9)
+
+    // minute with no std tick at-or-before: NULL spread, zero count
+    val nye = rows("2024-01-01 14:30:00.0")
+    assert(nye.isNullAt(nye.fieldIndex("standard_spread_avg")))
+    assert(nye.getAs[Int]("tick_count_standard") === 0)
+
+    assert(bars.columns.length === 27)
+  }
+
+  test("session + holiday enrichment flags") {
+    val (p, _) = env
+    val bars = p.queryOhlc("EURUSD", "1m").collect()
+      .map(r => r.getTimestamp(1).toString -> r).toMap
+
+    val open = bars("2024-01-10 14:30:00.0") // Wed 09:30 NY / 14:30 London
+    assert(open.getAs[Int]("is_nyse_session") === 1)
+    assert(open.getAs[Int]("is_lse_session") === 1)
+    assert(open.getAs[Int]("is_xtks_session") === 0)
+    assert(open.getAs[Int]("is_us_holiday") === 0)
+    assert(open.getAs[String]("ny_session") === "NY_Session")
+    assert(open.getAs[Int]("ny_hour") === 9)
+
+    val holiday = bars("2024-01-01 14:30:00.0") // New Year (NYSE+LSE closed)
+    assert(holiday.getAs[Int]("is_us_holiday") === 1)
+    assert(holiday.getAs[Int]("is_uk_holiday") === 1)
+    assert(holiday.getAs[Int]("is_major_holiday") === 1)
+    assert(holiday.getAs[Int]("is_nyse_session") === 0)
+  }
+
+  test("resampling to 1h with derived ratio metrics") {
+    val (p, _) = env
+    val h = p.queryOhlc("EURUSD", "1h",
+      start = Some("2024-01-10"), end = Some("2024-01-10")).collect()
+    assert(h.length === 1)
+    val bar = h.head
+    assert(bar.getAs[Double]("open") === 1.10010)
+    assert(bar.getAs[Double]("close") === 1.09990)
+    assert(bar.getAs[Int]("tick_count_raw_spread") === 5)
+    assert(!bar.isNullAt(bar.fieldIndex("range_per_tick")))
+  }
+
+  test("queryTicks inclusive range + coverage + instruments") {
+    val (p, _) = env
+    val t = p.queryTicks("EURUSD", start = Some("2024-01-10"), end = Some("2024-01-10"))
+    assert(t.count() === 5)
+    val cov = p.getCoverage("EURUSD")
+    assert(cov.rawSpreadTicks === 8)
+    assert(cov.standardTicks === 4)
+    assert(cov.ohlcBars === 5)
+    assert(cov.earliest.get.toString === "2024-01-01 14:30:01.000001")
+    assert(p.getInstruments === Seq("EURUSD"))
+  }
+
+  test("cursor pagination over-fetch/trim and batch iterator") {
+    val (p, _) = env
+    val page1 = p.queryOhlcPage("EURUSD", None, pageSize = 2)
+    assert(page1.pageSize === 2)
+    assert(page1.hasMore)
+    val page2 = p.queryOhlcPage("EURUSD", page1.nextCursor, pageSize = 2)
+    assert(page2.pageSize === 2)
+    val page3 = p.queryOhlcPage("EURUSD", page2.nextCursor, pageSize = 2)
+    assert(page3.pageSize === 1 && !page3.hasMore)
+
+    val batches = p.queryOhlcBatches("EURUSD", pageSize = 2).toSeq
+    assert(batches.map(_.count()).sum === 5)
+  }
+
+  test("gap detection spans stored range to current month") {
+    val (p, _) = env
+    val missing = p.missingMonths("EURUSD")
+    assert(!missing.contains("2024-01"))
+    assert(!missing.contains("2024-02"))
+    assert(missing.contains("2024-03"))
+  }
+
+  test("validation rejects bad pair/timeframe/date") {
+    val (p, _) = env
+    intercept[IllegalArgumentException](p.queryOhlc("DOGEUSD"))
+    intercept[IllegalArgumentException](p.queryOhlc("EURUSD", "7m"))
+    intercept[IllegalArgumentException](p.queryTicks("EURUSD", start = Some("2024/01/01")))
+    intercept[Exception](p.queryTicks("EURUSD", start = Some("2024-02-31")))
+    intercept[IllegalArgumentException](
+      p.queryTicks("EURUSD", start = Some("2024-02-01"), end = Some("2024-01-01")))
+  }
+
+  test("dry run estimates without touching storage") {
+    val (p, _) = env
+    val dry = p.updateData("EURUSD", "/nonexistent", "/nonexistent", dryRun = true)
+    assert(dry.isLeft)
+    assert(dry.left.toOption.get.estimatedTicks ===
+      dry.left.toOption.get.missingMonths.size * 2L * 9500000L)
+  }
+
+  test("zip ingestion decompresses on executors") {
+    val dir = Files.createTempDirectory("graft_zip")
+    val zipPath = dir.resolve("ticks.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(zipPath))
+    zos.putNextEntry(new ZipEntry("Exness_EURUSD_2024_01.csv"))
+    zos.write(rawCsv.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val df = TickIngest.readZips(spark, zipPath.toString)
+    assert(df.count() === 9)
+    assert(df.columns.toSeq === Seq("timestamp", "bid", "ask"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{MinHash, TextFunctions => TF}
+import graft.vector.VectorFunctions
+
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language-ID heuristic on genuine-language sentences") {
+    val docs = Seq(
+      (1L, "the cat and the dog that was here with us", "en"),
+      (2L, "der hund ist nicht ein tier und das ist gut", "de"),
+      (3L, "les enfants sont dans la maison avec le chien pour que tout est bien", "fr"),
+      (4L, "los gatos son animales para la casa como los perros pero mejor", "es"),
+      (5L, "中文文本分析测试", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val out = docs.withColumn("pred", TF.langId(col("text")))
+      .select("lang", "pred").collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"lang=${r.getString(0)} pred=${r.getString(1)}"))
+  }
+
+  test("minhash LSH finds near-identical docs, skips unrelated ones") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " phi"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "completely different words entirely unrelated to all others here")
+    ).toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("jaccard of identical shingle sets is 1.0") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.9).collect()
+    assert(pairs.length === 1 && pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("id", "t")
+      .select(col("id"), TF.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(3L))
+    assert(fps(1L) !== fps(2L))
+    // fold check: ((1*131+97)%P)*131+98 for "ab"
+    assert(fps(1L) === ((1L * 131 + 'a') * 131 + 'b') % 1000000007L)
+  }
+
+  test("LSH ANN achieves high recall on clustered vectors") {
+    // 10 clusters x 8 member vectors: cluster centroid +- small noise
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val vecs = for {
+      c <- 0 until 10
+      m <- 0 until 8
+    } yield {
+      val centroid = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      // members of one cluster share the SAME seed-derived centroid
+      val cRnd = new scala.util.Random(1000 + c)
+      val base = Array.fill(dim)(cRnd.nextGaussian().toFloat)
+      val noise = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 8 + m).toLong, base.zip(noise).map { case (a, b) => a + b })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 8 === 0) // one query per cluster
+    val exact = VectorFunctions.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorFunctions.lshTopK(df, queries, "vec_id", "embedding", 5,
+      nbits = 6, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low on clustered data")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(VectorFunctions.cosine(col("v"), col("v"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappax"),
+      (3L, "unrelated completely different text with other words here now")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), MinHash.simhash64("text").as("h"))
+    val hs = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
+  }
+}
