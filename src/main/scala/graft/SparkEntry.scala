@@ -289,6 +289,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // W4-class: gap-based sessionization (batch twin of the streaming
+    // flatMapGroupsWithState operator in graft.streaming)
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- LLM-pipeline extension operators (BASELINE.json north star) ----
 
     // text analysis: token counting + quality scoring
@@ -639,6 +661,24 @@ object SparkEntry {
                    ELSE 'London_Closed' END AS london_session,
               CAST(dayofweek($evTs) IN (0, 6) AS INTEGER) AS is_weekend
             FROM events ORDER BY event_id""",
+
+      "q_sessionize" ->
+        s"""WITH e AS (
+              SELECT user_id, $evTs AS ts, event_id FROM events),
+            d AS (
+              SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM d)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id""",
 
       "q_text_stats" ->
         """SELECT doc_id,

