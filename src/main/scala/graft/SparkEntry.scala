@@ -43,10 +43,14 @@ object SparkEntry {
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P1+P2+P3+O1: projected, predicated, inclusive-range ordered scan
+    // P1+P2+P3+O1: projected, predicated, inclusive-range ordered scan.
+    // Range bounds go to Tables.events too so the ns-domain equivalents
+    // reach the Parquet scan (PushedFilters) below the ns→µs conversion.
     "q_ticks_range" -> ((s, dir) =>
       QueryEngine.rangeScan(
-        ev(s, dir),
+        Tables.events(s, dir,
+          start = Some("2024-01-05 00:00:00"),
+          end = Some("2024-01-20 23:59:59.999999")),
         time = "ts",
         start = Some("2024-01-05 00:00:00"),
         end = Some("2024-01-20 23:59:59.999999"),

@@ -25,12 +25,39 @@ import TextFunctions._
   */
 object MinHash {
 
-  /** k-element MinHash signature over distinct word n-gram shingles. */
-  def signature(shingles: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingles, sh => polyHash(sh, s.cast("long"))))
-    )
+  /** MinHash signatures as a DataFrame (id, sig: array<long>), computed in
+    * the shape Spark executes fastest:
+    *
+    *   - explode shingles to rows — the per-character polynomial fold (the
+    *     only interpreted higher-order expression) runs exactly ONCE per
+    *     (doc, shingle), via the factorization
+    *       polyHash(s, seed) = ((seed+1) · 131^len(s) + polyBase(s)) mod P;
+    *   - the k per-seed minima are then k plain `min` aggregates in one
+    *     whole-stage-codegen hash aggregation (map-side partials), not
+    *     nested array lambdas (which would re-evaluate the fold k times:
+    *     higher-order functions don't share subexpressions).
+    *
+    * Values are bit-identical to the naive per-seed fold, keeping the
+    * DuckDB oracle (which uses the naive form) valid. Docs with no
+    * shingles produce no row, which downstream treats as "no signature" —
+    * the same exclusion the NULL-folding naive form produced.
+    */
+  def signatureDf(docs: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
+    val codes = transform(
+      regexp_extract_all(col("__sh"), lit("(?s)."), lit(0)), ch => ascii(ch).cast("long"))
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(col(shinglesCol)).as("__sh"))
+      .withColumn("__b",
+        aggregate(codes, lit(0L), (acc, c) => (acc * lit(PolyMul) + c) % lit(PolyMod)))
+      .withColumn("__m",
+        aggregate(codes, lit(1L), (acc, _) => (acc * lit(PolyMul)) % lit(PolyMod)))
+    val mins = (0 until k).map(s =>
+      min((lit(s + 1L) * col("__m") + col("__b")) % lit(PolyMod)).as(s"__s$s"))
+    exploded
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(s => col(s"__s$s")): _*).as("sig"))
+  }
 
   /** Band hashes: fold each of `bands` signature slices of length `rows`
     * with the polynomial combiner (seed 17).
@@ -62,27 +89,29 @@ object MinHash {
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
+    // consumed by three plan branches (banding + two verify joins):
+    // persist so tokenize/shingle runs once, not three times
     val sh = docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh")
-    )
-    val banded = sh
-      .withColumn("sig", signature(col("sh"), k))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation on narrow (band, hash, id) rows only — the
+    // shingle arrays are re-attached after pair dedup so they never ride
+    // through the self-join/shuffle
+    val banded = signatureDf(sh, "id", "sh", k)
       .select(
         col("id"),
-        col("sh"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh"))
       )
-    val a = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a
-      .join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    val cand = banded
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
