@@ -315,6 +315,54 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // W4: exact percentiles (research-workload analytics; rounded on both
+    // sides because interpolation association differs across engines)
+    "q_quantiles" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // W4: lag-1 autocorrelation via the explicit co-moment formula over
+    // DECIMAL-exact sums — bit-deterministic, unlike builtin corr() whose
+    // incremental co-moments are accumulation-order-dependent
+    "q_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value").as("x"))
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+      val agged = pairs.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      agged.select(
+        col("event_type"), col("n").cast("long").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
+        .orderBy("event_type")
+    }),
+
+    // embedding-cosine near-dup pairs (dedup extension): exact all-pairs
+    // over a bounded id range, threshold filter
+    "q_cosine_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.25)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline extension operators (BASELINE.json north star) ----
 
     // text analysis: token counting + quality scoring
@@ -683,6 +731,47 @@ object SparkEntry {
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id""",
+
+      "q_quantiles" ->
+        """SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q_autocorr" ->
+        s"""WITH pairs AS (
+              SELECT event_type, value AS x,
+                lag(value) OVER (PARTITION BY event_type
+                  ORDER BY $evTs, event_id) AS y
+              FROM events),
+            agged AS (
+              SELECT event_type,
+                CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+              FROM pairs WHERE y IS NOT NULL GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+              (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr
+            FROM agged ORDER BY event_type""",
+
+      "q_cosine_pairs" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+           p AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding)+1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.embedding)+1),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           SELECT id_a, id_b, sim FROM p WHERE sim >= 0.25
+           ORDER BY id_a, id_b""",
 
       "q_text_stats" ->
         """SELECT doc_id,

@@ -100,7 +100,13 @@ object TickIngest {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val out = deduped.select("instrument", "timestamp", "bid", "ask", "yyyymm")
+    // cluster writes per partition and sort by timestamp so Parquet
+    // row-group min/max stats give tight range pruning (≙ the reference's
+    // ORDER BY (instrument, timestamp) sparse primary index, SURVEY.md §4)
+    val out = deduped
+      .select("instrument", "timestamp", "bid", "ask", "yyyymm")
+      .repartition(col("instrument"), col("yyyymm"))
+      .sortWithinPartitions("instrument", "yyyymm", "timestamp")
     out.write
       .mode("overwrite")
       .partitionBy("instrument", "yyyymm")

@@ -35,6 +35,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4) === None)        // key absent on right side
   }
 
+  test("bucketed variant produces identical results to the window rewrite") {
+    val rnd = new scala.util.Random(11)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(10 * 86400) * 1000L)
+    val left = (1 to 400).map(i =>
+      (if (i % 2 == 0) "A" else "B", randTs(), i)).toDF("k", "t", "id")
+    val right = (1 to 300).map(i =>
+      (if (i % 3 == 0) "A" else "B", randTs(), i * 1.0)).toDF("k", "t", "v")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "id", "v_r").orderBy("k", "t", "id")
+        .collect().map(_.toString).toSeq
+
+    val plain = canon(AsofJoin.leftAsof(left, right, Seq("k"), "t", "t", Seq("v"), "_r"))
+    val bucketed = canon(AsofJoin.leftAsofBucketed(
+      left, right, Seq("k"), "t", "t", Seq("v"), "_r", bucketSeconds = 86400L))
+    assert(plain === bucketed)
+    // sanity: some rows matched, some (before first right row) did not
+    assert(plain.exists(_.contains("null")))
+  }
+
   test("equal-timestamp right duplicates resolve deterministically (max payload)") {
     val left = Seq(("A", ts("2024-01-01 00:00:05"), 1)).toDF("k", "t", "id")
     val right = Seq(
