@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+private[functions] object TypeChecks {
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+import TypeChecks.isFloatArray
+
+/** Custom Catalyst expressions for the engine's hot scalar kernels
+  * (SURVEY.md §7.3 / builder guidance: native `Expression` with codegen
+  * beats interpreted higher-order lambdas beats UDFs).
+  *
+  * `PolyBase`/`PolyPow`/`DotProduct`/`CosineSim` generate a single static
+  * call inside whole-stage codegen — the per-row work is one tight JVM
+  * loop instead of one interpreted Catalyst lambda tree per element.
+  * `HyperplaneBuckets` carries a per-instance plane matrix and uses
+  * CodegenFallback (its cost is the O(tables·nbits·dim) loop itself).
+  */
+case class PolyBase(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.base(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.base($c)")
+  override protected def withNewChildInternal(c: Expression): PolyBase = copy(c)
+  override def prettyName: String = "poly_base"
+}
+
+case class PolyPow(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.pow(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.pow($c)")
+  override protected def withNewChildInternal(c: Expression): PolyPow = copy(c)
+  override def prettyName: String = "poly_pow"
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(l, r)
+  override def prettyName: String = "dot_product"
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(l, r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** All multi-table random-hyperplane bucket ids of a vector in one pass:
+  * array of `tables` longs, bit b of table t = sign(dot(vec, plane)) with
+  * the plane matrix generated deterministically per (nbits, tables, dim)
+  * and cached on the expression instance.
+  */
+case class HyperplaneBuckets(child: Expression, nbits: Int, tables: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> input")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planeCache =
+    scala.collection.mutable.HashMap.empty[Int, Array[Array[Double]]]
+
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate(dim,
+      Array.tabulate(tables * nbits) { p =>
+        val rnd = new scala.util.Random(1000003L * p + 42)
+        Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      })
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val planes = planesFor(dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nbits) {
+        val plane = planes(t * nbits + b)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += vec.getFloat(j).toDouble * plane(j); j += 1 }
+        bucket = (bucket << 1) | (if (acc >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_buckets"
+}
+
+/** Column-facade for the custom expressions. */
+object exprs {
+  private def ex(c: Column): Expression = bridge.expression(c)
+  private def co(e: Expression): Column = bridge.column(e)
+  def polyBase(c: Column): Column = co(PolyBase(ex(c)))
+  def polyPow(c: Column): Column = co(PolyPow(ex(c)))
+  def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+  def cosineSim(a: Column, b: Column): Column = co(CosineSim(ex(a), ex(b)))
+  def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
+    co(HyperplaneBuckets(ex(v), nbits, tables))
+}

@@ -43,14 +43,10 @@ object MinHash {
     * the same exclusion the NULL-folding naive form produced.
     */
   def signatureDf(docs: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
-    val codes = transform(
-      regexp_extract_all(col("__sh"), lit("(?s)."), lit(0)), ch => ascii(ch).cast("long"))
     val exploded = docs
       .select(col(idCol).as("id"), explode(col(shinglesCol)).as("__sh"))
-      .withColumn("__b",
-        aggregate(codes, lit(0L), (acc, c) => (acc * lit(PolyMul) + c) % lit(PolyMod)))
-      .withColumn("__m",
-        aggregate(codes, lit(1L), (acc, _) => (acc * lit(PolyMul)) % lit(PolyMod)))
+      .withColumn("__b", graft.functions.exprs.polyBase(col("__sh")))
+      .withColumn("__m", graft.functions.exprs.polyPow(col("__sh")))
     val mins = (0 until k).map(s =>
       min((lit(s + 1L) * col("__m") + col("__b")) % lit(PolyMod)).as(s"__s$s"))
     exploded

@@ -64,8 +64,13 @@ object TextFunctions {
 
   /** Whole-document fingerprint (SURVEY north-star "document
     * fingerprinting"): order-sensitive rolling hash of the raw text.
+    * Computed via the codegen'd kernels using the factorization
+    * polyHash(s, 0) = (131^len(s) + polyBase(s)) mod P — bit-identical to
+    * the interpreted fold (and to the DuckDB oracle's list_reduce).
     */
-  def fingerprint(text: Column): Column = polyHash(text, lit(0L))
+  def fingerprint(text: Column): Column =
+    (graft.functions.exprs.polyPow(text) + graft.functions.exprs.polyBase(text)) %
+      lit(PolyMod)
 
   // ---- language identification (n-gram/stopword heuristic) ---------------
 

@@ -21,17 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+  /** Sequential left-fold dot product / cosine, computed by the codegen'd
+    * kernel expressions in [[graft.functions]] — bit-identical to the
+    * interpreted `aggregate(zip_with(...))` form (same element order and
+    * association), which is what the DuckDB oracles replicate.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.exprs.dotProduct(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.exprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors of each query vector.
     * Output: (query_id, neighbor_id, sim, rank), rank 1..k, self excluded,
@@ -55,37 +54,14 @@ object VectorFunctions {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane for plane index `p` (globally
-    * unique across hash tables: table*nbits + bit): components in [-1, 1],
-    * generated driver-side and embedded as a literal so the executor-side
-    * lambda is pure arithmetic (no per-evaluation hashing).
+  /** All `tables` random-hyperplane bucket ids as an array (random
+    * projection LSH, Charikar 2002), computed in one kernel pass
+    * ([[graft.functions.HyperplaneBuckets]]: deterministic plane matrix,
+    * sign bits MSB-first per table); the caller explodes it into
+    * (table, bucket) probe rows.
     */
-  private def plane(p: Int, dim: Int): Seq[Double] = {
-    val rnd = new scala.util.Random(1000003L * p + 42)
-    Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
-  }
-
-  /** Sign-bit bucket id of hash table `table` from `nbits` random
-    * hyperplanes (random projection LSH, Charikar 2002). Vectors with small
-    * angle land in the same bucket with high probability.
-    * `dim` is the (fixed) embedding dimensionality.
-    */
-  def lshBucket(vec: Column, nbits: Int, dim: Int, table: Int = 0): Column =
-    (0 until nbits).map { b =>
-      val pl = typedLit(plane(table * nbits + b, dim))
-      val bit = when(
-        aggregate(
-          zip_with(vec, pl, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, v) => acc + v) >= 0,
-        lit(1L)).otherwise(lit(0L))
-      bit * (1L << (nbits - 1 - b))
-    }.reduce(_ + _)
-
-  /** All `tables` bucket ids as an array — one scan computes every table's
-    * bucket; the caller explodes it into (table, bucket) probe rows.
-    */
-  private def lshBuckets(vec: Column, nbits: Int, dim: Int, tables: Int): Column =
-    array((0 until tables).map(t => lshBucket(vec, nbits, dim, t)): _*)
+  private def lshBuckets(vec: Column, nbits: Int, tables: Int): Column =
+    graft.functions.exprs.hyperplaneBuckets(vec, nbits, tables)
 
   /** Approximate top-k with multi-table LSH: a candidate is scored if it
     * shares a bucket with the query in ANY of the `tables` hash tables —
@@ -107,13 +83,12 @@ object VectorFunctions {
       nbits: Int = 6,
       tables: Int = 8
   ): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        posexplode(lshBuckets(col(vecCol), nbits, dim, tables)).as(Seq("table", "bucket")))
+        posexplode(lshBuckets(col(vecCol), nbits, tables)).as(Seq("table", "bucket")))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        posexplode(lshBuckets(col(vecCol), nbits, dim, tables)).as(Seq("table", "bucket")))
+        posexplode(lshBuckets(col(vecCol), nbits, tables)).as(Seq("table", "bucket")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column ⇄ Expression converters (Spark 4
+  * moved `Column` to sql-api; classic conversions live behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`). Lives in the
+  * org.apache.spark.sql namespace solely to satisfy the access qualifier —
+  * the standard pattern for libraries that define custom Catalyst
+  * expressions.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
