@@ -463,6 +463,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity search: IVF-partitioned ANN (approximate -> rows-only;
+    // recall vs brute force asserted in ScalaTest)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // dedup (near): SimHash fingerprints (engine-specific hash -> rows-only)
     "q_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)

@@ -63,6 +63,55 @@ object VectorFunctions {
   private def lshBuckets(vec: Column, nbits: Int, tables: Int): Column =
     graft.functions.exprs.hyperplaneBuckets(vec, nbits, tables)
 
+  /** Approximate top-k with IVF (inverted-file) partitioning — the other
+    * standard ANN scale path: assign every corpus vector to its nearest of
+    * `nlist` coarse centroids once, then each query scores only the
+    * vectors in its `nprobe` closest cells.
+    *
+    * "Training" is a deterministic stub: centroids = the first `nlist`
+    * corpus vectors by id (a real implementation would run k-means||;
+    * the partition/probe plumbing — the part that matters at scale — is
+    * identical). Cells are an equi-join key, so candidate scoring is a
+    * plain hash join on `cell`; candidates ≈ corpus × nprobe / nlist.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cell_seed"), col(vecCol).as("__cent"))
+        .withColumn("cell", row_number().over(Window.orderBy(col("cell_seed"))))
+        .drop("cell_seed"))
+
+    def assign(df: DataFrame, id: String, outId: String, vec: String, keep: Int) = {
+      val w = Window.partitionBy(outId).orderBy(col("__csim").desc, col("cell"))
+      df.select(col(id).as(outId), col(vec).as(s"__v_$outId"))
+        .crossJoin(cents)
+        .withColumn("__csim", cosine(col(s"__v_$outId"), col("__cent")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .select(col(outId), col(s"__v_$outId"), col("cell"))
+    }
+
+    val cAssigned = assign(corpus, idCol, "neighbor_id", vecCol, keep = 1)
+    val qProbes = assign(queries, idCol, "query_id", vecCol, keep = nprobe)
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cAssigned
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__v_query_id"), col("__v_neighbor_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Approximate top-k with multi-table LSH: a candidate is scored if it
     * shares a bucket with the query in ANY of the `tables` hash tables —
     * the standard recall amplifier (recall ≈ 1-(1-p^nbits)^tables). Trades

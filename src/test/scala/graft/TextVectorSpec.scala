@@ -78,6 +78,37 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low on clustered data")
   }
 
+  test("IVF ANN: high recall on clustered vectors, bounded candidate set") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val vecs = for { c <- 0 until 10; m <- 0 until 8 } yield {
+      val cRnd = new scala.util.Random(1000 + c)
+      val base = Array.fill(dim)(cRnd.nextGaussian().toFloat)
+      val noise = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 8 + m).toLong, base.zip(noise).map { case (a, b) => a + b })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val exact = VectorFunctions.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorFunctions.ivfTopK(df, queries, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low on clustered data")
+  }
+
+  test("SQL facade: custom functions registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT poly_base('ab') AS b, poly_pow('ab') AS m,
+                cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""").head()
+    assert(r.getLong(0) === (97L * 131 + 98) % 1000000007L)
+    assert(r.getLong(1) === (131L * 131) % 1000000007L)
+    assert(r.getDouble(2) === 1.0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val c = df.select(VectorFunctions.cosine(col("v"), col("v"))).head().getDouble(0)
