@@ -137,6 +137,53 @@ case class HyperplaneBuckets(child: Expression, nbits: Int, tables: Int)
   override def prettyName: String = "hyperplane_buckets"
 }
 
+/** Distinct word n-gram shingles in one pass (lower → trim → split on
+  * whitespace → n-gram join → order-preserving distinct) — semantics
+  * identical to the composed form
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(split(trim(lower(text)), '\\s+'), i, n))))`, one kernel call per
+  * row instead of per-element lambda trees. CodegenFallback: the cost is
+  * the string work itself.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.trim.toString
+    val toks = s.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 /** Column-facade for the custom expressions. */
 object exprs {
   private def ex(c: Column): Expression = bridge.expression(c)
@@ -147,4 +194,5 @@ object exprs {
   def cosineSim(a: Column, b: Column): Column = co(CosineSim(ex(a), ex(b)))
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))
+  def wordShingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
 }

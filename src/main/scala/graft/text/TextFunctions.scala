@@ -30,19 +30,13 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(rawTokens(text))
 
-  /** Distinct word n-gram shingles (standard MinHash preprocessing). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(
-      size(t) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(t) - lit(n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))
-        )
-      )
-    ).otherwise(array().cast(ArrayType(StringType)))
-  }
+  /** Distinct word n-gram shingles (standard MinHash preprocessing),
+    * computed by the one-pass [[graft.functions.WordShingles]] kernel —
+    * identical to `array_distinct(transform(sequence(...), i ->
+    * concat_ws(' ', slice(tokens, i, n))))` over [[tokens]].
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.exprs.wordShingles(text, n)
 
   /** Code points of a string, '(?s).' so newlines are kept. Assumes BMP text
     * (Spark `ascii` returns the UTF-16 unit, == code point within the BMP,
