@@ -175,6 +175,13 @@ object SparkEntry {
     "q_distinct_types" -> ((s, dir) =>
       ev(s, dir).select("event_type").distinct().orderBy("event_type")),
 
+    // A5/A7: COUNT(DISTINCT ...) (reference nunique-style aggregates)
+    "q_distinct_count" -> ((s, dir) =>
+      ev(s, dir).agg(
+        countDistinct(col("user_id")).as("users"),
+        countDistinct(col("event_type")).as("types"),
+        countDistinct(col("user_id"), col("event_type")).as("user_type_pairs"))),
+
     // A1-analog headline agg (TPC-H Q1 shape): group-agg with exact sums
     "q1_pricing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -634,6 +641,12 @@ object SparkEntry {
 
       "q_distinct_types" ->
         "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+      "q_distinct_count" ->
+        """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+                  CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS user_type_pairs
+           FROM events""",
 
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
