@@ -97,7 +97,9 @@ object SparkEntry {
         .orderBy("event_type", "bar_ts")
     }),
 
-    // J1+W1: as-of backward join (purchases ← latest click at-or-before)
+    // J1+W1: as-of backward join (purchases ← latest click at-or-before),
+    // executed by the native AsOfJoinExec physical operator (the window
+    // rewrite AsofJoin.leftAsof is its equivalence-tested fallback)
     "q_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -105,7 +107,7 @@ object SparkEntry {
       val clicks = e.filter(col("event_type") === "click")
         .select("user_id", "ts", "event_id", "value")
       AsofJoin
-        .leftAsof(purchases, clicks, on = Seq("user_id"),
+        .leftAsofNative(purchases, clicks, on = Seq("user_id"),
           leftTime = "ts", rightTime = "ts",
           rightPayload = Seq("value", "event_id"), suffix = "_c")
         .withColumnRenamed("ts_c", "click_ts")

@@ -109,6 +109,7 @@ object TickIngest {
       .sortWithinPartitions("instrument", "yyyymm", "timestamp")
     out.write
       .mode("overwrite")
+      .option("compression", "zstd") // ≙ reference codec choice (ZSTD cols)
       .partitionBy("instrument", "yyyymm")
       .parquet(s"$warehouse/${variant}_ticks")
     spark.read.parquet(s"$warehouse/${variant}_ticks")

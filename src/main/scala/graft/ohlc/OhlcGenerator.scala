@@ -75,6 +75,7 @@ object OhlcGenerator {
       .withColumn("yyyymm", date_format(col("timestamp"), "yyyyMM"))
     out.write
       .mode("overwrite")
+      .option("compression", "zstd")
       .partitionBy("instrument", "yyyymm")
       .parquet(s"$warehouse/ohlc_1m")
     spark.read.parquet(s"$warehouse/ohlc_1m")

@@ -82,6 +82,55 @@ object AsofJoin {
     out.drop("__t", "__src", "__p", "__m")
   }
 
+  /** As-of join through the engine's native physical operator
+    * ([[graft.plans.AsOfJoinExec]] via [[graft.plans.AsOfJoinStrategy]]):
+    * same semantics and tie-breaks as [[leftAsof]], but executed as a
+    * single-pass sorted merge per co-partitioned partition instead of a
+    * union + window. Registers the strategy on the session's experimental
+    * strategies if absent (or use GraftExtensions at session build).
+    */
+  def leftAsofNative(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      suffix: String = ""
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val payloadNames = rightTime +: rightPayload.filterNot(_ == rightTime)
+    // fresh attribute ids on the right side (self-join safety)
+    val rAliased = right.select(
+      (on ++ payloadNames).distinct.map(c => col(c).as(c + "__r")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    // payload rides through the node under its "__r" names (the analyzer's
+    // CleanupAliases would strip Alias expressions inside a custom node);
+    // the user-facing names come from a plain select on top
+    val payload = payloadNames.map(n => attr(rPlan, n + "__r"))
+    val plan = AsOfJoinPlan(
+      lPlan, rPlan,
+      on.map(attr(lPlan, _)), on.map(n => attr(rPlan, n + "__r")),
+      attr(lPlan, leftTime), attr(rPlan, rightTime + "__r"),
+      payload)
+    val raw = bridge.ofRows(spark, plan)
+    raw.select(
+      left.columns.map(col) ++
+        payloadNames.map(n => col(n + "__r").as(n + suffix)): _*)
+  }
+
   /** Skew-resistant as-of join for the "one giant key" shape: partitions by
     * (keys, coarse time bucket) so a single instrument's history
     * parallelizes across time, at the cost of a second (tiny) shuffle to

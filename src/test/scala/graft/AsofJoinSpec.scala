@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.AsofJoin
 
 class AsofJoinSpec extends SparkSpec {
@@ -55,6 +57,37 @@ class AsofJoinSpec extends SparkSpec {
     // sanity: some rows matched, some (before first right row) did not
     assert(plain.exists(_.contains("null")))
   }
+
+  test("native physical operator (AsOfJoinExec) matches the window rewrite") {
+    val rnd = new scala.util.Random(23)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(5 * 86400) * 1000L)
+    val left = (1 to 500).map(i =>
+      (s"K${i % 3}", randTs(), i)).toDF("k", "t", "id")
+    val right = (1 to 400).map(i =>
+      (s"K${i % 4}", randTs(), i * 1.0, i.toLong)).toDF("k", "t", "v", "rid")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "id", "t_r", "v_r", "rid_r").orderBy("k", "t", "id")
+        .collect().map(_.toString).toSeq
+
+    val window = canon(AsofJoin.leftAsof(
+      left, right, Seq("k"), "t", "t", Seq("v", "rid"), "_r"))
+    val native = canon(AsofJoin.leftAsofNative(
+      left, right, Seq("k"), "t", "t", Seq("v", "rid"), "_r"))
+    assert(native === window)
+    assert(window.exists(_.contains("null"))) // K2 left rows vs K-4 right keys etc.
+
+    // self-source as-of (duplicate attribute ids) must also work
+    val e = left.withColumn("v", col("id") * 2.0)
+    val selfW = canon2(AsofJoin.leftAsof(e, e, Seq("k"), "t", "t", Seq("v"), "_r"))
+    val selfN = canon2(AsofJoin.leftAsofNative(e, e, Seq("k"), "t", "t", Seq("v"), "_r"))
+    assert(selfN === selfW)
+  }
+
+  private def canon2(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "t", "id", "t_r", "v_r").orderBy("k", "t", "id")
+      .collect().map(_.toString).toSeq
 
   test("equal-timestamp right duplicates resolve deterministically (max payload)") {
     val left = Seq(("A", ts("2024-01-01 00:00:05"), 1)).toDF("k", "t", "id")
