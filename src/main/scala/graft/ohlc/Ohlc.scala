@@ -107,7 +107,7 @@ object Ohlc {
     * Input frames have columns (instrument, timestamp, bid, ask).
     */
   def ticksToOhlc1m(rawSpread: DataFrame, standard: DataFrame): DataFrame = {
-    val joined = AsofJoin.leftAsof(
+    val joined = AsofJoin.leftAsofNative(
       rawSpread,
       standard.select("instrument", "timestamp", "bid", "ask"),
       on = Seq("instrument"),
