@@ -11,7 +11,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up the session (codegen, parquet reader, shuffle machinery) so
     // JVM startup cost isn't attributed to whichever query runs first
     spark.range(1000000L).selectExpr("sum(id)").collect()
