@@ -83,11 +83,12 @@ object VectorFunctions {
       nlist: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
+    // Cells are keyed by the seed centroid's own id — no dense renumbering
+    // needed (that would take an unpartitioned window; cell ids only need to
+    // be distinct + deterministic, not 1..nlist).
     val cents = broadcast(
       corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cell_seed"), col(vecCol).as("__cent"))
-        .withColumn("cell", row_number().over(Window.orderBy(col("cell_seed"))))
-        .drop("cell_seed"))
+        .select(col(idCol).as("cell"), col(vecCol).as("__cent")))
 
     def assign(df: DataFrame, id: String, outId: String, vec: String, keep: Int) = {
       val w = Window.partitionBy(outId).orderBy(col("__csim").desc, col("cell"))
