@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.Tables
-import graft.operators.{AsofJoin, Dedup}
+import graft.operators.{AsofJoin, BloomJoin, Dedup, SkewJoin}
 import graft.ohlc.Ohlc
 import graft.query.QueryEngine
 import graft.text.{MinHash, TextFunctions => TF}
@@ -482,11 +482,181 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // dedup (near): SimHash fingerprints (engine-specific hash -> rows-only)
+    // dedup (near): SimHash fingerprints over polynomial token hashes —
+    // reproducible in DuckDB, so oracle hash-checked (the xxhash64 variant
+    // MinHash.simhash64 remains as the engine-native fast path)
     "q_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), MinHash.simhash64("text").as("simhash"))
-        .orderBy("doc_id"))
+        .select(col("doc_id"), MinHash.simhashPoly(col("text"), 30).as("simhash"))
+        .orderBy("doc_id")),
+
+    // ---- round 2: wider relational surface -------------------------------
+
+    // A-class: ROLLUP hierarchy aggregation with grouping indicators
+    "q_rollup" -> ((s, dir) => {
+      val j = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+      // rollup(col(...)), not rollup("..."): the String overload resolves via
+      // Dataset.col, whose dataset-id tags get duplicated by the rollup's
+      // Expand and trip DetectAmbiguousSelfJoin (a false positive here)
+      j.rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"),
+          count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("g_r"), col("g_n"), col("n_cust"), col("acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // A-class: PIVOT (explicit value list -> fixed output schema)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(
+          col("y"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("p_low"))
+        .orderBy("y")),
+
+    // U-class: INTERSECT (distinct set semantics, both engines)
+    "q_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1995).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // J-class: non-equi range-containment join (overlapping 6h windows,
+    // 4h stride — not bucketable; small side broadcast, fact side streamed)
+    "q_range_join" -> ((s, dir) => {
+      val wnd = s.range(1)
+        .select(explode(expr(
+          "sequence(TIMESTAMP '2024-01-01 00:00:00', " +
+            "TIMESTAMP '2024-01-31 20:00:00', INTERVAL 4 HOURS)")).as("w_start"))
+        .withColumn("w_end", expr("w_start + INTERVAL 6 HOURS"))
+      ev(s, dir)
+        .join(broadcast(wnd), col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("w_start", "w_end")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("w_start")
+    }),
+
+    // J-class scale operator: bloom-prefiltered semi join (sketch built on
+    // the filtered build side, probe rows dropped before the shuffle; exact
+    // semi join removes false positives -> result == plain semi join)
+    "q_bloom_semi" -> ((s, dir) => {
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      BloomJoin.bloomSemiJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          returned, "o_orderkey", "l_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // J-class scale operator: salted skew join (deterministic whole-row
+    // salt; result identical to the unsalted join by construction)
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      SkewJoin.saltedInnerJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // W-class: ranking-function battery (rank/dense_rank/percent_rank/
+    // cume_dist/ntile over a unique total order -> deterministic)
+    "q_rank_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("rnk", rank().over(w).cast("int"))
+        .withColumn("drnk", dense_rank().over(w).cast("int"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("tile", ntile(4).over(w).cast("int"))
+        .filter(col("rnk") <= 100)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // correlated-scalar-subquery shape: rows above their group's average
+    // (decomposed into a per-group aggregate + join, the distributed form)
+    "q_above_avg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val navg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("nat_avg"))
+      c.join(navg, col("c_nationkey") === col("nk"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_acctbal") > col("nat_avg"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("nat_avg"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.8 array-function battery over ArrayType(Float) (scalar outputs:
+    // element_at / min / max / filter-count / prefix-fold, all cast-exact)
+    "q_array_funcs" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("first_v"),
+          array_max(col("embedding")).cast("double").as("vmax"),
+          array_min(col("embedding")).cast("double").as("vmin"),
+          size(filter(col("embedding"), x => x > lit(0.0f))).cast("int").as("n_pos"),
+          aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (a, x) => a + x.cast("double")).as("head8_sum"))
+        .orderBy("vec_id")),
+
+    // §2.8 string-function battery (substr/pad/regex/concat/translate/
+    // reverse/position/levenshtein)
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          substring(col("c_name"), 1, 12).as("name12"),
+          upper(col("c_name")).as("name_up"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+          translate(col("c_name"), "#", "-").as("name_dash"),
+          reverse(col("c_name")).as("name_rev"),
+          length(col("c_mktsegment")).cast("int").as("seg_len"),
+          instr(col("c_name"), "#").cast("int").as("hash_pos"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("int").as("lev_seg"))
+        .orderBy("c_custkey")),
+
+    // sketch: HyperLogLog++ approximate distinct next to the exact count
+    // (engine-specific sketch -> rows-only check; error bound asserted in
+    // ScalaTest)
+    "q_hll_distinct" -> ((s, dir) =>
+      ev(s, dir).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))),
+
+    // sketch: approximate percentiles (Greenwald-Khanna) next to exact
+    // (rows-only; bounds asserted in ScalaTest)
+    "q_approx_quantile" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -933,7 +1103,133 @@ object SparkEntry {
              sqrt(list_reduce(list_prepend(0.0,
                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                (a, b) -> a + b)) AS norm
-           FROM embeddings ORDER BY vec_id"""
+           FROM embeddings ORDER BY vec_id""",
+
+      "q_simhash" ->
+        """WITH t AS (
+             SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 tok -> list_reduce(
+                   list_prepend(CAST(1 AS BIGINT),
+                     list_transform(regexp_extract_all(tok, '(?s).'),
+                       c -> CAST(unicode(c) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+             FROM documents)
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 30), j ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(hs, h ->
+                          CASE WHEN (h >> j) & 1 = 1 THEN CAST(1 AS BIGINT)
+                               ELSE CAST(-1 AS BIGINT) END)),
+                        (a, b) -> a + b) >= 0
+                      THEN (CAST(1 AS BIGINT) << j)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS simhash
+           FROM t ORDER BY doc_id""",
+
+      "q_rollup" ->
+        """SELECT COALESCE(r_name, 'ALL') AS r_name,
+                  COALESCE(n_name, 'ALL') AS n_name,
+                  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+                  CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+                  CAST(count(*) AS BIGINT) AS n_cust,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acctbal
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY ROLLUP(r_name, n_name)
+           ORDER BY r_name, n_name""",
+
+      "q_pivot" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p_urgent,
+                  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p_high,
+                  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p_medium,
+                  CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p_notspec,
+                  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p_low
+           FROM orders GROUP BY y ORDER BY y""",
+
+      "q_intersect" ->
+        """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           ORDER BY o_custkey""",
+
+      "q_range_join" ->
+        """WITH w AS (
+             SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+               TIMESTAMP '2024-01-31 20:00:00', INTERVAL 4 HOUR)) AS w_start)
+           SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           FROM w JOIN events e
+             ON CAST(e.ts AS TIMESTAMP) >= w_start
+            AND CAST(e.ts AS TIMESTAMP) < w_start + INTERVAL 6 HOUR
+           GROUP BY w_start ORDER BY w_start""",
+
+      "q_bloom_semi" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           ORDER BY o_orderkey""",
+
+      "q_salted_join" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      "q_rank_funcs" ->
+        """SELECT * FROM (
+             SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INTEGER) AS tile
+             FROM orders
+             WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey))
+           WHERE rnk <= 100
+           ORDER BY o_orderpriority, rnk""",
+
+      "q_above_avg" ->
+        """WITH navg AS (
+             SELECT c_nationkey AS nk,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS nat_avg
+             FROM customer GROUP BY c_nationkey)
+           SELECT c_custkey, c_name, c_acctbal, n_name, nat_avg
+           FROM customer
+           JOIN navg ON c_nationkey = nk
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_acctbal > nat_avg
+           ORDER BY c_custkey""",
+
+      "q_array_funcs" ->
+        """SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS first_v,
+             CAST(list_max(embedding) AS DOUBLE) AS vmax,
+             CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+             list_reduce(list_prepend(0.0,
+               list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS head8_sum
+           FROM embeddings ORDER BY vec_id""",
+
+      "q_string_funcs" ->
+        """SELECT c_custkey,
+             substring(c_name, 1, 12) AS name12,
+             upper(c_name) AS name_up,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+             regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+             concat_ws('|', c_mktsegment, c_name) AS seg_name,
+             translate(c_name, '#', '-') AS name_dash,
+             reverse(c_name) AS name_rev,
+             CAST(length(c_mktsegment) AS INTEGER) AS seg_len,
+             CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+             CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_seg
+           FROM customer ORDER BY c_custkey"""
     )
   }
 }

@@ -137,6 +137,27 @@ case class HyperplaneBuckets(child: Expression, nbits: Int, tables: Int)
   override def prettyName: String = "hyperplane_buckets"
 }
 
+/** Oracle-reproducible SimHash fingerprint (see [[SimHashKernel.simhash]]):
+  * one tight JVM pass per document instead of a bits×tokens interpreted
+  * lambda tree (higher-order functions don't share subexpressions, so the
+  * composed form re-hashes every token `bits` times).
+  */
+case class SimHashPoly(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 30, "bits must be in [1, 30] (poly hash entropy)")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.simhash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.simhash($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SimHashPoly =
+    copy(child = c)
+  override def prettyName: String = "simhash_poly"
+}
+
 /** Distinct word n-gram shingles in one pass (lower → trim → split on
   * whitespace → n-gram join → order-preserving distinct) — semantics
   * identical to the composed form
@@ -195,4 +216,5 @@ object exprs {
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))
   def wordShingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
+  def simhashPoly(c: Column, bits: Int): Column = co(SimHashPoly(ex(c), bits))
 }

@@ -42,6 +42,49 @@ object PolyHash {
   }
 }
 
+object SimHashKernel {
+
+  /** SimHash over lower-cased whitespace tokens with the seed-0 polynomial
+    * token hash (h = fold(1, (acc*131 + cp) mod P) over code points — same
+    * family as [[PolyHash]], so DuckDB reproduces it bit-for-bit). Bit j of
+    * the result is set when the +1/−1 votes of bit j of the token hashes sum
+    * to >= 0. `bits` <= 30 keeps every vote inside the hash's entropy
+    * (P ~ 2^30).
+    *
+    * Tokenization matches `split(trim(lower(text)), '\\s+')` exactly
+    * (UTF8String.toLowerCase/trim, Java regex split), the same convention as
+    * [[WordShingles]] and the q_token_freq oracle.
+    */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val toks = s.toLowerCase.trim.toString.split("\\s+")
+    val votes = new Array[Long](bits)
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      var h = 1L
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        h = (h * PolyHash.M + cp) % PolyHash.P
+        i += Character.charCount(cp)
+      }
+      var j = 0
+      while (j < bits) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) >= 0L) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
 object VectorKernels {
 
   /** Sequential left-to-right dot product of two float arrays in double

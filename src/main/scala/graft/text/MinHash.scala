@@ -136,6 +136,16 @@ object MinHash {
         )"""
   )
 
+  /** Oracle-reproducible SimHash: polynomial token hashes (seed 0, same
+    * family as [[TextFunctions.polyHash]]) voted bit-by-bit, computed by the
+    * codegen'd [[graft.functions.SimHashPoly]] kernel — one JVM pass per
+    * document. DuckDB reproduces it with list_transform/list_reduce over the
+    * same token hashes, so the query IS hash-match oracle-checked (unlike
+    * [[simhash64]], whose xxhash64 bit-votes have no cross-engine twin).
+    */
+  def simhashPoly(text: Column, bits: Int = 30): Column =
+    graft.functions.exprs.simhashPoly(text, bits)
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
