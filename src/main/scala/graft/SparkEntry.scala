@@ -562,7 +562,10 @@ object SparkEntry {
         .select("l_orderkey")
       BloomJoin.bloomSemiJoin(
           t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
-          returned, "o_orderkey", "l_orderkey")
+          returned, "o_orderkey", "l_orderkey",
+          // sized to the build side at bench SF (~0.25M distinct keys);
+          // at cluster scale callers size to their key cardinality
+          expectedItems = 262144L, numBits = 2097152L)
         .orderBy("o_orderkey")
     }),
 
@@ -571,7 +574,7 @@ object SparkEntry {
     "q_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-      SkewJoin.saltedInnerJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
+      SkewJoin.saltedInnerJoin(li, o, "l_orderkey", "o_orderkey", salts = 4)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
@@ -656,7 +659,187 @@ object SparkEntry {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
           percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
           count(lit(1)).as("n"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- round 2 batch 2: JSON / semi-structured, more agg & window forms --
+
+    // §2.8 JSON path extraction (props is a JSON string column): typed
+    // extraction feeding exact integer aggregates
+    "q_json_funcs" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // A-class: ordered string aggregation (array_sort(collect_list) — the
+    // order-independent distributed form of ORDER BY inside string_agg)
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).cast("long").as("n_nations"))
+        .orderBy("r_name")),
+
+    // A-class: GROUPING SETS (each-dimension marginals + grand total in one
+    // pass — Expand-based, one shuffle)
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // time-decayed weighted sum (recency-weighted feature aggregation):
+    // integer-hour decay so pow(0.5, h) is an exact power of two in both
+    // engines; per-term round(…,6) + decimal sum keeps the total exact
+    "q_decay_sum" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val anchor = e.agg(max(col("ts")).as("anchor"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("h",
+          ((unix_micros(col("anchor")) - unix_micros(col("ts"))) / lit(3600000000L))
+            .cast("long"))
+        .withColumn("term", round(col("value") * pow(lit(0.5), col("h")), 6))
+        .groupBy("user_id")
+        .agg(dsum(col("term")).as("decayed_value"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // statistical outlier detection: z-score from exact decimal co-moments
+    // (same formula both engines — no engine-native stddev, whose fp
+    // accumulation order differs)
+    "q_zscore" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val stats = e.groupBy(col("event_type").as("et"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("sd", sqrt(
+          (col("n") * col("s2") - col("s1") * col("s1")) /
+            (col("n") * (col("n") - lit(1)))))
+      e.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+        .filter(abs(col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    }),
+
+    // fixed-width histogram via pure arithmetic bucketing (identical
+    // expression both engines; clamped to [0, 19])
+    "q_histogram" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 5.0), lit(0.0)), lit(19.0)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket")),
+
+    // deterministic mode (most frequent hour-of-day per event type, count
+    // desc + smallest-hour tiebreak — engine-native mode() has ties)
+    "q_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = ev(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("hod"))
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "hod", "n")
+        .orderBy("event_type")
+    }),
+
+    // W3 battery: first/last/nth value over the full partition frame
+    "q_first_last" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wn = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("first_v", first(col("value")).over(w))
+        .withColumn("last_v", last(col("value")).over(w))
+        .withColumn("second_v", nth_value(col("value"), 2).over(w))
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") === 1)
+        .select("user_id", "first_v", "last_v", "second_v")
+        .orderBy("user_id")
+    }),
+
+    // exact discrete percentiles via rank arithmetic (PERCENTILE_DISC
+    // semantics, identical rank math both engines)
+    "q_percentile_disc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("value")))
+            .as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9).cast("long"), col("value")))
+            .as("p90"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // U1b: UNION with distinct semantics (complement to q_intersect)
+    "q_union_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
+        .union(o.filter(year(col("o_orderdate")) === 1995).select("o_custkey"))
+        .distinct()
+        .orderBy("o_custkey")
+    }),
+
+    // §2.8 regex set-returning extraction: regexp_extract_all → explode →
+    // frequency (UDTF-shaped lateral view)
+    "q_regex_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]{8,}', 0)")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    // W-class: running cumulative aggregates (decimal-exact running sum)
+    "q_cumsum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("run_sum",
+          sum(col("value").cast(DecimalType(38, 6))).over(w).cast("double"))
+        .withColumn("run_n", count(lit(1)).over(w))
+        .select("user_id", "ts", "event_id", "value", "run_sum", "run_n")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // sequential per-key recursion (EWMA) via the mapPartitions scan — not
+    // SQL-expressible without recursive CTEs, so rows-only here; the
+    // recursion itself is verified against a reference fold in ScalaTest
+    "q_ewma" -> ((s, dir) =>
+      graft.operators.TimeSeries
+        .ewma(ev(s, dir).select("user_id", "ts", "event_id", "value"),
+          key = "user_id", time = "ts", tiebreak = "event_id",
+          value = "value", alpha = 0.2)
+        .withColumn("ewma", round(col("ewma"), 6))
+        .orderBy("user_id", "ts", "event_id"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1229,7 +1412,127 @@ object SparkEntry {
              CAST(length(c_mktsegment) AS INTEGER) AS seg_len,
              CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
              CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_seg
-           FROM customer ORDER BY c_custkey"""
+           FROM customer ORDER BY c_custkey""",
+
+      "q_json_funcs" ->
+        """SELECT event_type,
+             CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+             CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q_string_agg" ->
+        """SELECT r_name,
+                  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                  CAST(count(*) AS BIGINT) AS n_nations
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name ORDER BY r_name""",
+
+      "q_grouping_sets" ->
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                  COALESCE(o_orderpriority, 'ALL') AS priority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY status, priority""",
+
+      "q_decay_sum" ->
+        """WITH a AS (SELECT max(CAST(ts AS TIMESTAMP)) AS anchor FROM events)
+           SELECT user_id,
+             CAST(sum(CAST(round(value * pow(0.5,
+               (epoch_us(anchor) - epoch_us(CAST(ts AS TIMESTAMP))) // 3600000000
+               ), 6) AS DECIMAL(38,6))) AS DOUBLE) AS decayed_value,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events CROSS JOIN a
+           GROUP BY user_id ORDER BY user_id""",
+
+      "q_zscore" ->
+        """WITH stats AS (
+             SELECT event_type AS et, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+             FROM events GROUP BY event_type)
+           SELECT event_id, event_type, value,
+             round((value - s1 / n) /
+               sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6) AS z
+           FROM events JOIN stats ON event_type = et
+           WHERE abs(round((value - s1 / n) /
+               sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6)) > 3.0
+           ORDER BY event_id""",
+
+      "q_histogram" ->
+        """SELECT CAST(least(greatest(floor(value / 5.0), 0), 19) AS INTEGER) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY bucket ORDER BY bucket""",
+
+      "q_mode" ->
+        """SELECT event_type, hod, n FROM (
+             SELECT event_type, hod, n,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY n DESC, hod) AS rn
+             FROM (
+               SELECT event_type,
+                 CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, hod))
+           WHERE rn = 1 ORDER BY event_type""",
+
+      "q_first_last" ->
+        """SELECT user_id, first_v, last_v, second_v FROM (
+             SELECT user_id,
+               first_value(value) OVER w AS first_v,
+               last_value(value) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+               nth_value(value, 2) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v,
+               row_number() OVER w AS rn
+             FROM events
+             WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+           WHERE rn = 1 ORDER BY user_id""",
+
+      "q_percentile_disc" ->
+        """SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+             max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
+             CAST(max(n) AS BIGINT) AS n
+           FROM (
+             SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM events)
+           GROUP BY event_type ORDER BY event_type""",
+
+      "q_union_distinct" ->
+        """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+           UNION
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           ORDER BY o_custkey""",
+
+      "q_regex_tokens" ->
+        """SELECT token, n FROM (
+             SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+               SELECT unnest(regexp_extract_all(lower(text), '[a-z]{8,}')) AS token
+               FROM documents)
+             GROUP BY token)
+           WHERE n >= 5
+           ORDER BY n DESC, token LIMIT 50""",
+
+      "q_cumsum" ->
+        """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS run_sum,
+             CAST(count(*) OVER w AS BIGINT) AS run_n
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, ts, event_id"""
     )
   }
 }
