@@ -86,4 +86,34 @@ object StreamingOhlc {
           closed.result().iterator
         })
   }
+
+  /** Streaming dedup: drop rows whose `keys` already appeared within the
+    * watermark horizon — the streaming twin of the batch
+    * `Dedup.replacingDedup` (the reference's ReplacingMergeTree semantics
+    * applied at ingest time instead of merge time). State holds one entry
+    * per distinct key seen inside the watermark and is evicted as event
+    * time advances, so state size is bounded by the dup horizon, not the
+    * stream length.
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keys: Seq[String],
+      time: String,
+      watermark: String
+  ): DataFrame =
+    stream
+      .withWatermark(time, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static enrichment join: each micro-batch hash-joins against the
+    * broadcast dimension snapshot — no streaming state at all (the static
+    * side is re-broadcast per batch, picking up dimension updates). The
+    * streaming form of the calendar/instrument lookup joins (§2.3 J3).
+    */
+  def enrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      on: Seq[String]
+  ): DataFrame =
+    stream.join(broadcast(dim), on, "left")
 }

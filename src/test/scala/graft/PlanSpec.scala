@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the scale properties SCALE.md claims
+  * (pushdown, pruning, broadcast, codegen) checked against the actual
+  * planner output so a regression in query structure fails CI, not a
+  * 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute and unwrap AQE so `collect` sees the real operator tree. */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    finalPlan(df).collect { case s: FileSourceScanExec => s }
+
+  test("q_ticks_range pushes time + equality predicates into the parquet scan") {
+    val df = SparkEntry.queries("q_ticks_range")(spark, dir)
+    val scan = scans(df).head
+    val pushed = scan.metadata("PushedFilters")
+    // the ns->µs conversion sits above the scan; the injected raw-ns bounds
+    // and the event_type equality must still reach the reader
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(pushed.contains("LessThanOrEqual(ts") || pushed.contains("LessThan(ts"), pushed)
+    assert(pushed.contains("EqualTo(event_type"), pushed)
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val df = graft.catalog.Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 10)
+    val schema = scans(df).head.metadata("ReadSchema")
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity"), schema)
+    assert(!schema.contains("l_extendedprice") && !schema.contains("l_comment"), schema)
+  }
+
+  test("dimension joins plan as broadcast hash joins") {
+    val df = SparkEntry.queries("q_join_agg")(spark, dir)
+    val bhj = finalPlan(df).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, finalPlan(df).toString)
+  }
+
+  test("partition-column predicates prune partitions at the scan") {
+    val base = java.nio.file.Files.createTempDirectory("prune").toString
+    spark.range(1000)
+      .withColumn("ym", (col("id") % 12).cast("int"))
+      .withColumn("v", col("id") * 2)
+      .write.mode("overwrite").partitionBy("ym").parquet(base)
+    val df = spark.read.parquet(base).filter(col("ym") === 3)
+    val scan = scans(df).head
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on scan")
+    assert(df.count() == 1000 / 12 + (if (3 < 1000 % 12) 1 else 0))
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(selected.map(_.files.size).sum < 12, "expected pruned file listing")
+  }
+
+  test("whole-stage codegen covers the custom-expression hot path") {
+    import graft.functions.exprs
+    val df = graft.catalog.Tables.documents(spark, dir)
+      .select(exprs.simhashPoly(col("text"), 30).as("h"))
+      .agg(max(col("h")).as("mx")) // aggregate OVER the hash so it survives pruning
+    val plan = finalPlan(df)
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    // the projection computing simhash_poly must sit INSIDE a codegen stage
+    assert(stages.exists(_.toString.contains("simhash_poly")), plan.toString)
+  }
+}

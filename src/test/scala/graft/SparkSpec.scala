@@ -15,6 +15,12 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // AQE off in TESTS ONLY: plan-shape specs (PlanSpec, BucketingSpec)
+      // assert on Exchange/BroadcastHashJoin/WholeStageCodegen nodes, which
+      // AQE hides inside leaf QueryStageExec wrappers. Bench/Verify keep
+      // AQE on (production posture).
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
