@@ -839,7 +839,44 @@ object SparkEntry {
           key = "user_id", time = "ts", tiebreak = "event_id",
           value = "value", alpha = 0.2)
         .withColumn("ewma", round(col("ewma"), 6))
-        .orderBy("user_id", "ts", "event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
+    // deterministic 1/10 hash sample — pure filter, no shuffle, same row
+    // set at any scale/partitioning (operators.Sampling)
+    "q_sample" -> ((s, dir) =>
+      graft.operators.Sampling
+        .hashSample(Tables.documents(s, dir), "doc_id", num = 1, denom = 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // deterministic train/val/test split: per-(lang, split) counts
+    "q_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split", graft.operators.Sampling.splitLabel(col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
+    // class-balanced downsample: every lang stratum cut to the smallest
+    // stratum's size by hash order
+    "q_stratified" -> ((s, dir) =>
+      graft.operators.Sampling
+        .stratifiedEqualize(Tables.documents(s, dir), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
+        .orderBy("lang", "rk")),
+
+    // BPE-ish tokenization (letter runs / digit runs / punctuation runs):
+    // per-doc token + unique-token counts — the regex is RE2-compatible so
+    // both engines tokenize identically
+    "q_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")
+            .as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_unique"))
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1532,7 +1569,46 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(ts AS TIMESTAMP), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           ORDER BY user_id, ts, event_id"""
+           ORDER BY user_id, ts, event_id""",
+
+      "q_sample" ->
+        """SELECT doc_id, lang, source FROM documents
+           WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 10 < 1
+           ORDER BY doc_id""",
+
+      "q_split" ->
+        """SELECT lang,
+             CASE WHEN h < 800 THEN 'train'
+                  WHEN h < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT lang,
+                   ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 AS h
+                 FROM documents)
+           GROUP BY lang, split ORDER BY lang, split""",
+
+      "q_stratified" ->
+        """WITH ranked AS (
+             SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
+                 AS rk
+             FROM documents),
+           m AS (SELECT min(n) AS minn FROM
+                   (SELECT count(*) AS n FROM documents GROUP BY lang))
+           SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+           FROM ranked CROSS JOIN m WHERE rk <= minn
+           ORDER BY lang, rk""",
+
+      "q_bpe_tokens" ->
+        """SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS toks
+                 FROM documents)
+           ORDER BY doc_id"""
     )
   }
 }

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Path}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.api.Processor
@@ -176,5 +178,48 @@ class ForexPipelineSpec extends SparkSpec {
     val df = TickIngest.readZips(spark, zipPath.toString)
     assert(df.count() === 9)
     assert(df.columns.toSeq === Seq("timestamp", "bid", "ask"))
+  }
+
+  test("incremental update regenerates only the touched months' partitions") {
+    val (p, dir) = env // Jan+Feb already ingested
+    val whDir = dir.resolve("warehouse")
+    def partFiles(month: String): Map[String, Long] = {
+      val d = whDir.resolve("ohlc_1m").resolve("instrument=EURUSD")
+        .resolve(s"yyyymm=$month")
+      if (!Files.isDirectory(d)) Map.empty
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+          .toMap
+        finally s.close()
+      }
+    }
+    val janBefore = partFiles("202401")
+    val febBefore = partFiles("202402")
+    assert(janBefore.nonEmpty && febBefore.nonEmpty)
+    val janBars = p.queryOhlc("eurusd", end = Some("2024-01-31")).collect()
+
+    // second batch: March only
+    val marCsv =
+      """Timestamp,Bid,Ask
+        |2024-03-04 10:00:00.000000,1.07000,1.07002
+        |2024-03-04 10:00:30.000000,1.07010,1.07013
+        |""".stripMargin
+    val raw2 = dir.resolve("raw_mar.csv"); Files.writeString(raw2, marCsv)
+    val std2 = dir.resolve("std_mar.csv"); Files.writeString(std2, marCsv)
+    val res = p.updateData("eurusd", raw2.toString, std2.toString)
+    assert(res.isRight)
+
+    // untouched months' bar files are byte-identical on disk (not rewritten)
+    assert(partFiles("202401") == janBefore,
+      "January OHLC partition was rewritten by a March-only update")
+    assert(partFiles("202402") == febBefore,
+      "February OHLC partition was rewritten by a March-only update")
+    assert(partFiles("202403").nonEmpty, "March OHLC partition missing")
+    // and the stored January bars are value-identical
+    val janAfter = p.queryOhlc("eurusd", end = Some("2024-01-31")).collect()
+    assert(janAfter.map(_.toString).sorted.sameElements(janBars.map(_.toString).sorted))
   }
 }
