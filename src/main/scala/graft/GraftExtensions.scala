@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.NsTimestampPushdown)
   }
 }
 
@@ -52,10 +53,16 @@ object GraftExtensions {
       })
   )
 
-  /** Register the functions on an existing session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register the functions on an existing session (temp functions), plus
+    * the optimizer rule via the experimental hook (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimestampPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NsTimestampPushdown
+  }
 }

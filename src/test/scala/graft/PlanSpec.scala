@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpec {
     assert(selected.map(_.files.size).sum < 12, "expected pruned file listing")
   }
 
+  test("NsTimestampPushdown derives raw-ns scan predicates from post-conversion filters") {
+    GraftExtensions.register(spark) // installs the optimizer rule
+    // NO manual bounds to Tables.events — the ad-hoc filter sits above the
+    // ns→µs conversion, and only the rule can carry it to the scan
+    val df = graft.catalog.Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "value")
+    val pushed = scans(df).head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(pushed.contains("LessThan(ts"), pushed)
+    // and the result equals the manual raw-domain translation
+    val manual = graft.catalog.Tables.events(spark, dir,
+      start = Some("2024-01-05 00:00:00"), end = Some("2024-01-19 23:59:59.999999"))
+      .select("event_id", "ts", "value")
+    assert(df.count() == manual.count())
+  }
+
   test("whole-stage codegen covers the custom-expression hot path") {
     import graft.functions.exprs
     val df = graft.catalog.Tables.documents(spark, dir)
