@@ -43,6 +43,10 @@ object GraftExtensions {
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    ("ohlc_agg",
+      info("ohlc_agg",
+        "ohlc_agg(value, ord) - fused (open, high, low, close, n) aggregate over ord order"),
+      (es: Seq[Expression]) => OhlcAgg(es.head, es(1)).toAggregateExpression()),
     ("hyperplane_buckets",
       info("hyperplane_buckets",
         "hyperplane_buckets(vec, nbits, tables) - multi-table random-hyperplane LSH bucket ids"),

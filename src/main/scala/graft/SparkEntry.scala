@@ -89,6 +89,14 @@ object SparkEntry {
           value = "value", tiebreak = "event_id", minutes = 1)
         .orderBy("event_type", "bar_ts")),
 
+    // A1 via the fused single-buffer custom DeclarativeAggregate (OhlcAgg):
+    // same bars, one accumulator through the shuffle instead of four
+    "q_ohlc_fused" -> ((s, dir) =>
+      Ohlc
+        .barsFused(ev(s, dir), keys = Seq("event_type"), time = "ts",
+          value = "value", tiebreak = "event_id", minutes = 1)
+        .orderBy("event_type", "bar_ts")),
+
     // A2+P5: resample 1m bars to 15m + NULL-safe derived ratios
     "q_ohlc_resample_15m" -> ((s, dir) => {
       val bars1m = Ohlc.bars(ev(s, dir), Seq("event_type"), "ts", "value", "event_id", 1)
@@ -909,6 +917,28 @@ object SparkEntry {
            ORDER BY value DESC, event_id LIMIT 20""",
 
       "q_ohlc_1m" ->
+        s"""WITH pts AS (
+              SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
+                     $evTs AS ts, event_id, value
+              FROM events),
+            o AS (
+              SELECT *,
+                first_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+                last_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+              FROM pts)
+            SELECT event_type, bar_ts, min(open_v) AS open, max(value) AS high,
+                   min(value) AS low, min(close_v) AS close,
+                   CAST(count(*) AS BIGINT) AS tick_count
+            FROM o GROUP BY event_type, bar_ts
+            ORDER BY event_type, bar_ts""",
+
+      // same bar semantics as q_ohlc_1m — the Spark side differs (fused
+      // OhlcAgg vs composed min_by/max_by), the oracle is shared
+      "q_ohlc_fused" ->
         s"""WITH pts AS (
               SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
                      $evTs AS ts, event_id, value

@@ -58,6 +58,29 @@ object Ohlc {
       )
   }
 
+  /** [[bars]] with the fused single-buffer aggregate
+    * [[graft.functions.OhlcAgg]]: one 7-slot accumulator through the
+    * partial-agg shuffle instead of four independent aggregate buffers
+    * (two of which duplicate the (value, ord) pair). Identical output —
+    * equivalence-tested in OhlcAggSpec and oracle-checked as
+    * `q_ohlc_fused`.
+    */
+  def barsFused(
+      points: DataFrame,
+      keys: Seq[String],
+      time: String,
+      value: String,
+      tiebreak: String,
+      minutes: Int = 1
+  ): DataFrame = {
+    val ord = struct(col(time), col(tiebreak))
+    points
+      .groupBy((keys.map(col) :+ bucketStart(col(time), minutes).as("bar_ts")): _*)
+      .agg(graft.functions.OhlcAgg(col(value), ord).as("b"))
+      .select((keys.map(col) :+ col("bar_ts") :+ col("b.open") :+ col("b.high")
+        :+ col("b.low") :+ col("b.close") :+ col("b.n").as("tick_count")): _*)
+  }
+
   /** Resample 1m bars to an N-minute timeframe: open = earliest open,
     * close = latest close, extrema of extrema, counts summed
     * (reference CTE at `clickhouse_query_engine.py:218-252`).

@@ -116,4 +116,34 @@ object StreamingOhlc {
       on: Seq[String]
   ): DataFrame =
     stream.join(broadcast(dim), on, "left")
+
+  /** Stream-stream interval join: pair each left event with right events of
+    * the same key whose time lies in `[leftTime - lookback, leftTime]` —
+    * the streaming form of the batch as-of/minute-bucket joins (§2.3
+    * J1/J2), except ALL matches in the window pair up (streaming cannot
+    * pick "the latest right per left" in append mode: a later-arriving
+    * right row could always beat the current winner, so "latest" is only
+    * decidable at watermark expiry — use mapGroupsWithState for true as-of).
+    *
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so each side buffers only `lookback + watermark` of state —
+    * the state store stays O(rate × horizon) regardless of stream age.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      lookback: String = "10 minutes",
+      watermark: String = "2 minutes"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTime) <= l(leftTime) &&
+        r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback"))
+      .drop(r(key))
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.RangeWriter
+
+class RangeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("range-partitioned write yields disjoint, internally sorted files") {
+    val out = Files.createTempDirectory("rangewrite").toString + "/sorted"
+    val events = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "value")
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 4)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 2, "expected multiple range files")
+
+    // each file internally sorted, and file ranges strictly increasing in
+    // part-index order (adjacent boundaries may not interleave)
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f)
+        .select(unix_micros(col("ts")).as("t"), col("event_id"))
+        .as[(Long, Long)].collect()
+      assert(rows.sameElements(rows.sortBy(identity)), s"file $f not sorted")
+      (rows.head, rows.last)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) =>
+        assert(Ordering[(Long, Long)].lteq(prevMax, nextMin),
+          s"file ranges overlap: $prevMax > $nextMin")
+      case _ =>
+    }
+    // and nothing was lost
+    val total = files.map(f => spark.read.parquet(f).count()).sum
+    assert(total == events.count())
+  }
+}

@@ -31,6 +31,36 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the lookback window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOhlc.intervalJoin(
+      buys.toDF.toDF("uid", "bts", "amount"),
+      clicks.toDF.toDF("uid", "cts", "page"),
+      key = "uid", leftTime = "bts", rightTime = "cts",
+      lookback = "10 minutes", watermark = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      clicks.addData((1L, t("2024-01-01 00:00:00"), "home"),
+                     (1L, t("2024-01-01 00:04:00"), "product"),
+                     (1L, t("2024-01-01 00:20:00"), "too_late_page"),
+                     (2L, t("2024-01-01 00:01:00"), "other_user"))
+      buys.addData((1L, t("2024-01-01 00:05:00"), 9.99))
+      q.processAllAvailable()
+      // advance both watermarks so the joined rows emit
+      clicks.addData((9L, t("2024-01-01 01:00:00"), "x"))
+      buys.addData((9L, t("2024-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+      val pages = spark.table("ij_out")
+        .filter($"amount" === 9.99).select("page").as[String].collect().sorted
+      // both clicks within [t-10m, t] pair up; the later click and the
+      // other user's click do not
+      assert(pages.toSeq == Seq("home", "product"))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
