@@ -332,6 +332,22 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // §2.9/W4: gap sessions via the NATIVE session_window aggregate (the
+    // same operator Structured Streaming uses for session state) — one
+    // hash-agg with merging windows, no lag/prefix-sum window pass. Note
+    // the boundary: session_window breaks at gap >= 30min (half-open
+    // [t, t+gap) windows), where the lag formulation in q_sessionize
+    // breaks only at gap > 30min.
+    "q_session_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")),
+
     // W4: exact percentiles (research-workload analytics; rounded on both
     // sides because interpolation association differs across engines)
     "q_quantiles" -> ((s, dir) =>
@@ -1176,6 +1192,23 @@ object SparkEntry {
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id""",
+
+      "q_session_window" ->
+        s"""WITH e AS (
+              SELECT user_id, $evTs AS ts, event_id FROM events),
+            d AS (
+              SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM d)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_start""",
 
       "q_quantiles" ->
         """SELECT event_type,

@@ -8,7 +8,9 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns beside typed metadata, with
   * decode/feature-extract/resize/frame-sample as partition-local operators.
   *
-  * The container has no image/audio codecs, so the *decode kernels* are
+  * Image decode/resize are REAL (`javax.imageio` is part of the JDK —
+  * [[decodeImages]]/[[resizeImages]] handle PNG/BMP/GIF/JPEG). The
+  * container has no audio/video codecs, so those decode kernels are
   * STUBS — deterministic fakes over the raw bytes, clearly marked below.
   * Everything around them is the real Spark shape a production decoder
   * plugs into: explicit schema, `Dataset.mapPartitions` (one JVM decoder
@@ -102,6 +104,79 @@ object Multimodal {
     media
       .withColumn("width", lit(w))
       .withColumn("height", lit(h))
+
+  /** Decoded image record: true dimensions + channel-mean features. */
+  final case class ImageInfo(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image decode — `javax.imageio` ships with the JDK, so PNG / BMP /
+    * GIF / JPEG payloads decode without any external codec. Partition-local
+    * (`mapPartitions`), one pass, no shuffle; rows whose payload ImageIO
+    * cannot parse are dropped (audio/video stay with the stub kernels).
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.data == null || r.data.isEmpty) None
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+          if (img == null) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            Some(ImageInfo(r.media_id, img.getWidth, img.getHeight,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: decode → bilinear scale via Graphics2D → re-encode
+    * PNG. Non-decodable payloads pass through unchanged (their metadata
+    * untouched). Map-side only; the payload column is rewritten in place.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded =
+          if (r.data == null || r.data.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        if (decoded == null) r
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(decoded, 0, 0, w, h, null)
+          g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          r.copy(width = Some(w), height = Some(h),
+            format = "png", data = buf.toByteArray)
+        }
+      }
+    }
+  }
 
   /** Deterministic fake media generator for tests/benchmarks. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

@@ -58,6 +58,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sessions.head.nEvents === 2L)
   }
 
+  test("multimodal: real PNG decode + resize via javax.imageio") {
+    import spark.implicits._
+    // build genuine PNG payloads: solid-color 8x6 images
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "png", Some(8), Some(6), None, png(0xFF0000)),
+      Multimodal.MediaRow(2L, "image", "png", Some(8), Some(6), None, png(0x0000FF)),
+      Multimodal.MediaRow(3L, "audio", "bin", None, None, Some(1000L),
+        Array[Byte](1, 2, 3)) // not an image -> dropped by decode
+    ).toDS()
+
+    val decoded = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(decoded.length == 2)
+    assert(decoded(0).width == 8 && decoded(0).height == 6)
+    assert(decoded(0).mean_r == 255.0 && decoded(0).mean_b == 0.0)
+    assert(decoded(1).mean_b == 255.0 && decoded(1).mean_r == 0.0)
+
+    val resized = Multimodal.resizeImages(media, 4, 4).collect().sortBy(_.media_id)
+    val r1 = Multimodal.decodeImages(Seq(resized(0)).toDS()).head()
+    assert(r1.width == 4 && r1.height == 4 && r1.mean_r == 255.0)
+    // non-image rows pass through untouched
+    assert(resized(2).data.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("multimodal: stub feature extraction preserves batch shape") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media).collect()
