@@ -554,13 +554,24 @@ object SparkEntry {
           coalesce(col("5-LOW"), lit(0L)).as("p_low"))
         .orderBy("y")),
 
-    // U-class: INTERSECT (distinct set semantics, both engines)
+    // U-class: INTERSECT (distinct set semantics, both engines) — order
+    // statuses 'O' vs 'F' overlap heavily, so the result is non-trivial at
+    // every SF (year∩year was empty at small SF)
     "q_intersect" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
-        .intersect(o.filter(year(col("o_orderdate")) === 1995).select("o_custkey"))
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
         .orderBy("o_custkey")
     }),
+
+    // O1-scale: top-k per group with partition-local pre-pruning (bounded
+    // heaps cap the shuffle at k·groups·partitions rows; result == plain
+    // window rank, which is what the oracle computes)
+    "q_group_topk" -> ((s, dir) =>
+      graft.operators.TopKPerGroup
+        .topK(ev(s, dir).select("event_type", "event_id", "value"),
+          keys = Seq("event_type"), ord = "value", tiebreak = "event_id", k = 5)
+        .orderBy("event_type", "rank")),
 
     // J-class: non-equi range-containment join (overlapping 6h windows,
     // 4h stride — not bucketable; small side broadcast, fact side streamed)
@@ -840,6 +851,20 @@ object SparkEntry {
         .filter(col("n") >= 5)
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
+
+    // §2.8 bitwise battery (shift/and/or/xor/not/popcount)
+    "q_bitwise" -> ((s, dir) =>
+      ev(s, dir)
+        .select(
+          col("event_id"),
+          shiftleft(col("event_id"), 3).as("shl"),
+          shiftright(col("event_id"), 2).as("shr"),
+          col("event_id").bitwiseAND(lit(255L)).as("band"),
+          col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+          col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+          bitwise_not(col("event_id")).as("bnot"),
+          bit_count(col("event_id")).cast("int").as("popcnt"))
+        .orderBy("event_id")),
 
     // W-class: running cumulative aggregates (decimal-exact running sum)
     "q_cumsum" -> ((s, dir) => {
@@ -1434,10 +1459,19 @@ object SparkEntry {
            FROM orders GROUP BY y ORDER BY y""",
 
       "q_intersect" ->
-        """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
            INTERSECT
-           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
            ORDER BY o_custkey""",
+
+      "q_group_topk" ->
+        """SELECT event_type, event_id, value, rank FROM (
+             SELECT event_type, event_id, value,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS INTEGER) AS rank
+             FROM events)
+           WHERE rank <= 5
+           ORDER BY event_type, rank""",
 
       "q_range_join" ->
         """WITH w AS (
@@ -1623,6 +1657,17 @@ object SparkEntry {
              GROUP BY token)
            WHERE n >= 5
            ORDER BY n DESC, token LIMIT 50""",
+
+      "q_bitwise" ->
+        """SELECT event_id,
+             event_id << 3 AS shl,
+             event_id >> 2 AS shr,
+             event_id & 255 AS band,
+             event_id | 4096 AS bor,
+             xor(event_id, user_id) AS bxor,
+             ~event_id AS bnot,
+             CAST(bit_count(event_id) AS INTEGER) AS popcnt
+           FROM events ORDER BY event_id""",
 
       "q_cumsum" ->
         """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
