@@ -852,6 +852,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // §2.8 NULL-semantics battery (coalesce/nullif/nvl2-shape/null-safe
+    // equality) over the asof join's genuinely-NULL click columns
+    "q_null_funcs" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin
+        .leftAsofNative(purchases, clicks, on = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("value"), suffix = "_c")
+        .select(
+          col("event_id"),
+          coalesce(col("value_c"), lit(-1.0)).as("click_or_default"),
+          nullif(col("value_c"), col("value")).as("click_unless_same"),
+          when(col("value_c").isNotNull, lit("seen")).otherwise(lit("cold")).as("flag"),
+          col("value_c").isNull.as("is_cold"),
+          (col("value_c") <=> col("value")).as("nseq"))
+        .orderBy("event_id")
+    }),
+
     // §2.8 bitwise battery (shift/and/or/xor/not/popcount)
     "q_bitwise" -> ((s, dir) =>
       ev(s, dir)
@@ -1657,6 +1679,19 @@ object SparkEntry {
              GROUP BY token)
            WHERE n >= 5
            ORDER BY n DESC, token LIMIT 50""",
+
+      "q_null_funcs" ->
+        """SELECT l.event_id,
+                  coalesce(r.value, -1.0) AS click_or_default,
+                  nullif(r.value, l.value) AS click_unless_same,
+                  CASE WHEN r.value IS NOT NULL THEN 'seen' ELSE 'cold' END AS flag,
+                  r.value IS NULL AS is_cold,
+                  r.value IS NOT DISTINCT FROM l.value AS nseq
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             ON l.user_id = r.user_id
+            AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
+           ORDER BY l.event_id""",
 
       "q_bitwise" ->
         """SELECT event_id,

@@ -109,6 +109,16 @@ class TextVectorSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.0)
   }
 
+  test("SQL facade: ohlc_agg aggregate usable from spark.sql") {
+    GraftExtensions.register(spark)
+    Seq((1L, 10.0), (2L, 30.0), (3L, 20.0)).toDF("o", "v")
+      .createOrReplaceTempView("tv_ticks")
+    val b = spark.sql("SELECT ohlc_agg(v, o) AS b FROM tv_ticks")
+      .select("b.open", "b.high", "b.low", "b.close", "b.n").head()
+    assert(b.getDouble(0) === 10.0 && b.getDouble(1) === 30.0)
+    assert(b.getDouble(2) === 10.0 && b.getDouble(3) === 20.0 && b.getLong(4) === 3L)
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val c = df.select(VectorFunctions.cosine(col("v"), col("v"))).head().getDouble(0)
