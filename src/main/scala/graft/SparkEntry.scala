@@ -744,10 +744,18 @@ object SparkEntry {
       val e = ev(s, dir)
       val anchor = e.agg(max(col("ts")).as("anchor"))
       e.crossJoin(broadcast(anchor))
+        // `div`, NOT `/`: long / long is DOUBLE division in Spark, and a
+        // ratio within an ulp of an integer rounds up — disagreeing with
+        // the oracle's exact integer floor (same trap as the ns→µs /1000)
         .withColumn("h",
-          ((unix_micros(col("anchor")) - unix_micros(col("ts"))) / lit(3600000000L))
-            .cast("long"))
-        .withColumn("term", round(col("value") * pow(lit(0.5), col("h")), 6))
+          expr("(unix_micros(anchor) - unix_micros(ts)) div 3600000000"))
+        // floor(x*1e6)/1e6, NOT round(x, 6): halving a 2-decimal value
+        // lands terms exactly on .5-of-the-7th-digit boundaries, where
+        // Spark rounds the shortest decimal repr (2.0353125 -> ...13) but
+        // DuckDB rounds the binary double (2.03531249... -> ...12). The
+        // floor form is pure IEEE arithmetic — identical in both engines.
+        .withColumn("term",
+          floor(col("value") * pow(lit(0.5), col("h")) * 1e6) / 1e6)
         .groupBy("user_id")
         .agg(dsum(col("term")).as("decayed_value"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
@@ -1597,9 +1605,9 @@ object SparkEntry {
       "q_decay_sum" ->
         """WITH a AS (SELECT max(CAST(ts AS TIMESTAMP)) AS anchor FROM events)
            SELECT user_id,
-             CAST(sum(CAST(round(value * pow(0.5,
+             CAST(sum(CAST(floor(value * pow(0.5,
                (epoch_us(anchor) - epoch_us(CAST(ts AS TIMESTAMP))) // 3600000000
-               ), 6) AS DECIMAL(38,6))) AS DOUBLE) AS decayed_value,
+               ) * 1000000) / 1000000 AS DECIMAL(38,6))) AS DOUBLE) AS decayed_value,
              CAST(count(*) AS BIGINT) AS n_events
            FROM events CROSS JOIN a
            GROUP BY user_id ORDER BY user_id""",
