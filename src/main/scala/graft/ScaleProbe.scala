@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ohlc.Ohlc
+
+/** Measured scaling probe: replicate the sf0.1 events table K× (shifted
+  * ids/users so cardinalities scale too), run representative operators at
+  * 1× and K×, and print the time ratio next to the data ratio. A
+  * shuffle-sound operator should scale ~linearly (ratio ≈ K on fixed
+  * cores); superlinear growth exposes a plan that would not survive 100×.
+  *
+  * Usage: runMain graft.ScaleProbe [K] (default 10); writes replicas under
+  * /tmp/graft_scaleprobe.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = "/tmp/graft_scaleprobe"
+    val src = graft.catalog.Tables.events(spark, "/root/testdata/sf0.1")
+    val n1 = src.count()
+    // K replicas with disjoint event ids and user ids (users scale with
+    // data, as they would in reality; per-user history length stays fixed)
+    val reps = spark.range(k).select(col("id").as("rep"))
+    src.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * lit(10000000L))
+      .withColumn("user_id", col("user_id") + col("rep") * lit(1000000L))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$base/events_x$k")
+    val big = spark.read.parquet(s"$base/events_x$k")
+    println(s"rows: 1x=$n1, ${k}x=${big.count()}")
+
+    def ohlc(df: DataFrame) = Ohlc
+      .bars(df, Seq("event_type"), "ts", "value", "event_id", 1).count()
+    def sess(df: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      df.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800000000L, 1L)
+          .otherwise(0L))
+        .groupBy("user_id").agg(sum("new_s")).count()
+    }
+    def topk(df: DataFrame) = graft.operators.TopKPerGroup
+      .topK(df.select("event_type", "event_id", "value"),
+        Seq("event_type"), "value", "event_id", 5).count()
+    def asof(df: DataFrame) = {
+      val p = df.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val c = df.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsofJoin.leftAsofNative(p, c, Seq("user_id"),
+        "ts", "ts", Seq("value"), "_c").count()
+    }
+    def dedupW(df: DataFrame) = graft.operators.Dedup
+      .replacingDedup(df, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id"))).count()
+    def dedupA(df: DataFrame) = graft.operators.Dedup
+      .replacingDedupAgg(df, Seq("user_id", "event_type"),
+        Seq("ts", "event_id")).count()
+
+    val ops: Seq[(String, DataFrame => Any)] = Seq(
+      "ohlc_1m" -> ohlc, "sessionize" -> sess, "group_topk" -> topk,
+      "asof_join" -> asof, "dedup_window" -> dedupW, "dedup_agg" -> dedupA)
+
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + k + "x"}%8s ratio (data ${k}x)")
+    ops.foreach { case (name, f) =>
+      f(src); f(src) // warm
+      val t1 = time(f(src))
+      f(big)         // warm the big path once
+      val tk = time(f(big))
+      println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}

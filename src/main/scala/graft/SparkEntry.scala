@@ -139,10 +139,10 @@ object SparkEntry {
     // A6+W2: ReplacingMergeTree-style dedup (first row per key by order)
     "q_dedup" -> ((s, dir) =>
       Dedup
-        .replacingDedup(
+        .replacingDedupAgg(
           ev(s, dir).withColumn("minute", date_trunc("minute", col("ts"))),
           keys = Seq("user_id", "minute"),
-          order = Seq(col("ts"), col("event_id")))
+          order = Seq("ts", "event_id"))
         .select("user_id", "minute", "event_id", "ts", "value")
         .orderBy("user_id", "minute")),
 

@@ -31,6 +31,24 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[replacingDedup]] as a hash AGGREGATION instead of a sort-window:
+    * `min_by(struct(row), struct(order))` keeps the winning row per key
+    * with map-side partial aggregation and no sort at all. Identical
+    * result for ascending `order` columns with unique tuples — but at
+    * scale the shuffle carries one pre-combined row per (key, map task)
+    * rather than every input row through a full sort (the 100×-data probe
+    * measured 48× window-form cost vs ~6× for aggregation-shaped
+    * operators; this closes that gap). Prefer this form; the window form
+    * remains for order specs that aren't plain ascending columns.
+    */
+  def replacingDedupAgg(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ordStruct = struct(order.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(rowStruct, ordStruct).as("__best"))
+      .select(df.columns.map(c => col(s"__best.`$c`").as(c)).toIndexedSeq: _*)
+  }
+
   /** Exact-duplicate groups by content digest: one row per distinct text with
     * the representative (minimal) id and the group size. MD5 is used because
     * it is bit-identical across engines (Spark `md5` == DuckDB `md5`),
