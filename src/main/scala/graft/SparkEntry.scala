@@ -860,6 +860,26 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // SQL entry path (§2/S7): the same engine drives spark.sql text —
+    // TPC-H Q3 shape over temp views, exercising parser → Catalyst →
+    // the identical physical operators the DataFrame API plans
+    "q_sql_q3" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'AUTOMOBILE'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20""")
+    }),
+
     // §2.8 NULL-semantics battery (coalesce/nullif/nvl2-shape/null-safe
     // equality) over the asof join's genuinely-NULL click columns
     "q_null_funcs" -> ((s, dir) => {
@@ -1687,6 +1707,18 @@ object SparkEntry {
              GROUP BY token)
            WHERE n >= 5
            ORDER BY n DESC, token LIMIT 50""",
+
+      "q_sql_q3" ->
+        """SELECT o_orderkey, o_orderdate, o_orderpriority,
+                  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'AUTOMOBILE'
+           GROUP BY o_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, o_orderkey
+           LIMIT 20""",
 
       "q_null_funcs" ->
         """SELECT l.event_id,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.OhlcAgg
+import graft.operators.{AsofJoin, Dedup, Sampling, TimeSeries, TopKPerGroup}
+import graft.ohlc.Ohlc
+
+/** Operators must degrade to empty results — not exceptions — on empty
+  * inputs (a 100 TB pipeline always has some empty partition, instrument,
+  * or month somewhere).
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+    .toDF("user_id", "ts", "event_id", "value")
+
+  test("aggregation/window operators on empty input return empty, correct schema") {
+    val bars = Ohlc.bars(emptyEvents, Seq("user_id"), "ts", "value", "event_id", 1)
+    assert(bars.count() == 0 && bars.columns.contains("open"))
+
+    val fused = emptyEvents.groupBy("user_id")
+      .agg(OhlcAgg(col("value"), struct(col("ts"), col("event_id"))).as("b"))
+    assert(fused.count() == 0)
+
+    assert(Dedup.replacingDedupAgg(emptyEvents, Seq("user_id"), Seq("ts")).count() == 0)
+    assert(TopKPerGroup.topK(emptyEvents, Seq("user_id"), "value", "event_id", 3).count() == 0)
+    assert(TimeSeries.ewma(emptyEvents, "user_id", "ts", "event_id", "value", 0.5).count() == 0)
+    assert(Sampling.stratifiedEqualize(emptyEvents, "user_id", "event_id").count() == 0)
+  }
+
+  test("asof join with an empty right side keeps all left rows with null payload") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsofJoin.leftAsofNative(left, emptyEvents, Seq("user_id"),
+      "ts", "ts", Seq("value"), "_c")
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.isNullAt(out.columns.indexOf("value_c")))
+    // and empty-left is empty-out
+    assert(AsofJoin.leftAsofNative(emptyEvents, left, Seq("user_id"),
+      "ts", "ts", Seq("value"), "_c").count() == 0)
+  }
+}
