@@ -75,6 +75,36 @@ object ScaleProbe {
       "ohlc_1m" -> ohlc, "sessionize" -> sess, "group_topk" -> topk,
       "asof_join" -> asof, "dedup_window" -> dedupW, "dedup_agg" -> dedupA)
 
+    // text-family probe on SYNTHETIC random-vocab docs (150 words from a
+    // 50k vocab, seeded by doc_id): replicating or permuting the real
+    // word-salad corpus makes docs share shingles pathologically, so the
+    // LSH pair count — the OUTPUT — explodes, measuring the data's
+    // duplication rather than the operator. A near-dup-free corpus
+    // isolates operator cost.
+    val textK = math.min(k, 20)
+    def synthDocs(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, 150),
+                  i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')""")
+          .as("text"))
+    val docsSrc = synthDocs(5000)
+    synthDocs(5000L * textK).write.mode("overwrite").parquet(s"$base/docs_x$textK")
+    val docsBigR = spark.read.parquet(s"$base/docs_x$textK")
+    println(s"docs: 1x=${docsSrc.count()}, ${textK}x=${docsBigR.count()}")
+
+    def minhash(df: DataFrame) = graft.text.MinHash
+      .nearDupPairs(df, "doc_id", "text").count()
+    def simhash(df: DataFrame) = df
+      .select(graft.text.MinHash.simhashPoly(col("text"), 30).as("h"))
+      .agg(max("h")).count()
+    def bpe(df: DataFrame) = df
+      .select(size(expr(
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)"))
+        .as("n")).agg(sum("n")).count()
+
+    val textOps: Seq[(String, DataFrame => Any)] = Seq(
+      "minhash_lsh" -> minhash, "simhash" -> simhash, "bpe_tokens" -> bpe)
+
     def time(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -84,6 +114,14 @@ object ScaleProbe {
       val t1 = time(f(src))
       f(big)         // warm the big path once
       val tk = time(f(big))
+      println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+    }
+    println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + textK + "x"}%8s ratio (docs ${textK}x)")
+    textOps.foreach { case (name, f) =>
+      f(docsSrc); f(docsSrc)
+      val t1 = time(f(docsSrc))
+      f(docsBigR)
+      val tk = time(f(docsBigR))
       println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
     }
     spark.stop()

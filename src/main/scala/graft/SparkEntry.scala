@@ -940,6 +940,13 @@ object SparkEntry {
         .withColumn("ewma", round(col("ewma"), 6))
         .orderBy("user_id", "ts", "event_id")),
 
+    // near-dup GROUPS via label propagation over LSH buckets — linear in
+    // docs×bands even on a fully-duplicated corpus (no pair enumeration;
+    // rows-only: iterative min-label fixpoint isn't single-statement SQL)
+    "q_dedup_groups" -> ((s, dir) =>
+      MinHash.nearDupGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
     // deterministic 1/10 hash sample — pure filter, no shuffle, same row
     // set at any scale/partitioning (operators.Sampling)
     "q_sample" -> ((s, dir) =>

