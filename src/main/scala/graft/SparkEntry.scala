@@ -929,6 +929,40 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // W-class: numeric RANGE frame (value-distance window, not row-count):
+    // frame membership depends only on values, so the result is
+    // deterministic even across duplicate sort keys
+    "q_range_frame" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("n_within_5",
+          expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)"""))
+        .withColumn("sum_within_5",
+          expr("""CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+                    PARTITION BY event_type ORDER BY value
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)"""))
+        .select("event_id", "event_type", "value", "n_within_5", "sum_within_5")
+        .orderBy("event_id")),
+
+    // vector scalar quantization (int8) with reconstruction-error audit —
+    // the storage-side half of ANN at scale (4 bytes -> 1 byte per dim);
+    // integer outputs via the floor(x*1e6) convention keep it hash-exact
+    "q_vec_quant" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("amax",
+          greatest(array_max(col("embedding")).cast("double"),
+            -array_min(col("embedding")).cast("double"), lit(1e-12)))
+        .withColumn("sum_abs_err",
+          expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                  (a, x) -> a + abs(CAST(x AS DOUBLE) -
+                    floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) * amax / 127.0))"""))
+        .select(
+          col("vec_id"),
+          floor(col("amax") * 1e6).cast("long").as("amax_e6"),
+          floor(col("sum_abs_err") / size(col("embedding")) * 1e9).cast("long")
+            .as("mae_e9"))
+        .orderBy("vec_id")),
+
     // sequential per-key recursion (EWMA) via the mapPartitions scan — not
     // SQL-expressible without recursive CTEs, so rows-only here; the
     // recursion itself is verified against a reference fold in ScalaTest
@@ -1760,6 +1794,35 @@ object SparkEntry {
              ORDER BY CAST(ts AS TIMESTAMP), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            ORDER BY user_id, ts, event_id""",
+
+      "q_range_frame" ->
+        """SELECT event_id, event_type, value,
+             CAST(count(*) OVER w AS BIGINT) AS n_within_5,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_within_5
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY value
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+           ORDER BY event_id""",
+
+      "q_vec_quant" ->
+        """SELECT vec_id,
+             CAST(floor(amax * 1e6) AS BIGINT) AS amax_e6,
+             CAST(floor(sum_abs_err / len(embedding) * 1e9) AS BIGINT) AS mae_e9
+           FROM (
+             SELECT vec_id, embedding,
+               greatest(CAST(list_max(embedding) AS DOUBLE),
+                        -CAST(list_min(embedding) AS DOUBLE), 1e-12) AS amax,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x ->
+                   abs(CAST(x AS DOUBLE) -
+                     floor(CAST(x AS DOUBLE) * 127.0 /
+                       greatest(CAST(list_max(embedding) AS DOUBLE),
+                                -CAST(list_min(embedding) AS DOUBLE), 1e-12) + 0.5) *
+                     greatest(CAST(list_max(embedding) AS DOUBLE),
+                              -CAST(list_min(embedding) AS DOUBLE), 1e-12) / 127.0))),
+                 (a, b) -> a + b) AS sum_abs_err
+             FROM embeddings)
+           ORDER BY vec_id""",
 
       "q_sample" ->
         """SELECT doc_id, lang, source FROM documents
