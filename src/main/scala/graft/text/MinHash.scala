@@ -165,11 +165,21 @@ object MinHash {
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id"), col("id").as("label")).distinct()
+    var prev: Option[DataFrame] = None
     for (_ <- 0 until iters) {
       val bucketMin = edges.join(labels, Seq("id"))
         .groupBy("band", "bh").agg(min(col("label")).as("bmin"))
-      labels = edges.join(bucketMin, Seq("band", "bh"))
+      val next = edges.join(bucketMin, Seq("band", "bh"))
         .groupBy("id").agg(min(col("bmin")).as("label"))
+        // materialize each round and cut lineage: without this the plan
+        // doubles in depth per iteration (each round embeds the previous
+        // round's joins), which stalls the optimizer long before the
+        // executors at real iteration counts
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      labels = next
     }
     val out = labels.select(col("id"), col("label").as("group_rep"))
     out

@@ -27,4 +27,18 @@ class ContractSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every oracle key names a real query (a typo silently weakens the gate)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val orphans = o.diff(q)
+    assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
+    // rows-only queries are the documented exceptions, not accidents
+    val rowsOnly = q.diff(o)
+    val expectedRowsOnly = Set("q_ann_ivf", "q_ann_lsh", "q_approx_quantile",
+      "q_hll_distinct", "q_ewma", "q_dedup_groups")
+    assert(rowsOnly == expectedRowsOnly,
+      s"unexpected rows-only queries (add an oracle or update this list): " +
+        s"${rowsOnly.diff(expectedRowsOnly)}")
+  }
 }
