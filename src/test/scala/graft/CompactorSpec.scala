@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.Compactor
+
+class CompactorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction collapses a many-small-files dir and preserves every row") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // 64 tiny files
+    spark.range(100000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val sumBefore = spark.read.parquet(dir).agg(sum("id")).head().getLong(0)
+
+    val n = Compactor.compact(spark, dir, targetBytes = 512L * 1024)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == n && after < 8, s"expected few files, got $after")
+    assert(spark.read.parquet(dir).agg(sum("id")).head().getLong(0) == sumBefore)
+    assert(spark.read.parquet(dir).count() == 100000L)
+  }
+
+  test("compaction with sort keys keeps files range-disjoint") {
+    val dir = Files.createTempDirectory("compact2").toString + "/t"
+    spark.range(50000).select(col("id")).repartition(32).write.parquet(dir)
+    Compactor.compact(spark, dir, targetBytes = 128L * 1024, sortKeys = Seq("id"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).select("id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"$f not sorted")
+      (ids.head, ids.last)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) => assert(prevMax <= nextMin)
+      case _ =>
+    }
+  }
+}
