@@ -61,6 +61,32 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink: checkpointed append lands every closed bar exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("strsink").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val bars = StreamingOhlc.bars1m(mem.toDF.toDF("ts", "sym", "v"),
+      Seq("sym"), "ts", "v", watermark = "1 minute")
+    val q = bars.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      mem.addData((t("2024-01-01 00:00:10"), "A", 1.0),
+                  (t("2024-01-01 00:00:40"), "A", 3.0),
+                  (t("2024-01-01 00:01:10"), "B", 7.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:10:00"), "A", 9.9)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+      val closed = out.collect().map(r =>
+        (r.getAs[String]("sym"), r.getAs[Double]("open"), r.getAs[Double]("close")))
+      assert(closed.toSet == Set(("A", 1.0, 3.0), ("B", 7.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
