@@ -39,10 +39,35 @@ object Bench {
       }.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    // The harness that collects this output keeps only a bounded tail of
+    // stdout, so the machine-readable line must be short AND last. Full
+    // per-query timings go to a sidecar file; the final line carries a
+    // representative headline subset (reference workload + extension ops).
+    val headline = Seq(
+      "q1_pricing", "q_ticks_range", "q_ohlc_1m", "q_ohlc_resample_15m",
+      "q_asof_join", "q_coverage", "q_cursor_page", "q_gap_months",
+      "q_sql_q3", "q_join_agg", "q_top_revenue", "q_dedup", "q_dedup_exact",
+      "q_minhash_lsh", "q_simhash", "q_ngram_jaccard", "q_cosine_topk",
+      "q_ann_ivf", "q_lang_id", "q_text_stats", "q_token_freq",
+      "q_doc_fingerprint", "q_ewma", "q_group_topk", "q_sessionize")
+    val resultMap = results.toMap
+    val headlineRs = headline.flatMap(k => resultMap.get(k).map(k -> _))
+    val shown = if (headlineRs.nonEmpty) headlineRs else results
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"nq":${results.size},"sf":"$sfDir"}"""
+    try {
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    spark.stop() // stop BEFORE the final line so shutdown logs can't trail it
+    println(line)
+    System.out.flush()
   }
 }
