@@ -1016,7 +1016,241 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_unique"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- round 3: training-pipeline + relational widening ----------------
+
+    // TF-IDF term weighting: map-side-combinable tf, broadcastable df and
+    // corpus-size sides, top-5 terms per document. idf is pre-floored to an
+    // integer 1e6 scale so the tf multiplication stays exact cross-engine.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_e6",
+          (col("tf") * floor(log2(col("n_docs").cast("double") / col("df")) * 1e6))
+            .cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("token"))
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk").cast("int").as("rnk"), col("token"), col("score_e6"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Repetition quality signals (Gopher-style): duplicate-word and
+    // duplicate-3-gram fractions per document — exact integer counts, one
+    // floored double division
+    "q_rep_ngrams" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          size(array_distinct(toks)).cast("long").as("n_uniq_words"),
+          greatest(size(toks) - lit(2), lit(0)).cast("long").as("n_3grams"),
+          size(TF.wordShingles(col("text"), 3)).cast("long").as("n_uniq_3grams"))
+        .withColumn("dup_word_frac",
+          when(col("n_words") > 0,
+            floor((col("n_words") - col("n_uniq_words")) * lit(1e6) / col("n_words")) / 1e6))
+        .withColumn("dup_3gram_frac",
+          when(col("n_3grams") > 0,
+            floor((col("n_3grams") - col("n_uniq_3grams")) * lit(1e6) / col("n_3grams")) / 1e6))
+        .orderBy("doc_id")
+    }),
+
+    // Composite Gopher-style quality filter: every predicate is integer
+    // arithmetic (ratio bounds as cross-multiplications) so keep/reason
+    // flags hash-match exactly
+    "q_quality_filter" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(TF.rawTokens(col("text"))).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"),
+          TF.alphaCount(col("text")).cast("long").as("n_alpha"),
+          TF.digitCount(col("text")).cast("long").as("n_digit"),
+          TF.punctCount(col("text")).cast("long").as("n_punct"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_chars"),
+          (col("n_words") >= 50 && col("n_words") <= 20000).cast("int").as("f_len"),
+          (col("n_alpha") >= col("n_words") * 2 && col("n_alpha") <= col("n_words") * 12)
+            .cast("int").as("f_wordlen"),
+          (col("n_punct") * 10 <= col("n_chars")).cast("int").as("f_symbol"),
+          (col("n_digit") * 5 <= col("n_chars")).cast("int").as("f_digit"))
+        .withColumn("keep",
+          (col("f_len") + col("f_wordlen") + col("f_symbol") + col("f_digit") === 4)
+            .cast("int"))
+        .orderBy("doc_id")),
+
+    // Character-distribution entropy quality score:
+    // H = log2(n) − Σ c·log2(c) / n over [a-z] counts; each term is floored
+    // to 1e-6 before the DECIMAL sum so the unordered aggregation is exact
+    "q_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).cast("int").as("n_letters"),
+          sum((floor(col("c") * log2(col("c")) * 1e6) / 1e6).cast(DecimalType(38, 6)))
+            .cast("double").as("slc"))
+        .select(
+          col("doc_id"), col("n"), col("n_letters"),
+          (floor((log2(col("n")) - col("slc") / col("n")) * 1e4) / 1e4).as("entropy"))
+        .orderBy("doc_id")),
+
+    // Weighted mean (VWAP shape): decimal-exact numerator and denominator,
+    // then a single double division — the partial-aggregation order can't
+    // perturb the result
+    "q_weighted_avg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_rev"),
+          dsum(col("l_quantity")).as("qty"))
+        .withColumn("unit_rev", floor(col("disc_rev") / col("qty") * lit(1e6)) / 1e6)
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A-class: CUBE marginals over (order year, priority) with grouping
+    // indicators — completes the rollup/grouping-sets/cube triple
+    "q_cube" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        year(col("o_orderdate")).cast("int").as("y"),
+        col("o_orderpriority").as("pri"),
+        col("o_totalprice"))
+      o.cube(col("y"), col("pri"))
+        .agg(
+          grouping(col("y")).cast("int").as("g_y"),
+          grouping(col("pri")).cast("int").as("g_p"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("pri"), lit("ALL")).as("pri"),
+          col("g_y"), col("g_p"), col("n"), col("total"))
+        .orderBy("y", "pri", "g_y", "g_p")
+    }),
+
+    // J-class: correlated EXISTS / NOT EXISTS subqueries through the SQL
+    // facade — Catalyst decorrelates both into semi/anti joins
+    "q_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")
+    }),
+
+    // Calendar gap-fill + forward-fill: hourly grid per key, last
+    // observation carried forward via the tagged-union + ignoreNulls-last
+    // window (same machinery as the asof join, inlined)
+    "q_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          lit(0).as("src"))
+      val grid = ev(s, dir).filter(col("user_id") < 50)
+        .select("user_id").distinct()
+        .select(col("user_id"),
+          explode(expr(
+            "sequence(timestamp'2024-01-05 00:00:00', timestamp'2024-01-12 00:00:00', interval 1 hour)"))
+            .as("ts"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"),
+          lit(1).as("src"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("src"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(grid)
+        .withColumn("ffill", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("src") === 1)
+        .select("user_id", "ts", "ffill")
+        .orderBy("user_id", "ts")
+    }),
+
+    // §2.8 MapType surface: per-user event_type→count map assembled with
+    // map_from_entries, probed with element_at / map_keys / map_contains_key
+    "q_map_funcs" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("c"))))).as("m"))
+        .select(
+          col("user_id"),
+          size(map_keys(col("m"))).cast("int").as("n_types"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+          coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"),
+          map_contains_key(col("m"), lit("signup")).cast("int").as("has_signup"))
+        .orderBy("user_id")),
+
+    // Per-label embedding centroids: posexplode to (label, pos) cells keeps
+    // the aggregation partially-combinable with no per-vector state — the
+    // centroid step of IVF/k-means at corpus scale
+    "q_centroid" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), dsum(col("v").cast("double")).as("sv"))
+        .select(
+          col("label"), col("pos").cast("int").as("pos"), col("n"),
+          (floor(col("sv") / col("n") * lit(1e6)) / 1e6).as("mean_v"))
+        .orderBy("label", "pos")),
+
+    // EWMA final state per key, oracled: α=0.5 makes every fold step exact
+    // IEEE halving, and DuckDB list_reduce replays the identical sequential
+    // recursion (seed = first element) — bit-equal with no rounding at all.
+    // Complements the rows-only per-row q_ewma.
+    "q_ewma_fold" -> ((s, dir) =>
+      graft.operators.TimeSeries
+        .ewma(ev(s, dir).select("user_id", "ts", "event_id", "value"),
+          key = "user_id", time = "ts", tiebreak = "event_id",
+          value = "value", alpha = 0.5)
+        .groupBy("user_id")
+        .agg(max_by(col("ewma"), struct(col("ts"), col("event_id"))).as("ewma_last"))
+        .orderBy("user_id")),
+
+    // §2.8 date/interval arithmetic battery (all integer/date outputs)
+    "q_interval_arith" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+          add_months(to_date(col("o_orderdate")), 2).as("d_plus2m"),
+          last_day(to_date(col("o_orderdate"))).as("eom"),
+          datediff(lit("1996-01-01").cast("date"), to_date(col("o_orderdate")))
+            .cast("int").as("days_to_96"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"),
+          weekofyear(col("o_orderdate")).cast("int").as("woy"))
+        .orderBy("o_orderkey")),
+
+    // W-class: exact interpolated percentiles (percentile ≙ quantile_cont —
+    // verified bit-equal interpolation; the price median gets a floor guard)
+    "q_percentile_cont" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25D)").as("p25"),
+          expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.9D)").as("p90"),
+          expr("floor(percentile(l_extendedprice, 0.5D) * 1e4) / 1e4").as("price_med"))
+        .orderBy("l_returnflag"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -1861,7 +2095,199 @@ object SparkEntry {
                    regexp_extract_all(lower(text),
                      '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS toks
                  FROM documents)
-           ORDER BY doc_id"""
+           ORDER BY doc_id""",
+
+      // ---- round 3 ----
+
+      "q_tfidf" ->
+        """WITH toks AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           nd AS (SELECT count(*) AS n_docs FROM documents),
+           scored AS (
+             SELECT doc_id, token,
+               CAST(tf * floor(log2(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
+                 AS score_e6
+             FROM tf JOIN dfreq USING (token) CROSS JOIN nd),
+           rk AS (
+             SELECT doc_id, token, score_e6,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_e6 DESC, token) AS rnk
+             FROM scored)
+           SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, score_e6
+           FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+
+      "q_rep_ngrams" ->
+        """WITH s AS (
+             SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_words,
+               CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_3grams,
+               CAST(CASE WHEN len(t) >= 3
+                 THEN len(list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))))
+                 ELSE 0 END AS BIGINT) AS n_uniq_3grams
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                   FROM documents))
+           SELECT doc_id, n_words, n_uniq_words, n_3grams, n_uniq_3grams,
+             CASE WHEN n_words > 0
+               THEN floor((n_words - n_uniq_words) * 1e6 / n_words) / 1e6 END
+               AS dup_word_frac,
+             CASE WHEN n_3grams > 0
+               THEN floor((n_3grams - n_uniq_3grams) * 1e6 / n_3grams) / 1e6 END
+               AS dup_3gram_frac
+           FROM s ORDER BY doc_id""",
+
+      "q_quality_filter" ->
+        """WITH b AS (
+             SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+             FROM documents),
+           f AS (
+             SELECT doc_id, n_words, n_chars,
+               CAST(n_words >= 50 AND n_words <= 20000 AS INTEGER) AS f_len,
+               CAST(n_alpha >= n_words * 2 AND n_alpha <= n_words * 12 AS INTEGER)
+                 AS f_wordlen,
+               CAST(n_punct * 10 <= n_chars AS INTEGER) AS f_symbol,
+               CAST(n_digit * 5 <= n_chars AS INTEGER) AS f_digit
+             FROM b)
+           SELECT doc_id, n_words, n_chars, f_len, f_wordlen, f_symbol, f_digit,
+             CAST(f_len + f_wordlen + f_symbol + f_digit = 4 AS INTEGER) AS keep
+           FROM f ORDER BY doc_id""",
+
+      "q_entropy" ->
+        """WITH cnt AS (
+             SELECT doc_id, ch, count(*) AS c
+             FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+                   FROM documents)
+             GROUP BY 1, 2),
+           agg AS (
+             SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS INTEGER) AS n_letters,
+               CAST(sum(CAST(floor(c * log2(c) * 1e6) / 1e6 AS DECIMAL(38,6)))
+                 AS DOUBLE) AS slc
+             FROM cnt GROUP BY 1)
+           SELECT doc_id, n, n_letters,
+             floor((log2(n) - slc / n) * 1e4) / 1e4 AS entropy
+           FROM agg ORDER BY doc_id""",
+
+      "q_weighted_avg" ->
+        """WITH a AS (
+             SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                 AS DOUBLE) AS disc_rev,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+             FROM lineitem GROUP BY 1, 2)
+           SELECT l_returnflag, l_linestatus, disc_rev, qty,
+             floor(disc_rev / qty * 1e6) / 1e6 AS unit_rev
+           FROM a ORDER BY l_returnflag, l_linestatus""",
+
+      "q_cube" ->
+        """WITH o AS (
+             SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                    o_orderpriority AS pri, o_totalprice
+             FROM orders)
+           SELECT coalesce(y, -1) AS y, coalesce(pri, 'ALL') AS pri,
+             CAST(grouping(y) AS INTEGER) AS g_y,
+             CAST(grouping(pri) AS INTEGER) AS g_p,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+           FROM o GROUP BY CUBE (y, pri)
+           ORDER BY 1, 2, 3, 4""",
+
+      "q_exists" ->
+        """SELECT c_custkey, c_mktsegment
+           FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority = '1-URGENT')
+           ORDER BY c_custkey""",
+
+      "q_ffill" ->
+        """WITH e AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, 0 AS src
+             FROM events WHERE user_id < 50),
+           grid AS (
+             SELECT u.user_id, g.ts,
+               CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS DOUBLE) AS value, 1 AS src
+             FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u
+             CROSS JOIN generate_series(TIMESTAMP '2024-01-05 00:00:00',
+               TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR) g(ts)),
+           f AS (
+             SELECT user_id, ts, src,
+               last_value(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, src, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+             FROM (SELECT * FROM e UNION ALL SELECT * FROM grid))
+           SELECT user_id, ts, ffill FROM f WHERE src = 1
+           ORDER BY user_id, ts""",
+
+      "q_map_funcs" ->
+        """WITH c AS (
+             SELECT user_id, event_type, count(*) AS c
+             FROM events GROUP BY 1, 2)
+           SELECT user_id,
+             CAST(count(*) AS INTEGER) AS n_types,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0)
+               AS BIGINT) AS purchases,
+             CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN c END), 0)
+               AS BIGINT) AS errors,
+             CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS INTEGER) AS has_signup
+           FROM c GROUP BY user_id ORDER BY user_id""",
+
+      "q_centroid" ->
+        """SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+             CAST(count(*) AS BIGINT) AS n,
+             floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*) * 1e6) / 1e6 AS mean_v
+           FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                        unnest(embedding) AS v
+                 FROM embeddings)
+           GROUP BY label, pos ORDER BY label, pos""",
+
+      "q_ewma_fold" ->
+        """SELECT user_id,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> x * 0.5 + acc * 0.5) AS ewma_last
+           FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                 FROM events)
+           GROUP BY user_id ORDER BY user_id""",
+
+      "q_interval_arith" ->
+        """SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+             CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS d_plus2m,
+             last_day(CAST(o_orderdate AS DATE)) AS eom,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01')
+               AS INTEGER) AS days_to_96,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+           FROM orders ORDER BY o_orderkey""",
+
+      "q_percentile_cont" ->
+        """SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS p25,
+             quantile_cont(l_quantity, 0.5) AS p50,
+             quantile_cont(l_quantity, 0.9) AS p90,
+             floor(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS price_med
+           FROM lineitem GROUP BY 1 ORDER BY 1"""
     )
   }
 }
