@@ -975,8 +975,9 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")),
 
     // near-dup GROUPS via label propagation over LSH buckets — linear in
-    // docs×bands even on a fully-duplicated corpus (no pair enumeration;
-    // rows-only: iterative min-label fixpoint isn't single-statement SQL)
+    // docs×bands even on a fully-duplicated corpus (no pair enumeration).
+    // Runs to fixpoint, so the output is the exact connected components of
+    // the bucket graph — oracled against a DuckDB recursive-CTE closure
     "q_dedup_groups" -> ((s, dir) =>
       MinHash.nearDupGroups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
@@ -2280,6 +2281,51 @@ object SparkEntry {
              CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
              CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
            FROM orders ORDER BY o_orderkey""",
+
+      // Exact connected components of the LSH doc↔bucket graph: same
+      // polynomial signature/band construction as q_minhash_lsh (k=16 but
+      // 4 bands × 4 rows), then a recursive transitive closure; group_rep
+      // = min reachable doc id == the Spark side's label-propagation
+      // fixpoint. Closure size is Σ|component|² — fine for oracle scale,
+      // which is exactly why the engine side uses label propagation.
+      "q_dedup_groups" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs WHERE len(sh) > 0),
+           bb AS (
+             SELECT doc_id, b.band AS band, b.bh AS bh
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                     AS b
+                   FROM sig)),
+           edges AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh),
+           reach AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           SELECT src AS id, min(dst) AS group_rep
+           FROM reach GROUP BY src ORDER BY id""",
 
       "q_percentile_cont" ->
         """SELECT l_returnflag,

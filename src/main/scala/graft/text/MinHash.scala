@@ -136,6 +136,16 @@ object MinHash {
     * through shared LSH buckets. Docs with no shingles are absent (same
     * convention as [[nearDupPairs]]); singleton groups are their own rep.
     *
+    * Iteration runs to FIXPOINT (capped at `maxIters`): when a round
+    * changes no label, the labels are exactly the per-component minimum —
+    * i.e. the output is the true connected components of the doc↔bucket
+    * graph, independent of component diameter. That determinism is what
+    * lets the driver gate hash-check this operator against a DuckDB
+    * recursive-CTE transitive closure over the same polynomial band
+    * hashes. The convergence probe costs one tiny join over the label
+    * frame (one row per doc) per round — noise next to the propagation
+    * joins themselves.
+    *
     * Unlike [[nearDupPairs]] there is NO exact-Jaccard verification (that
     * would reintroduce the pairs), so a single colliding bucket fuses two
     * groups. The default therefore uses FEWER, LONGER bands than the
@@ -152,7 +162,7 @@ object MinHash {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      iters: Int = 3
+      maxIters: Int = 25
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
@@ -165,8 +175,10 @@ object MinHash {
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id"), col("id").as("label")).distinct()
-    var prev: Option[DataFrame] = None
-    for (_ <- 0 until iters) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
       val bucketMin = edges.join(labels, Seq("id"))
         .groupBy("band", "bh").agg(min(col("label")).as("bmin"))
       val next = edges.join(bucketMin, Seq("band", "bh"))
@@ -177,12 +189,17 @@ object MinHash {
         // executors at real iteration counts
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(next)
+      // fixpoint probe: labels only ever decrease, so "no label changed"
+      // == converged; both frames are one row per doc and cached
+      converged = next.join(labels.withColumnRenamed("label", "prev_label"), Seq("id"))
+        .filter(col("label") =!= col("prev_label"))
+        .limit(1).count() == 0L
+      labels.unpersist(blocking = false)
       labels = next
+      it += 1
     }
-    val out = labels.select(col("id"), col("label").as("group_rep"))
-    out
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("label").as("group_rep"))
   }
 
   /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no

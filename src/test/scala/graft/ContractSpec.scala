@@ -36,7 +36,7 @@ class ContractSpec extends SparkSpec {
     // rows-only queries are the documented exceptions, not accidents
     val rowsOnly = q.diff(o)
     val expectedRowsOnly = Set("q_ann_ivf", "q_ann_lsh", "q_approx_quantile",
-      "q_hll_distinct", "q_ewma", "q_dedup_groups")
+      "q_hll_distinct", "q_ewma")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries (add an oracle or update this list): " +
         s"${rowsOnly.diff(expectedRowsOnly)}")
