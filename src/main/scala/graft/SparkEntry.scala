@@ -1251,7 +1251,79 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5D)").as("p50"),
           expr("percentile(l_quantity, 0.9D)").as("p90"),
           expr("floor(percentile(l_extendedprice, 0.5D) * 1e4) / 1e4").as("price_med"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Training-sequence packing: concatenate each language's doc stream in
+    // doc_id order and split at a 2048-token context budget — pack id and
+    // in-pack offset fall out of a running cumulative sum (one window
+    // shuffle per key, integer-exact)
+    "q_seq_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          // `div`, not `/`: long/long `/` is DOUBLE division in Spark SQL
+          expr("(cum - n_tokens) div 2048").as("pack_id"),
+          ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Document chunking with stride/overlap (sliding context windows):
+    // starts every 256 tokens, 512-token chunks, short tail chunks dropped
+    // unless they are the document's only chunk
+    "q_chunk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(expr("sequence(0L, greatest(n_tokens - 1L, 0L), 256L)"))
+            .as(Seq("chunk_idx", "start")))
+        .withColumn("chunk_len", least(lit(512L), col("n_tokens") - col("start")))
+        .filter(col("chunk_len") >= 64 || col("chunk_idx") === 0)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start"), col("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // PII-shaped redaction: digit runs → <NUM>, email-shaped tokens →
+    // <EMAIL>, with redaction counts and a polynomial fingerprint of the
+    // redacted text proving byte-identical replacement semantics
+    "q_pii_redact" -> ((s, dir) => {
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit("<EMAIL>")),
+        lit("[0-9]+"), lit("<NUM>"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num_runs"),
+          regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"))
+            .cast("long").as("n_emails"),
+          length(redacted).cast("long").as("redacted_len"),
+          TF.fingerprint(redacted).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Eval-set contamination: which training docs share word-3-gram
+    // shingles with the held-out slice (doc_id % 100 == 0)? The eval
+    // shingle set is distinct-exploded and broadcastable; overlap counts
+    // are exact integers
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
+      val evalSh = d.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      val train = d.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("g"))
+      train.join(broadcast(evalSh), Seq("g"), "left_semi")
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          (col("n_shared") * 10 >= col("n_shingles")).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -2333,7 +2405,81 @@ object SparkEntry {
              quantile_cont(l_quantity, 0.5) AS p50,
              quantile_cont(l_quantity, 0.9) AS p90,
              floor(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS price_med
-           FROM lineitem GROUP BY 1 ORDER BY 1"""
+           FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+      "q_seq_pack" ->
+        """WITH b AS (
+             SELECT lang, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+             FROM documents),
+           c AS (
+             SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM b)
+           SELECT lang, doc_id, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+             CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+           FROM c ORDER BY lang, doc_id""",
+
+      "q_chunk" ->
+        """WITH b AS (
+             SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+             FROM documents),
+           e AS (
+             SELECT doc_id, n_tokens,
+               unnest(range(0, greatest(n_tokens - 1, 0) + 1, 256)) AS start
+             FROM b)
+           SELECT doc_id, CAST(start // 256 AS BIGINT) AS chunk_idx, start,
+             least(512, n_tokens - start) AS chunk_len
+           FROM e
+           WHERE least(512, n_tokens - start) >= 64 OR start = 0
+           ORDER BY doc_id, chunk_idx""",
+
+      "q_pii_redact" ->
+        """WITH r AS (
+             SELECT doc_id, text,
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                   '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g') AS red
+             FROM documents)
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+               AS BIGINT) AS n_emails,
+             CAST(length(red) AS BIGINT) AS redacted_len,
+             list_reduce(
+               list_prepend(CAST(1 AS BIGINT),
+                 list_transform(regexp_extract_all(red, '(?s).'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS redacted_fp
+           FROM r ORDER BY doc_id""",
+
+      "q_contamination" ->
+        """WITH shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                   FROM documents)),
+           ev AS (
+             SELECT DISTINCT g
+             FROM (SELECT unnest(sh) AS g FROM shs WHERE doc_id % 100 = 0)),
+           tr AS (
+             SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+               unnest(sh) AS g
+             FROM shs WHERE doc_id % 100 <> 0)
+           SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(count(*) * 10 >= n_shingles AS INTEGER) AS contaminated
+           FROM tr JOIN ev USING (g)
+           GROUP BY doc_id, n_shingles ORDER BY doc_id"""
     )
   }
 }
