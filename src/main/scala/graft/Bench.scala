@@ -51,9 +51,10 @@ object Bench {
       "q1_pricing", "q_ticks_range", "q_ohlc_1m", "q_ohlc_resample_15m",
       "q_asof_join", "q_coverage", "q_cursor_page", "q_gap_months",
       "q_sql_q3", "q_join_agg", "q_top_revenue", "q_dedup", "q_dedup_exact",
-      "q_minhash_lsh", "q_simhash", "q_ngram_jaccard", "q_cosine_topk",
-      "q_ann_ivf", "q_lang_id", "q_text_stats", "q_token_freq",
-      "q_doc_fingerprint", "q_ewma", "q_group_topk", "q_sessionize")
+      "q_minhash_lsh", "q_dedup_groups", "q_simhash", "q_ngram_jaccard",
+      "q_cosine_topk", "q_ann_ivf", "q_lang_id", "q_text_stats", "q_tfidf",
+      "q_quality_filter", "q_token_freq", "q_doc_fingerprint", "q_ewma",
+      "q_seq_pack", "q_group_topk", "q_sessionize")
     val resultMap = results.toMap
     val headlineRs = headline.flatMap(k => resultMap.get(k).map(k -> _))
     val shown = if (headlineRs.nonEmpty) headlineRs else results
