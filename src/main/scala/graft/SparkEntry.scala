@@ -1323,6 +1323,45 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_shared"),
           (col("n_shared") * 10 >= col("n_shingles")).cast("int").as("contaminated"))
         .orderBy("doc_id")
+    }),
+
+    // Dataset profiling: one stats row per column (nulls / distincts /
+    // min / max) — numeric extremes integer-scaled so their string repr is
+    // engine-independent
+    "q_profile" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def prof(name: String, c: Column, minRepr: Column, maxRepr: Column) =
+        e.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          minRepr.cast("string").as("min_repr"),
+          maxRepr.cast("string").as("max_repr"))
+          .select(lit(name).as("col_name"), col("*"))
+      prof("event_id", col("event_id"), min(col("event_id")), max(col("event_id")))
+        .unionByName(prof("user_id", col("user_id"),
+          min(col("user_id")), max(col("user_id"))))
+        .unionByName(prof("event_type", col("event_type"),
+          min(col("event_type")), max(col("event_type"))))
+        .unionByName(prof("value", col("value"),
+          floor(min(col("value")) * 1e6).cast("long"),
+          floor(max(col("value")) * 1e6).cast("long")))
+        .orderBy("col_name")
+    }),
+
+    // Feature scaling: per-event_type min-max normalization to [0,1] —
+    // tiny stats side broadcast back onto the stream, no window over the
+    // full table
+    "q_minmax_scale" -> ((s, dir) => {
+      val e = ev(s, dir).select("event_id", "event_type", "value")
+      val stats = e.groupBy("event_type")
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("vmax") =!= col("vmin"),
+            floor((col("value") - col("vmin")) * lit(1e6) / (col("vmax") - col("vmin"))) / 1e6)
+            .otherwise(0.0).as("scaled"))
+        .orderBy("event_id")
     })
   )
 
@@ -2479,7 +2518,48 @@ object SparkEntry {
            SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_shared,
              CAST(count(*) * 10 >= n_shingles AS INTEGER) AS contaminated
            FROM tr JOIN ev USING (g)
-           GROUP BY doc_id, n_shingles ORDER BY doc_id"""
+           GROUP BY doc_id, n_shingles ORDER BY doc_id""",
+
+      "q_profile" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, value FROM events)
+           SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(min(event_id) AS VARCHAR) AS min_repr,
+             CAST(max(event_id) AS VARCHAR) AS max_repr
+           FROM e
+           UNION ALL
+           SELECT 'user_id', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+           FROM e
+           UNION ALL
+           SELECT 'event_type', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+           FROM e
+           UNION ALL
+           SELECT 'value', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT value) AS BIGINT),
+             CAST(CAST(floor(min(value) * 1e6) AS BIGINT) AS VARCHAR),
+             CAST(CAST(floor(max(value) * 1e6) AS BIGINT) AS VARCHAR)
+           FROM e
+           ORDER BY col_name""",
+
+      "q_minmax_scale" ->
+        """WITH s AS (
+             SELECT event_type, min(value) AS vmin, max(value) AS vmax
+             FROM events GROUP BY 1)
+           SELECT event_id, e.event_type,
+             CASE WHEN vmax <> vmin
+               THEN floor((value - vmin) * 1e6 / (vmax - vmin)) / 1e6
+               ELSE 0.0 END AS scaled
+           FROM events e JOIN s USING (event_type)
+           ORDER BY event_id"""
     )
   }
 }

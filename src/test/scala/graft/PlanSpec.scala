@@ -85,6 +85,43 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == manual.count())
   }
 
+  test("q_tfidf top-k uses WindowGroupLimit pushdown and broadcasts the small sides") {
+    val df = SparkEntry.queries("q_tfidf")(spark, dir)
+    val plan = finalPlan(df)
+    // rank<=5 must prune per-group rows BEFORE the window shuffle (the
+    // partial WindowGroupLimit), or every (doc, token) row shuffles at scale
+    val wgl = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wgl.nonEmpty, plan.toString)
+    // corpus-size (1 row) and df-per-token sides must not shuffle the tf side
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.nonEmpty, plan.toString)
+  }
+
+  test("q_contamination eval-shingle side broadcasts (semi join, no tf-side shuffle)") {
+    val df = SparkEntry.queries("q_contamination")(spark, dir)
+    val bhj = finalPlan(df).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.joinType.toString.contains("LeftSemi")), finalPlan(df).toString)
+  }
+
+  test("q_centroid partial-aggregates below its one exchange") {
+    val df = SparkEntry.queries("q_centroid")(spark, dir)
+    val plan = finalPlan(df)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one shuffle for the (label, pos) aggregation + the output sort only
+    assert(exchanges.size <= 2, s"${exchanges.size} exchanges: $plan")
+    // map-side combine: a HashAggregate must sit BELOW the first exchange
+    val hasPartialAgg = exchanges.headOption.exists(_.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty)
+    assert(hasPartialAgg, plan.toString)
+  }
+
   test("whole-stage codegen covers the custom-expression hot path") {
     import graft.functions.exprs
     val df = graft.catalog.Tables.documents(spark, dir)
