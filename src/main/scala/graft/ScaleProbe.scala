@@ -102,8 +102,37 @@ object ScaleProbe {
         "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)"))
         .as("n")).agg(sum("n")).count()
 
+    def groups(df: DataFrame) = graft.text.MinHash
+      .nearDupGroups(df, "doc_id", "text").count()
+    def tfidf(df: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = df.select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = df.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("token"))
+      tf.join(dfreq, "token").crossJoin(broadcast(nd))
+        .withColumn("score_e6",
+          (col("tf") * floor(log2(col("n_docs").cast("double") / col("df")) * 1e6))
+            .cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5).count()
+    }
+    def contam(df: DataFrame) = {
+      val d = df.select(col("doc_id"),
+        graft.text.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      val evalSh = d.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      d.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+        .join(broadcast(evalSh), Seq("g"), "left_semi")
+        .groupBy("doc_id", "n").agg(count(lit(1))).count()
+    }
+
     val textOps: Seq[(String, DataFrame => Any)] = Seq(
-      "minhash_lsh" -> minhash, "simhash" -> simhash, "bpe_tokens" -> bpe)
+      "minhash_lsh" -> minhash, "simhash" -> simhash, "bpe_tokens" -> bpe,
+      "dedup_groups" -> groups, "tfidf" -> tfidf, "contamination" -> contam)
 
     def time(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
