@@ -2520,6 +2520,47 @@ object SparkEntry {
            FROM tr JOIN ev USING (g)
            GROUP BY doc_id, n_shingles ORDER BY doc_id""",
 
+      // Full LSH ANN path, exactly mirrored: hyperplane coefficients are a
+      // pure integer-hash formula (see functions.HyperplaneBuckets), dots
+      // and cosines are sequential folds, rank ties break on neighbor id.
+      // nbits=8, tables=8 matches the q_ann_lsh call.
+      "q_ann_lsh" ->
+        """WITH buck AS (
+             SELECT vec_id, t.tbl AS tbl,
+               CAST(list_sum(list_transform(range(0, 8), b ->
+                 CASE WHEN list_reduce(list_prepend(0.0,
+                        list_transform(range(1, len(embedding)+1), j ->
+                          CAST(embedding[j] AS DOUBLE) *
+                          (CAST(((1000003*(t.tbl*8+b) + 7919*(j-1) + 12345)
+                                 * 2654435761) % 1000000007 AS DOUBLE)
+                           * 2.0 / 1000000007.0 - 1.0))),
+                      (x, y) -> x + y) >= 0
+                 THEN 1 << (7 - b) ELSE 0 END)) AS BIGINT) AS bucket
+             FROM embeddings, (SELECT unnest(range(0, 8)) AS tbl) t),
+           cand AS (
+             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+             WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.embedding)+1),
+                 i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.embedding)+1),
+                    i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ce.embedding)+1),
+                    i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))), (x,y) -> x + y)))
+               AS sim
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = query_id
+             JOIN embeddings ce ON ce.vec_id = neighbor_id),
+           rk AS (
+             SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+             FROM scored)
+           SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+           FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
       "q_profile" ->
         """WITH e AS (SELECT event_id, user_id, event_type, value FROM events)
            SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -88,9 +88,16 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** All multi-table random-hyperplane bucket ids of a vector in one pass:
-  * array of `tables` longs, bit b of table t = sign(dot(vec, plane)) with
-  * the plane matrix generated deterministically per (nbits, tables, dim)
-  * and cached on the expression instance.
+  * array of `tables` longs, bit b of table t = sign(dot(vec, plane)).
+  *
+  * Plane coefficient for plane p, dimension j is a pure integer-hash
+  * formula mapped to [-1, 1):
+  * {{{ h = ((1000003·p + 7919·j + 12345) · 2654435761) mod 1000000007
+  *     coef = h · 2 / 1000000007 − 1 }}}
+  * — exact in 64-bit integers and plain IEEE arithmetic, so a SQL oracle
+  * can regenerate the identical matrix (no JVM PRNG stream involved);
+  * that is what lets the driver gate hash-check the full LSH ANN path.
+  * The matrix is cached per dim on the expression instance.
   */
 case class HyperplaneBuckets(child: Expression, nbits: Int, tables: Int)
     extends UnaryExpression with CodegenFallback {
@@ -105,8 +112,10 @@ case class HyperplaneBuckets(child: Expression, nbits: Int, tables: Int)
   private def planesFor(dim: Int): Array[Array[Double]] =
     planeCache.getOrElseUpdate(dim,
       Array.tabulate(tables * nbits) { p =>
-        val rnd = new scala.util.Random(1000003L * p + 42)
-        Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+        Array.tabulate(dim) { j =>
+          val h = ((1000003L * p + 7919L * j + 12345L) * 2654435761L) % 1000000007L
+          h.toDouble * 2.0 / 1000000007.0 - 1.0
+        }
       })
 
   override def nullSafeEval(v: Any): Any = {
