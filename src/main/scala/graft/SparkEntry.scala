@@ -2561,6 +2561,60 @@ object SparkEntry {
            SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
            FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
 
+      // IVF ANN path, exactly mirrored: centroids are the deterministic
+      // first-nlist stub (nlist=16), assignment/probing by the same
+      // sequential cosine folds, nprobe=4, k=5 — matching the q_ann_ivf
+      // call. Each neighbor lives in exactly one cell, so no pair dedup.
+      "q_ann_ivf" ->
+        """WITH cents AS (
+             SELECT vec_id AS cell, embedding AS cent
+             FROM embeddings ORDER BY vec_id LIMIT 16),
+           cassign AS (
+             SELECT neighbor_id, emb, cell FROM (
+               SELECT e.vec_id AS neighbor_id, e.embedding AS emb, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+                    * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.cent)+1),
+                        i -> CAST(c.cent[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)))
+                   DESC, c.cell) AS rk
+               FROM embeddings e CROSS JOIN cents c)
+             WHERE rk <= 1),
+           qprobe AS (
+             SELECT query_id, qemb, cell FROM (
+               SELECT q.vec_id AS query_id, q.embedding AS qemb, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+                    * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.cent)+1),
+                        i -> CAST(c.cent[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)))
+                   DESC, c.cell) AS rk
+               FROM embeddings q CROSS JOIN cents c
+               WHERE q.vec_id < 20)
+             WHERE rk <= 4),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qemb)+1),
+                 i -> CAST(qemb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qemb)+1),
+                    i -> CAST(qemb[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+                    i -> CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE))), (x,y) -> x + y)))
+               AS sim
+             FROM cassign JOIN qprobe USING (cell)
+             WHERE neighbor_id <> query_id),
+           rk AS (
+             SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+             FROM scored)
+           SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+           FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
       "q_profile" ->
         """WITH e AS (SELECT event_id, user_id, event_type, value FROM events)
            SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -35,8 +35,7 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
     // rows-only queries are the documented exceptions, not accidents
     val rowsOnly = q.diff(o)
-    val expectedRowsOnly = Set("q_ann_ivf", "q_approx_quantile",
-      "q_hll_distinct", "q_ewma")
+    val expectedRowsOnly = Set("q_approx_quantile", "q_hll_distinct", "q_ewma")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries (add an oracle or update this list): " +
         s"${rowsOnly.diff(expectedRowsOnly)}")
