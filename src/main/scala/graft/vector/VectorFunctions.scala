@@ -124,6 +124,103 @@ object VectorFunctions {
     * the broadcast query buckets, and only collisions are scored. For huge
     * query sets, swap the broadcast for a shuffle join on (table, bucket).
     */
+  /** Lloyd's k-means over embedding columns — the real IVF trainer behind
+    * [[ivfTopK]]'s deterministic stub. Each iteration is two shuffle-sound
+    * steps expressed in the same shapes the oracled queries use:
+    *
+    *  1. ASSIGN: broadcast the k centroids, per-vector argmax cosine via a
+    *     window rank over (sim desc, cell) — corpus never shuffles.
+    *  2. UPDATE: posexplode members to (cell, pos) cells and mean them —
+    *     partially-aggregatable (map-side combine), no per-vector state,
+    *     the exact q_centroid shape.
+    *
+    * Deterministic: seeds are the first `k` corpus vectors in xxhash64(id)
+    * order — id order would take whatever cluster happens to come first;
+    * hash order is a reproducible stand-in for uniform random seeding
+    * (k-means|| would sharpen coverage without changing the iteration
+    * structure). Ties in assignment break on cell id, iteration count is
+    * fixed. Cells that lose every member keep their previous centroid.
+    * Returns (cell, centroid: array<float>).
+    *
+    * Scale: per iteration one broadcast (k·dim doubles) + one shuffle of
+    * corpus_rows·dim cells — at 10⁹ vectors × 64 dims that is the same
+    * cost class as one groupBy; k-means|| seeding could replace first-k
+    * seeds without touching the iteration structure.
+    */
+  def kmeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var cents = vecs.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+      .select(col("__id").as("cell"), col("__v").as("__cent"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("__id").orderBy(col("__csim").desc, col("cell"))
+      val assigned = vecs
+        .crossJoin(broadcast(cents))
+        .withColumn("__csim", cosine(col("__v"), col("__cent")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") === 1)
+        .select(col("cell"), col("__v"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("__new"))
+      // empty cells keep their previous centroid
+      cents = cents.join(updated, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("__new"), col("__cent")).as("__cent"))
+      cents = cents.sparkSession.createDataFrame(
+        cents.collectAsList(), cents.schema) // k rows: pin to driver, cut lineage
+    }
+    cents.select(col("cell"), col("__cent").as("centroid"))
+  }
+
+  /** [[ivfTopK]] with k-means-trained centroids instead of the first-nlist
+    * stub: same partition/probe plumbing, better-balanced cells.
+    */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      trainIters: Int = 5
+  ): DataFrame = {
+    val cents = broadcast(
+      kmeans(corpus, idCol, vecCol, nlist, trainIters)
+        .select(col("cell"), col("centroid").as("__cent")))
+
+    def assign(df: DataFrame, id: String, outId: String, vec: String, keep: Int) = {
+      val w = Window.partitionBy(outId).orderBy(col("__csim").desc, col("cell"))
+      df.select(col(id).as(outId), col(vec).as(s"__v_$outId"))
+        .crossJoin(cents)
+        .withColumn("__csim", cosine(col(s"__v_$outId"), col("__cent")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .select(col(outId), col(s"__v_$outId"), col("cell"))
+    }
+
+    val cAssigned = assign(corpus, idCol, "neighbor_id", vecCol, keep = 1)
+    val qProbes = assign(queries, idCol, "query_id", vecCol, keep = nprobe)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cAssigned
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__v_query_id"), col("__v_neighbor_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -98,6 +98,47 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low on clustered data")
   }
 
+  test("k-means trainer: objective improves, deterministic, recall holds") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val vecs = for { c <- 0 until 10; m <- 0 until 8 } yield {
+      val cRnd = new scala.util.Random(1000 + c)
+      val base = Array.fill(dim)(cRnd.nextGaussian().toFloat)
+      val noise = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 8 + m).toLong, base.zip(noise).map { case (a, b) => a + b })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      df.crossJoin(cents.select(col("cell"), col("centroid")))
+        .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("centroid")))
+        .groupBy("vec_id").agg(max("sim").as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+
+    val seeds = VectorFunctions.kmeans(df, "vec_id", "embedding", k = 10, iters = 0)
+    val trained = VectorFunctions.kmeans(df, "vec_id", "embedding", k = 10, iters = 5)
+    val rows = trained.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getSeq[Float](1).length == dim))
+    // Lloyd iterations must tighten the mean best-centroid cosine (seeds
+    // are raw corpus vectors; trained centroids are denoised cluster means)
+    val (o0, o5) = (objective(seeds), objective(trained))
+    assert(o5 > o0, s"objective did not improve: seeds=$o0 trained=$o5")
+    // deterministic: a second run reproduces the exact centroids
+    val again = VectorFunctions.kmeans(df, "vec_id", "embedding", k = 10, iters = 5)
+      .collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // trained IVF keeps the stub's recall contract on the same config
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val exact = VectorFunctions.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorFunctions.ivfTopKTrained(df, queries, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, trainIters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained-IVF recall $recall too low on clustered data")
+  }
+
   test("SQL facade: custom functions registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
