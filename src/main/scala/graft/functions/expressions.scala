@@ -100,46 +100,18 @@ case class CosineSim(left: Expression, right: Expression)
   * The matrix is cached per dim on the expression instance.
   */
 case class HyperplaneBuckets(child: Expression, nbits: Int, tables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> input")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val planeCache =
-    scala.collection.mutable.HashMap.empty[Int, Array[Array[Double]]]
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperplaneBuckets(v.asInstanceOf[ArrayData], nbits, tables)
 
-  private def planesFor(dim: Int): Array[Array[Double]] =
-    planeCache.getOrElseUpdate(dim,
-      Array.tabulate(tables * nbits) { p =>
-        Array.tabulate(dim) { j =>
-          val h = ((1000003L * p + 7919L * j + 12345L) * 2654435761L) % 1000000007L
-          h.toDouble * 2.0 / 1000000007.0 - 1.0
-        }
-      })
-
-  override def nullSafeEval(v: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
-    val dim = vec.numElements()
-    val planes = planesFor(dim)
-    val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var bucket = 0L
-      var b = 0
-      while (b < nbits) {
-        val plane = planes(t * nbits + b)
-        var acc = 0.0
-        var j = 0
-        while (j < dim) { acc += vec.getFloat(j).toDouble * plane(j); j += 1 }
-        bucket = (bucket << 1) | (if (acc >= 0) 1L else 0L)
-        b += 1
-      }
-      out(t) = bucket
-      t += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorKernels.hyperplaneBuckets($v, $nbits, $tables)")
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
     copy(child = c)

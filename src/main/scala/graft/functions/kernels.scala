@@ -106,4 +106,48 @@ object VectorKernels {
     */
   def cosine(a: ArrayData, b: ArrayData): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  /** Hyperplane matrices for [[graft.functions.HyperplaneBuckets]], keyed by
+    * (nbits, tables, dim). Coefficients are the pure integer-hash formula
+    * documented on the expression (SQL-regenerable); held here as a static
+    * cache so whole-stage-generated code can call [[hyperplaneBuckets]]
+    * without carrying per-expression state.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
+
+  def planes(nbits: Int, tables: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nbits, tables, dim), _ =>
+      Array.tabulate(tables * nbits) { p =>
+        Array.tabulate(dim) { j =>
+          val h = ((1000003L * p + 7919L * j + 12345L) * 2654435761L) % 1000000007L
+          h.toDouble * 2.0 / 1000000007.0 - 1.0
+        }
+      })
+
+  /** All `tables` bucket ids of one vector: bit b of table t =
+    * sign(dot(vec, plane(t·nbits+b))), MSB-first. One tight JVM loop —
+    * called from both interpreted eval and generated code.
+    */
+  def hyperplaneBuckets(v: ArrayData, nbits: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val ps = planes(nbits, tables, dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nbits) {
+        val plane = ps(t * nbits + b)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += v.getFloat(j).toDouble * plane(j); j += 1 }
+        bucket = (bucket << 1) | (if (acc >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -134,4 +134,15 @@ class PlanSpec extends SparkSpec {
     // the projection computing simhash_poly must sit INSIDE a codegen stage
     assert(stages.exists(_.toString.contains("simhash_poly")), plan.toString)
   }
+
+  test("whole-stage codegen covers the LSH bucket-hashing hot path") {
+    val df = graft.catalog.Tables.embeddings(spark, dir)
+      .select(graft.functions.exprs.hyperplaneBuckets(col("embedding"), 8, 8).as("b"))
+      .select(explode(col("b")).as("x")).agg(max("x"))
+    val plan = finalPlan(df)
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("hyperplane_buckets")), plan.toString)
+  }
 }
