@@ -136,15 +136,25 @@ object MinHash {
     * through shared LSH buckets. Docs with no shingles are absent (same
     * convention as [[nearDupPairs]]); singleton groups are their own rep.
     *
-    * Iteration runs to FIXPOINT (capped at `maxIters`): when a round
-    * changes no label, the labels are exactly the per-component minimum —
-    * i.e. the output is the true connected components of the doc↔bucket
-    * graph, independent of component diameter. That determinism is what
-    * lets the driver gate hash-check this operator against a DuckDB
-    * recursive-CTE transitive closure over the same polynomial band
-    * hashes. The convergence probe costs one tiny join over the label
-    * frame (one row per doc) per round — noise next to the propagation
-    * joins themselves.
+    * Iteration runs to FIXPOINT (capped at `maxIters`, throwing if the cap
+    * is hit — a silent early exit would NOT be the connected components the
+    * oracle assumes): when a round changes no label, the labels are exactly
+    * the per-component minimum — i.e. the output is the true connected
+    * components of the doc↔bucket graph, independent of component diameter.
+    * That determinism is what lets the driver gate hash-check this operator
+    * against a DuckDB recursive-CTE transitive closure over the same
+    * polynomial band hashes.
+    *
+    * Driver-side cost is ONE Spark job per round: the `changed` flag is
+    * computed inside the propagation plan itself (new label vs previous
+    * label), the round's frame is lazily `localCheckpoint`ed, and a single
+    * `max(changed)` action both materializes the checkpoint (truncating
+    * lineage, so the optimizer never sees a plan that grows with the round
+    * count) and returns convergence. Each round also applies a
+    * pointer-jumping shortcut (label ← min(label, previous label OF the
+    * label), the hash-to-min / big-star step of Kiveris et al.'s
+    * connected-components family), which collapses label chains
+    * geometrically — rounds scale with log(diameter), not diameter.
     *
     * Unlike [[nearDupPairs]] there is NO exact-Jaccard verification (that
     * would reintroduce the pairs), so a single colliding bucket fuses two
@@ -175,30 +185,43 @@ object MinHash {
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id"), col("id").as("label")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // half-step 1 (small-star): each bucket takes the min label of its
+      // members; half-step 2: each doc takes the min over its buckets
       val bucketMin = edges.join(labels, Seq("id"))
         .groupBy("band", "bh").agg(min(col("label")).as("bmin"))
-      val next = edges.join(bucketMin, Seq("band", "bh"))
-        .groupBy("id").agg(min(col("bmin")).as("label"))
-        // materialize each round and cut lineage: without this the plan
-        // doubles in depth per iteration (each round embeds the previous
-        // round's joins), which stalls the optimizer long before the
-        // executors at real iteration counts
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      // fixpoint probe: labels only ever decrease, so "no label changed"
-      // == converged; both frames are one row per doc and cached
-      converged = next.join(labels.withColumnRenamed("label", "prev_label"), Seq("id"))
-        .filter(col("label") =!= col("prev_label"))
-        .limit(1).count() == 0L
-      labels.unpersist(blocking = false)
-      labels = next
+      val prop = edges.join(bucketMin, Seq("band", "bh"))
+        .groupBy("id").agg(min(col("bmin")).as("plabel"))
+      // pointer-jumping shortcut (big-star): follow the new label through
+      // the PREVIOUS round's mapping — labels are always doc ids inside the
+      // same component, so min(plabel, labels[plabel]) stays in-component
+      // and collapses chains geometrically. The label frame is checkpointed
+      // (one narrow row per doc), so reading it twice is free.
+      val next = prop
+        .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
+          col("plabel") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("plabel"), coalesce(col("__jl"), col("plabel"))).as("label"))
+        .join(labels.select(col("id"), col("label").as("__prev")), Seq("id"))
+        .select(col("id"), col("label"), (col("label") < col("__prev")).as("__changed"))
+        // lazy checkpoint: the max(__changed) action below is the round's
+        // ONLY job — it computes the propagation, persists the blocks, cuts
+        // the lineage (no per-round plan growth), and returns convergence
+        .localCheckpoint(eager = false)
+      val anyChanged = next.agg(max(col("__changed"))).head()
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      labels = next.select("id", "label")
       it += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupGroups: label propagation did not reach fixpoint in $maxIters " +
+          "rounds — output would not be the connected components the oracle " +
+          "checks; raise maxIters")
     labels.select(col("id"), col("label").as("group_rep"))
   }
 
