@@ -486,8 +486,9 @@ object SparkEntry {
           VectorFunctions.norm2(col("embedding")).as("norm"))
         .orderBy("vec_id")),
 
-    // similarity search: LSH-bucketed ANN (approximate -> rows-only check;
-    // recall vs brute force is asserted in ScalaTest)
+    // similarity search: LSH-bucketed ANN — hash-oracled (the DuckDB mirror
+    // replays the same hyperplane bucket construction); recall vs brute
+    // force is additionally asserted in ScalaTest
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions
@@ -496,13 +497,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // similarity search: IVF-partitioned ANN (approximate -> rows-only;
-    // recall vs brute force asserted in ScalaTest)
+    // similarity search: IVF-partitioned ANN — hash-oracled (DuckDB mirrors
+    // the deterministic first-nlist centroid stub and the same cosine
+    // folds); recall vs brute force additionally asserted in ScalaTest
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions
         .ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // similarity search: IVF with REAL k-means-trained centroids — the
+    // whole Lloyd loop (portable-hash seeding, cosine argmax assignment,
+    // decimal-exact centroid means) is mirrored in the DuckDB oracle, so
+    // this is hash-checked end to end, training included
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .ivfTopKTrained(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 2, trainIters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -2605,6 +2619,109 @@ object SparkEntry {
                 * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
                     i -> CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE))), (x,y) -> x + y)))
                AS sim
+             FROM cassign JOIN qprobe USING (cell)
+             WHERE neighbor_id <> query_id),
+           rk AS (
+             SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+             FROM scored)
+           SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+           FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // Trained-IVF ANN, the ENTIRE k-means loop mirrored: seeds = first 8
+      // vectors by the portable multiplicative hash, two unrolled Lloyd
+      // iterations (cosine argmax assignment with ties on cell, per-
+      // component decimal-exact means, empty cells keep their centroid),
+      // then the same assign/probe/score plumbing as q_ann_ivf with
+      // nprobe=2, k=5. Norms are factored into `ev`/`cnrm` once — same
+      // IEEE ops as the inline sqrt folds, just not repeated.
+      "q_ann_ivf_trained" ->
+        """WITH ev AS (
+             SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x,y) -> x + y)) AS nrm
+             FROM embeddings),
+           seeds AS (
+             SELECT vec_id AS cell, embedding AS cent, nrm AS cnrm FROM ev
+             ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id
+             LIMIT 8),
+           a1 AS (
+             SELECT cell, emb FROM (
+               SELECT e.embedding AS emb, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (e.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev e CROSS JOIN seeds c)
+             WHERE rk = 1),
+           m1 AS (
+             SELECT cell, pos,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) AS m
+             FROM (SELECT cell, generate_subscripts(emb, 1) AS pos,
+                          unnest(emb) AS v FROM a1)
+             GROUP BY cell, pos),
+           c1 AS (
+             SELECT cell, cent,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cent)+1),
+                 i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))), (x,y) -> x + y)) AS cnrm
+             FROM (
+               SELECT s.cell, coalesce(u.newc, s.cent) AS cent
+               FROM seeds s LEFT JOIN (
+                 SELECT cell,
+                   list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS newc
+                 FROM m1 GROUP BY cell) u USING (cell))),
+           a2 AS (
+             SELECT cell, emb FROM (
+               SELECT e.embedding AS emb, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (e.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev e CROSS JOIN c1 c)
+             WHERE rk = 1),
+           m2 AS (
+             SELECT cell, pos,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) AS m
+             FROM (SELECT cell, generate_subscripts(emb, 1) AS pos,
+                          unnest(emb) AS v FROM a2)
+             GROUP BY cell, pos),
+           c2 AS (
+             SELECT cell, cent,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cent)+1),
+                 i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))), (x,y) -> x + y)) AS cnrm
+             FROM (
+               SELECT s.cell, coalesce(u.newc, s.cent) AS cent
+               FROM c1 s LEFT JOIN (
+                 SELECT cell,
+                   list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS newc
+                 FROM m2 GROUP BY cell) u USING (cell))),
+           cassign AS (
+             SELECT neighbor_id, emb, nrm, cell FROM (
+               SELECT e.vec_id AS neighbor_id, e.embedding AS emb, e.nrm, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (e.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev e CROSS JOIN c2 c)
+             WHERE rk = 1),
+           qprobe AS (
+             SELECT query_id, qemb, qnrm, cell FROM (
+               SELECT q.vec_id AS query_id, q.embedding AS qemb, q.nrm AS qnrm, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (q.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev q CROSS JOIN c2 c
+               WHERE q.vec_id < 20)
+             WHERE rk <= 2),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qemb)+1),
+                 i -> CAST(qemb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE))), (x,y) -> x + y)
+               / (qnrm * nrm) AS sim
              FROM cassign JOIN qprobe USING (cell)
              WHERE neighbor_id <> query_id),
            rk AS (

@@ -132,15 +132,22 @@ object VectorFunctions {
     *     window rank over (sim desc, cell) — corpus never shuffles.
     *  2. UPDATE: posexplode members to (cell, pos) cells and mean them —
     *     partially-aggregatable (map-side combine), no per-vector state,
-    *     the exact q_centroid shape.
+    *     the exact q_centroid shape. The mean is decimal-exact (each
+    *     component rounded to DECIMAL(38,6), summed exactly, divided as
+    *     double) so it is independent of partial-aggregation order — the
+    *     same `dsum` discipline every oracled double aggregate uses.
     *
-    * Deterministic: seeds are the first `k` corpus vectors in xxhash64(id)
-    * order — id order would take whatever cluster happens to come first;
-    * hash order is a reproducible stand-in for uniform random seeding
-    * (k-means|| would sharpen coverage without changing the iteration
-    * structure). Ties in assignment break on cell id, iteration count is
-    * fixed. Cells that lose every member keep their previous centroid.
-    * Returns (cell, centroid: array<float>).
+    * Deterministic AND engine-portable: seeds are the first `k` corpus
+    * vectors ordered by the multiplicative hash ((id % P) * 2654435761) % P
+    * (P = 1e9+7, exact in 64-bit integers in any engine) — id order would
+    * take whatever cluster happens to come first; hash order is a
+    * reproducible stand-in for uniform random seeding (k-means|| would
+    * sharpen coverage without changing the iteration structure). Ties in
+    * assignment break on cell id, iteration count is fixed. Cells that lose
+    * every member keep their previous centroid. Every step is expressible
+    * in ANSI SQL, which is what lets the driver gate hash-check the trained
+    * IVF path (q_ann_ivf_trained) against a DuckDB mirror of the whole
+    * training loop. Returns (cell, centroid: array<float>).
     *
     * Scale: per iteration one broadcast (k·dim doubles) + one shuffle of
     * corpus_rows·dim cells — at 10⁹ vectors × 64 dims that is the same
@@ -155,7 +162,9 @@ object VectorFunctions {
       iters: Int = 5
   ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    var cents = vecs.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+    val seedHash =
+      (col("__id").cast("long") % 1000000007L) * 2654435761L % 1000000007L
+    var cents = vecs.orderBy(seedHash, col("__id")).limit(k)
       .select(col("__id").as("cell"), col("__v").as("__cent"))
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("__id").orderBy(col("__csim").desc, col("cell"))
@@ -168,7 +177,12 @@ object VectorFunctions {
       val updated = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        // decimal-exact mean (order-independent): round components to
+        // DECIMAL(38,6), sum exactly, divide as double — not avg(), whose
+        // double partial sums depend on partition merge order
+        .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double")
+          / count(lit(1))).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
