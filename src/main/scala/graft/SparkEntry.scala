@@ -33,6 +33,38 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 6))).cast("double")
 
+  /** Spark-SQL snippet computing log2(`num`/`den`)·1e6 (floored at a 2^-20
+    * quantization) as a BIGINT, for integer columns `num` >= `den` >= 1.
+    *
+    * Built ONLY from operations that IEEE 754 defines exactly — integer
+    * arithmetic, correctly-rounded double multiply, division by powers of
+    * two, comparisons — so any IEEE engine computes the identical integer.
+    * Library `log2` has 1-ulp latitude that can flip `floor(log2(x)*1e6)`
+    * across engines on boundary values; this construction cannot.
+    *
+    * Shape: integer part e = bitlength(num div den) - 1 (valid for any
+    * rational >= 1, since floor(log2(r)) == floor(log2(floor(r)))); the
+    * mantissa m0 = (num/den)/2^e in [1,2) is exact (power-of-two scaling
+    * only moves the exponent); the fractional part is the classic 20-step
+    * fixed-point binary log (square the mantissa, emit a bit, renormalize).
+    * The DuckDB oracles mirror this construction as a 20-step recursive CTE
+    * over the distinct inputs (NOT list_reduce — DuckDB 1.0's list_reduce
+    * cross-contaminates struct accumulators between rows of a vector), so
+    * the compared integers agree bit-for-bit.
+    */
+  private def log2e6Sql(num: String, den: String): String = {
+    val e = s"(length(conv(($num) div ($den), 10, 2)) - 1)"
+    val m0 = s"((CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / " +
+      s"CAST(shiftleft(CAST(1 AS BIGINT), $e) AS DOUBLE))"
+    val k = s"""aggregate(sequence(1, 20),
+      named_struct('m', $m0, 'k', CAST(0 AS BIGINT)),
+      (acc, i) -> IF(acc.m * acc.m >= CAST(2 AS DOUBLE),
+        named_struct('m', acc.m * acc.m / CAST(2 AS DOUBLE), 'k', acc.k * 2 + 1),
+        named_struct('m', acc.m * acc.m, 'k', acc.k * 2)),
+      acc -> acc.k)"""
+    s"(((CAST($e AS BIGINT) * 1048576 + $k) * 1000000) div 1048576)"
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
 
@@ -1036,8 +1068,9 @@ object SparkEntry {
     // ---- round 3: training-pipeline + relational widening ----------------
 
     // TF-IDF term weighting: map-side-combinable tf, broadcastable df and
-    // corpus-size sides, top-5 terms per document. idf is pre-floored to an
-    // integer 1e6 scale so the tf multiplication stays exact cross-engine.
+    // corpus-size sides, top-5 terms per document. idf is the fixed-point
+    // integer log2 ([[log2e6Sql]]) so score = tf · idf_e6 is exact BIGINT
+    // arithmetic — no library-log 1-ulp latitude in the compared column.
     "q_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
@@ -1049,8 +1082,7 @@ object SparkEntry {
         .join(dfreq, "token")
         .crossJoin(broadcast(nDocs))
         .withColumn("score_e6",
-          (col("tf") * floor(log2(col("n_docs").cast("double") / col("df")) * 1e6))
-            .cast("long"))
+          (col("tf") * expr(log2e6Sql("n_docs", "df"))).cast("long"))
       val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("token"))
       scored
         .withColumn("rnk", row_number().over(w))
@@ -1105,8 +1137,12 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // Character-distribution entropy quality score:
-    // H = log2(n) − Σ c·log2(c) / n over [a-z] counts; each term is floored
-    // to 1e-6 before the DECIMAL sum so the unordered aggregation is exact
+    // H = log2(n) − Σ c·log2(c) / n over [a-z] counts. Every log2 is the
+    // fixed-point integer form ([[log2e6Sql]]), so the per-letter terms,
+    // their sum, and the final floor are ALL exact BIGINT arithmetic:
+    // entropy_e4 = (n·log2e6(n) − Σ c·log2e6(c)) div (100·n). The only
+    // doubles are the final /1e4 display scaling — nothing for a library
+    // log's last ulp to flip.
     "q_entropy" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1116,11 +1152,11 @@ object SparkEntry {
         .agg(
           sum(col("c")).as("n"),
           count(lit(1)).cast("int").as("n_letters"),
-          sum((floor(col("c") * log2(col("c")) * 1e6) / 1e6).cast(DecimalType(38, 6)))
-            .cast("double").as("slc"))
+          sum(col("c") * expr(log2e6Sql("c", "1"))).as("slc_e6"))
         .select(
           col("doc_id"), col("n"), col("n_letters"),
-          (floor((log2(col("n")) - col("slc") / col("n")) * 1e4) / 1e4).as("entropy"))
+          (expr(s"(n * ${log2e6Sql("n", "1")} - slc_e6) div (100 * n)") / 1e4)
+            .as("entropy"))
         .orderBy("doc_id")),
 
     // Weighted mean (VWAP shape): decimal-exact numerator and denominator,
@@ -2225,19 +2261,44 @@ object SparkEntry {
 
       // ---- round 3 ----
 
+      // idf is the same fixed-point binary log the Spark side computes
+      // (bitlength integer part + 20-step square-and-renormalize mantissa
+      // fold): only IEEE-exact ops, so the BIGINT scores agree bit-for-bit.
+      // The fold is a recursive CTE over the distinct df values, NOT
+      // list_reduce: DuckDB 1.0's list_reduce cross-contaminates struct
+      // accumulators between rows of a vector (batch-dependent results)
       "q_tfidf" ->
-        """WITH toks AS (
+        """WITH RECURSIVE toks AS (
              SELECT doc_id,
                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
              FROM documents),
            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-           dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           dfreq0 AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
            nd AS (SELECT count(*) AS n_docs FROM documents),
+           dv AS (SELECT df, n_docs
+                  FROM (SELECT DISTINCT df FROM dfreq0) CROSS JOIN nd),
+           it AS (
+             SELECT df, n_docs, 0 AS i,
+               (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                 / CAST((1::BIGINT << (length(bin(n_docs // df)) - 1)) AS DOUBLE)
+                 AS m,
+               0::BIGINT AS k
+             FROM dv
+             UNION ALL
+             SELECT df, n_docs, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM it WHERE i < 20),
+           idf AS (
+             SELECT df,
+               ((CAST(length(bin(n_docs // df)) - 1 AS BIGINT) * 1048576 + k)
+                 * 1000000) // 1048576 AS idf_e6
+             FROM it WHERE i = 20),
            scored AS (
-             SELECT doc_id, token,
-               CAST(tf * floor(log2(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
-                 AS score_e6
-             FROM tf JOIN dfreq USING (token) CROSS JOIN nd),
+             SELECT doc_id, token, CAST(tf * idf_e6 AS BIGINT) AS score_e6
+             FROM tf JOIN dfreq0 USING (token) JOIN idf USING (df)),
            rk AS (
              SELECT doc_id, token, score_e6,
                row_number() OVER (PARTITION BY doc_id
@@ -2289,23 +2350,63 @@ object SparkEntry {
              CAST(f_len + f_wordlen + f_symbol + f_digit = 4 AS INTEGER) AS keep
            FROM f ORDER BY doc_id""",
 
+      // both log2s are the Spark side's fixed-point binary log (bitlength +
+      // 20-step mantissa fold), so every compared quantity is exact BIGINT
+      // arithmetic until the final /1e4 display scaling. Recursive-CTE
+      // folds over the distinct c / n values (list_reduce with a struct
+      // accumulator is batch-unsafe in DuckDB 1.0 — see q_tfidf)
       "q_entropy" ->
-        """WITH cnt AS (
+        """WITH RECURSIVE cnt AS (
              SELECT doc_id, ch, count(*) AS c
              FROM (SELECT doc_id,
                      unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
                    FROM documents)
              GROUP BY 1, 2),
+           cit AS (
+             SELECT c, 0 AS i,
+               CAST(c AS DOUBLE)
+                 / CAST((1::BIGINT << (length(bin(c)) - 1)) AS DOUBLE) AS m,
+               0::BIGINT AS k
+             FROM (SELECT DISTINCT c FROM cnt)
+             UNION ALL
+             SELECT c, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM cit WHERE i < 20),
+           lc AS (
+             SELECT c,
+               ((CAST(length(bin(c)) - 1 AS BIGINT) * 1048576 + k) * 1000000)
+                 // 1048576 AS lc_e6
+             FROM cit WHERE i = 20),
            agg AS (
              SELECT doc_id,
                CAST(sum(c) AS BIGINT) AS n,
                CAST(count(*) AS INTEGER) AS n_letters,
-               CAST(sum(CAST(floor(c * log2(c) * 1e6) / 1e6 AS DECIMAL(38,6)))
-                 AS DOUBLE) AS slc
-             FROM cnt GROUP BY 1)
+               CAST(sum(c * lc_e6) AS BIGINT) AS slc_e6
+             FROM cnt JOIN lc USING (c) GROUP BY 1),
+           nit AS (
+             SELECT n, 0 AS i,
+               CAST(n AS DOUBLE)
+                 / CAST((1::BIGINT << (length(bin(n)) - 1)) AS DOUBLE) AS m,
+               0::BIGINT AS k
+             FROM (SELECT DISTINCT n FROM agg)
+             UNION ALL
+             SELECT n, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM nit WHERE i < 20),
+           ln AS (
+             SELECT n,
+               ((CAST(length(bin(n)) - 1 AS BIGINT) * 1048576 + k) * 1000000)
+                 // 1048576 AS ln_e6
+             FROM nit WHERE i = 20)
            SELECT doc_id, n, n_letters,
-             floor((log2(n) - slc / n) * 1e4) / 1e4 AS entropy
-           FROM agg ORDER BY doc_id""",
+             CAST((n * ln_e6 - slc_e6) // (100 * n) AS BIGINT) / 1e4 AS entropy
+           FROM agg JOIN ln USING (n) ORDER BY doc_id""",
 
       "q_weighted_avg" ->
         """WITH a AS (
