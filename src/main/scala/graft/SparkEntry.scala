@@ -99,6 +99,23 @@ object SparkEntry {
         .orderBy(col("ts"), col("event_id"))
         .limit(100)),
 
+    // O4: batch iterator (QueryEngine.batches) — drives keyset pagination
+    // to exhaustion and proves the pages tile the keyspace: the union of 8
+    // consecutive 500-row pages hash-equals the direct ordered scan's first
+    // 4000 rows. Page boundaries are ts-only cursors (reference parity,
+    // models.py CursorResult); events.ts is unique so the keyset is
+    // lossless. maxBatches bounds driver round-trips so the query's cost
+    // is flat across SF.
+    "q_batch_pages" -> ((s, dir) => {
+      val base = ev(s, dir)
+        .filter(col("ts") > lit("2024-01-10 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "value")
+      QueryEngine
+        .batches(base, "ts", Seq("event_id"), pageSize = 500, maxBatches = Some(8))
+        .reduce(_.unionByName(_))
+        .orderBy("ts", "event_id")
+    }),
+
     // O2: ordered LIMIT/OFFSET
     "q_limit_offset" -> ((s, dir) =>
       ev(s, dir)
@@ -1435,6 +1452,12 @@ object SparkEntry {
         s"""SELECT event_id, $evTs AS ts, value FROM events
             WHERE $evTs > TIMESTAMP '2024-01-15 12:00:00'
             ORDER BY ts, event_id LIMIT 100""",
+
+      // union of 8 keyset pages of 500 == the direct scan's first 4000 rows
+      "q_batch_pages" ->
+        s"""SELECT event_id, $evTs AS ts, value FROM events
+            WHERE $evTs > TIMESTAMP '2024-01-10 00:00:00'
+            ORDER BY ts, event_id LIMIT 4000""",
 
       "q_limit_offset" ->
         s"""SELECT event_id, $evTs AS ts, value FROM events
