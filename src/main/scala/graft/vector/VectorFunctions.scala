@@ -113,17 +113,6 @@ object VectorFunctions {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** Approximate top-k with multi-table LSH: a candidate is scored if it
-    * shares a bucket with the query in ANY of the `tables` hash tables —
-    * the standard recall amplifier (recall ≈ 1-(1-p^nbits)^tables). Trades
-    * recall for scanning only colliding buckets; recall is measured against
-    * [[bruteForceTopK]] in tests.
-    *
-    * Scale shape: the corpus is hashed once (narrow projection, no
-    * shuffle), probe rows are corpus_rows × tables exploded pairs joined to
-    * the broadcast query buckets, and only collisions are scored. For huge
-    * query sets, swap the broadcast for a shuffle join on (table, bucket).
-    */
   /** Lloyd's k-means over embedding columns — the real IVF trainer behind
     * [[ivfTopK]]'s deterministic stub. Each iteration is two shuffle-sound
     * steps expressed in the same shapes the oracled queries use:
@@ -235,6 +224,17 @@ object VectorFunctions {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Approximate top-k with multi-table LSH: a candidate is scored if it
+    * shares a bucket with the query in ANY of the `tables` hash tables —
+    * the standard recall amplifier (recall ≈ 1-(1-p^nbits)^tables). Trades
+    * recall for scanning only colliding buckets; recall is measured against
+    * [[bruteForceTopK]] in tests.
+    *
+    * Scale shape: the corpus is hashed once (narrow projection, no
+    * shuffle), probe rows are corpus_rows × tables exploded pairs joined to
+    * the broadcast query buckets, and only collisions are scored. For huge
+    * query sets, swap the broadcast for a shuffle join on (table, bucket).
+    */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
