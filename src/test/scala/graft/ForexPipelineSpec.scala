@@ -180,6 +180,41 @@ class ForexPipelineSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("timestamp", "bid", "ask"))
   }
 
+  test("fetcher spools monthly archives from a base URL, skip-if-exists") {
+    import graft.ingest.TickFetcher
+    // fixture "remote": a file:// tree with the reference URL layout,
+    // containing January but not February
+    val remote = Files.createTempDirectory("graft_remote")
+    val janDir = remote.resolve("ticks/EURUSD_Raw_Spread/2024/01")
+    Files.createDirectories(janDir)
+    val janZip = janDir.resolve("Exness_EURUSD_Raw_Spread_2024_01.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(janZip))
+    zos.putNextEntry(new ZipEntry("Exness_EURUSD_Raw_Spread_2024_01.csv"))
+    zos.write(rawCsv.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val base = remote.toUri.toString // file:///…/graft_remote/
+
+    assert(TickFetcher.monthUrl("https://host", "eurusd", "Raw_Spread", 2024, 1) ===
+      "https://host/ticks/EURUSD_Raw_Spread/2024/01/Exness_EURUSD_Raw_Spread_2024_01.zip")
+    assert(TickFetcher.monthUrl("https://host", "eurusd", "", 2024, 9) ===
+      "https://host/ticks/EURUSD/2024/09/Exness_EURUSD_2024_09.zip")
+
+    val spool = Files.createTempDirectory("graft_spool")
+    val fetched = TickFetcher.fetchMonths(base, spool, Seq((2024, 1), (2024, 2)))
+    // February 404s -> absent, not an error (reference None on URLError)
+    assert(fetched.map(_.getFileName.toString) ===
+      Seq("Exness_EURUSD_Raw_Spread_2024_01.zip"))
+    // skip-if-exists: delete the "remote" and re-fetch — the spooled copy
+    // satisfies the request without touching the network
+    Files.delete(janZip)
+    val again = TickFetcher.fetchZip(base, spool, 2024, 1)
+    assert(again === Some(fetched.head))
+    // spooled archives flow into the distributed ZIP reader unchanged
+    val df = TickIngest.readZips(spark, fetched.head.toString)
+    assert(df.count() === 9)
+    assert(df.columns.toSeq === Seq("timestamp", "bid", "ask"))
+  }
+
   test("incremental update regenerates only the touched months' partitions") {
     val (p, dir) = env // Jan+Feb already ingested
     val whDir = dir.resolve("warehouse")
