@@ -146,11 +146,14 @@ object MinHash {
     * polynomial band hashes.
     *
     * Driver-side cost is ONE Spark job per round: the `changed` flag is
-    * computed inside the propagation plan itself (new label vs previous
-    * label), the round's frame is lazily `localCheckpoint`ed, and a single
-    * `max(changed)` action both materializes the checkpoint (truncating
-    * lineage, so the optimizer never sees a plan that grows with the round
-    * count) and returns convergence. Each round also applies a
+    * computed inside the propagation plan itself (the previous label rides
+    * through the round's aggregations as a per-id constant, so no separate
+    * prev-join), the round's frame is lazily `localCheckpoint`ed, and a
+    * single `max(changed)` action both materializes the checkpoint
+    * (truncating lineage, so the optimizer never sees a plan that grows
+    * with the round count) and returns convergence. Round 1 folds the
+    * identity labeling into the edge frame itself — no initial distinct()
+    * shuffle and no first-round join. Each later round also applies a
     * pointer-jumping shortcut (label ← min(label, previous label OF the
     * label), the hash-to-min / big-star step of Kiveris et al.'s
     * connected-components family), which collapses label chains
@@ -184,28 +187,39 @@ object MinHash {
       .select(col("id"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id"), col("id").as("label")).distinct()
-      .localCheckpoint()
+    // labels(id, label): absent before round 1 — the first round folds the
+    // identity labeling (label = id) into the edge frame directly, saving
+    // the initial distinct() shuffle, its checkpoint, and round 1's join.
+    var labels: DataFrame = null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val labeled =
+        if (labels == null) edges.withColumn("label", col("id"))
+        else edges.join(labels, Seq("id"))
       // half-step 1 (small-star): each bucket takes the min label of its
-      // members; half-step 2: each doc takes the min over its buckets
-      val bucketMin = edges.join(labels, Seq("id"))
-        .groupBy("band", "bh").agg(min(col("label")).as("bmin"))
-      val prop = edges.join(bucketMin, Seq("band", "bh"))
-        .groupBy("id").agg(min(col("bmin")).as("plabel"))
+      // members; half-step 2: each doc takes the min over its buckets.
+      // The doc's previous label rides along as a second aggregate (it is
+      // constant per id on the labeled edge rows), so change detection
+      // costs no extra join.
+      val bucketMin = labeled.groupBy("band", "bh").agg(min(col("label")).as("bmin"))
+      val prop = labeled.join(bucketMin, Seq("band", "bh"))
+        .groupBy("id")
+        .agg(min(col("bmin")).as("plabel"), min(col("label")).as("__prev"))
       // pointer-jumping shortcut (big-star): follow the new label through
       // the PREVIOUS round's mapping — labels are always doc ids inside the
       // same component, so min(plabel, labels[plabel]) stays in-component
-      // and collapses chains geometrically. The label frame is checkpointed
-      // (one narrow row per doc), so reading it twice is free.
-      val next = prop
-        .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
-          col("plabel") === col("__jid"), "left")
-        .select(col("id"),
-          least(col("plabel"), coalesce(col("__jl"), col("plabel"))).as("label"))
-        .join(labels.select(col("id"), col("label").as("__prev")), Seq("id"))
+      // and collapses chains geometrically. (Round 1's previous mapping is
+      // the identity, so the jump is skipped.)
+      val jumped =
+        if (labels == null) prop.select(col("id"), col("plabel").as("label"), col("__prev"))
+        else prop
+          .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
+            col("plabel") === col("__jid"), "left")
+          .select(col("id"),
+            least(col("plabel"), coalesce(col("__jl"), col("plabel"))).as("label"),
+            col("__prev"))
+      val next = jumped
         .select(col("id"), col("label"), (col("label") < col("__prev")).as("__changed"))
         // lazy checkpoint: the max(__changed) action below is the round's
         // ONLY job — it computes the propagation, persists the blocks, cuts
