@@ -153,6 +153,36 @@ object ScaleProbe {
       val tk = time(f(docsBigR))
       println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
     }
+
+    // dedup-groups round-count probe: each fixpoint round is one
+    // synchronous Spark job, so at 100 TB the ROUND count (not per-round
+    // cost, which is linear and amortizes) is the scale lever. Measure it
+    // on (a) near-dup-free corpora at 1x/20x/100x — rounds should stay
+    // FLAT as docs grow, because round count tracks component diameter,
+    // not corpus size — and (b) a single 20k-doc near-dup CHAIN (doc i
+    // shares 145/150 words with doc i+1 ⇒ one giant component of diameter
+    // ~20k), the diameter-adversarial shape where pointer jumping must
+    // deliver logarithmic rounds.
+    println(f"${"dedup_groups"}%-18s ${"docs"}%8s ${"wall_s"}%8s rounds")
+    Seq(1 -> docsSrc, textK -> docsBigR, 100 -> synthDocs(500000L)).foreach {
+      case (mult, df) =>
+        val t0 = System.nanoTime()
+        val (g, rounds) = graft.text.MinHash
+          .nearDupGroupsWithRounds(df, "doc_id", "text")
+        g.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val tag = s"random_${mult}x"
+        println(f"$tag%-18s ${df.count()}%8d $t%8.2f $rounds%6d")
+    }
+    val chain = spark.range(20000).select(col("id").as("doc_id"),
+      expr("""array_join(transform(sequence(1, 150),
+                i -> concat('w', id * 5 + i)), ' ')""").as("text"))
+    val t0 = System.nanoTime()
+    val (cg, cRounds) = graft.text.MinHash
+      .nearDupGroupsWithRounds(chain, "doc_id", "text", maxIters = 40)
+    val nGroups = cg.select("group_rep").distinct().count()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(f"chain_20k (${nGroups} comps)  $t%8.2f $cRounds%6d")
     spark.stop()
   }
 }

@@ -569,6 +569,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-space near-dup GROUPS: connected components of the
+    // vector↔hyperplane-bucket graph — the semantic twin of q_dedup_groups
+    // (same ConnectedComponents fixpoint, hyperplane buckets instead of
+    // MinHash bands). Oracled against a DuckDB recursive-CTE closure over
+    // the same integer-hash hyperplane construction as q_ann_lsh.
+    "q_semantic_dedup" -> ((s, dir) =>
+      VectorFunctions
+        .semanticDupGroups(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("id")),
+
     // dedup (near): SimHash fingerprints over polynomial token hashes —
     // reproducible in DuckDB, so oracle hash-checked (the xxhash64 variant
     // MinHash.simhash64 remains as the engine-native fast path)
@@ -2657,6 +2667,34 @@ object SparkEntry {
              CAST(count(*) * 10 >= n_shingles AS INTEGER) AS contaminated
            FROM tr JOIN ev USING (g)
            GROUP BY doc_id, n_shingles ORDER BY doc_id""",
+
+      // Semantic dedup groups: the q_ann_lsh hyperplane-bucket mirror
+      // (nbits=16, tables=2 matching the semanticDupGroups defaults)
+      // feeding the q_dedup_groups recursive transitive closure — the
+      // fixpoint label propagation's output is exactly the per-component
+      // min over the bucket graph.
+      "q_semantic_dedup" ->
+        """WITH RECURSIVE buck AS (
+             SELECT vec_id, t.tbl AS tbl,
+               CAST(list_sum(list_transform(range(0, 16), b ->
+                 CASE WHEN list_reduce(list_prepend(0.0,
+                        list_transform(range(1, len(embedding)+1), j ->
+                          CAST(embedding[j] AS DOUBLE) *
+                          (CAST(((1000003*(t.tbl*16+b) + 7919*(j-1) + 12345)
+                                 * 2654435761) % 1000000007 AS DOUBLE)
+                           * 2.0 / 1000000007.0 - 1.0))),
+                      (x, y) -> x + y) >= 0
+                 THEN 1 << (15 - b) ELSE 0 END)) AS BIGINT) AS bucket
+             FROM embeddings, (SELECT unnest(range(0, 2)) AS tbl) t),
+           edges AS (
+             SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+             FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket),
+           reach AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           SELECT src AS id, min(dst) AS group_rep
+           FROM reach GROUP BY src ORDER BY id""",
 
       // Full LSH ANN path, exactly mirrored: hyperplane coefficients are a
       // pure integer-hash formula (see functions.HyperplaneBuckets), dots

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components of a bipartite node↔bucket graph by synchronous
+  * min-label propagation to FIXPOINT — the shared core behind
+  * [[graft.text.MinHash.nearDupGroups]] (LSH band buckets) and
+  * [[graft.vector.VectorFunctions.semanticDupGroups]] (hyperplane
+  * buckets). Cf. the map-reduce connected-components family of Kiveris et
+  * al. (the big-star pointer-jumping step) — here expressed as plain
+  * DataFrame aggregations so Catalyst plans every round.
+  *
+  * Per round, each bucket takes the min label of its members, then each
+  * node takes the min over its buckets; a pointer-jumping shortcut
+  * (label ← min(label, previous label OF the label)) collapses label
+  * chains geometrically, so rounds scale with log(component diameter),
+  * never corpus size. Driver-side cost is ONE Spark job per round: the
+  * previous label rides through the round's aggregations as a per-id
+  * constant (no separate prev-join), the round's frame is lazily
+  * `localCheckpoint`ed, and a single `max(changed)` action materializes
+  * the checkpoint (cutting lineage so plans don't grow with the round
+  * count) and returns convergence. Round 1 folds the identity labeling
+  * into the edge frame itself — no initial distinct() shuffle and no
+  * first-round join.
+  *
+  * A no-change round proves the labeling is exactly the per-component
+  * minimum id (labels only ever take in-component id values and never
+  * fall below the component min), which is what lets callers hash-check
+  * the output against a DuckDB recursive-CTE transitive closure.
+  *
+  * @param edges one row per (node, bucket) membership; `idCol` plus
+  *              `bucketCols` (a bucket is identified by the tuple).
+  *              Persisted internally for the duration of the fixpoint.
+  * @return (labels(id, group_rep), rounds); ids absent from `edges` are
+  *         absent from the output. Throws if `maxIters` rounds don't
+  *         reach fixpoint — a silent early exit would not be connected
+  *         components.
+  */
+object ConnectedComponents {
+
+  def labelPropagateWithRounds(
+      edgesIn: DataFrame,
+      idCol: String,
+      bucketCols: Seq[String],
+      maxIters: Int = 25
+  ): (DataFrame, Int) = {
+    val edges = edgesIn
+      .select((idCol +: bucketCols).map(col): _*)
+      .withColumnRenamed(idCol, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = null
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val labeled =
+        if (labels == null) edges.withColumn("label", col("id"))
+        else edges.join(labels, Seq("id"))
+      val bucketMin = labeled.groupBy(bucketCols.map(col): _*)
+        .agg(min(col("label")).as("bmin"))
+      val prop = labeled.join(bucketMin, bucketCols)
+        .groupBy("id")
+        .agg(min(col("bmin")).as("plabel"), min(col("label")).as("__prev"))
+      val jumped =
+        if (labels == null)
+          prop.select(col("id"), col("plabel").as("label"), col("__prev"))
+        else prop
+          .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
+            col("plabel") === col("__jid"), "left")
+          .select(col("id"),
+            least(col("plabel"), coalesce(col("__jl"), col("plabel"))).as("label"),
+            col("__prev"))
+      val next = jumped
+        .select(col("id"), col("label"), (col("label") < col("__prev")).as("__changed"))
+        .localCheckpoint(eager = false)
+      val anyChanged = next.agg(max(col("__changed"))).head()
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      labels = next.select("id", "label")
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"labelPropagate: did not reach fixpoint in $maxIters rounds — " +
+          "output would not be the connected components the oracle checks; " +
+          "raise maxIters")
+    (labels.select(col("id"), col("label").as("group_rep")), it)
+  }
+}

@@ -176,67 +176,36 @@ object MinHash {
       k: Int = 16,
       bands: Int = 4,
       maxIters: Int = 25
-  ): DataFrame = {
+  ): DataFrame =
+    nearDupGroupsWithRounds(docs, idCol, textCol, shingleN, k, bands, maxIters)._1
+
+  /** [[nearDupGroups]] plus the number of propagation rounds it took to
+    * reach fixpoint — the scale lever at 100 TB is the ROUND count (each
+    * round is one synchronous Spark job), so ScaleProbe records it.
+    */
+  def nearDupGroupsWithRounds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      maxIters: Int = 25
+  ): (DataFrame, Int) = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sh = docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh"))
-    // doc ↔ bucket edges; bucket identity is (band, bh)
+    // doc ↔ bucket edges; bucket identity is (band, bh). The fixpoint
+    // itself (round structure, change detection, pointer jumping,
+    // checkpointing) lives in [[graft.operators.ConnectedComponents]],
+    // shared with the embedding-space dedup.
     val edges = signatureDf(sh, "id", "sh", k)
       .select(col("id"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels(id, label): absent before round 1 — the first round folds the
-    // identity labeling (label = id) into the edge frame directly, saving
-    // the initial distinct() shuffle, its checkpoint, and round 1's join.
-    var labels: DataFrame = null
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val labeled =
-        if (labels == null) edges.withColumn("label", col("id"))
-        else edges.join(labels, Seq("id"))
-      // half-step 1 (small-star): each bucket takes the min label of its
-      // members; half-step 2: each doc takes the min over its buckets.
-      // The doc's previous label rides along as a second aggregate (it is
-      // constant per id on the labeled edge rows), so change detection
-      // costs no extra join.
-      val bucketMin = labeled.groupBy("band", "bh").agg(min(col("label")).as("bmin"))
-      val prop = labeled.join(bucketMin, Seq("band", "bh"))
-        .groupBy("id")
-        .agg(min(col("bmin")).as("plabel"), min(col("label")).as("__prev"))
-      // pointer-jumping shortcut (big-star): follow the new label through
-      // the PREVIOUS round's mapping — labels are always doc ids inside the
-      // same component, so min(plabel, labels[plabel]) stays in-component
-      // and collapses chains geometrically. (Round 1's previous mapping is
-      // the identity, so the jump is skipped.)
-      val jumped =
-        if (labels == null) prop.select(col("id"), col("plabel").as("label"), col("__prev"))
-        else prop
-          .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
-            col("plabel") === col("__jid"), "left")
-          .select(col("id"),
-            least(col("plabel"), coalesce(col("__jl"), col("plabel"))).as("label"),
-            col("__prev"))
-      val next = jumped
-        .select(col("id"), col("label"), (col("label") < col("__prev")).as("__changed"))
-        // lazy checkpoint: the max(__changed) action below is the round's
-        // ONLY job — it computes the propagation, persists the blocks, cuts
-        // the lineage (no per-round plan growth), and returns convergence
-        .localCheckpoint(eager = false)
-      val anyChanged = next.agg(max(col("__changed"))).head()
-      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
-      labels = next.select("id", "label")
-      it += 1
-    }
-    edges.unpersist(blocking = false)
-    if (!converged)
-      throw new IllegalStateException(
-        s"nearDupGroups: label propagation did not reach fixpoint in $maxIters " +
-          "rounds — output would not be the connected components the oracle " +
-          "checks; raise maxIters")
-    labels.select(col("id"), col("label").as("group_rep"))
+    graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(edges, "id", Seq("band", "bh"), maxIters)
   }
 
   /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no

@@ -235,6 +235,40 @@ object VectorFunctions {
     * the broadcast query buckets, and only collisions are scored. For huge
     * query sets, swap the broadcast for a shuffle join on (table, bucket).
     */
+  /** Embedding-space near-duplicate GROUPS: connected components of the
+    * vector↔hyperplane-bucket graph — the semantic twin of
+    * [[graft.text.MinHash.nearDupGroups]] (same
+    * [[graft.operators.ConnectedComponents]] fixpoint, hyperplane buckets
+    * instead of MinHash bands). Two vectors land in the same bucket of a
+    * table when all `nbits` hyperplane signs agree, i.e. cosine-similar
+    * vectors collide (P ≈ (1 - θ/π)^nbits per table); any shared bucket
+    * in any table links them, and groups are the transitive closure.
+    *
+    * Dedup posture is the reverse of ANN search: MORE bits (precision —
+    * an unrelated-pair collision fuses two groups; there is deliberately
+    * no pairwise verification, which would reintroduce the quadratic pair
+    * enumeration) and FEW tables (each extra table only adds recall).
+    * Defaults: 16 bits × 2 tables.
+    *
+    * Linear in vectors × tables at any duplication factor; rounds scale
+    * with log(component diameter). Returns (id, group_rep); group_rep is
+    * the minimum vec id reachable through shared buckets.
+    */
+  def semanticDupGroups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nbits: Int = 16,
+      tables: Int = 2,
+      maxIters: Int = 25
+  ): DataFrame = {
+    val edges = corpus.select(
+      col(idCol).as("id"),
+      posexplode(lshBuckets(col(vecCol), nbits, tables)).as(Seq("table", "bucket")))
+    graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(edges, "id", Seq("table", "bucket"), maxIters)._1
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -37,4 +37,45 @@ class NearDupGroupsSpec extends SparkSpec {
       assert(groups(i.toLong) == (i / 4 * 4).toLong, s"doc $i -> ${groups(i.toLong)}")
     }
   }
+
+  test("ConnectedComponents: chain of shared buckets converges to per-component min with log rounds") {
+    import org.apache.spark.sql.functions._
+    // nodes 0..63 in a single chain (node i shares bucket i with node i+1)
+    // plus isolated nodes 100..104 with private buckets
+    val chain = (0 until 63).flatMap(i => Seq((i.toLong, i), (i.toLong + 1, i)))
+    val iso = (100 to 104).map(i => (i.toLong, i * 10))
+    val edges = (chain ++ iso).toDF("id", "bucket")
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(edges, "id", Seq("bucket"), maxIters = 20)
+    val m = labels.as[(Long, Long)].collect().toMap
+    (0 to 63).foreach(i => assert(m(i.toLong) == 0L, s"node $i -> ${m(i.toLong)}"))
+    (100 to 104).foreach(i => assert(m(i.toLong) == i.toLong))
+    // diameter 63: pointer jumping must beat the linear bound by a wide
+    // margin (plain propagation would need ~32 rounds)
+    assert(rounds <= 10, s"took $rounds rounds for a 63-hop chain")
+  }
+
+  test("semanticDupGroups: near-identical embeddings group, separated clusters stay apart") {
+    import org.apache.spark.sql.functions._
+    // three tight clusters around orthogonal-ish directions in R^8:
+    // members are tiny perturbations of the cluster axis (same hyperplane
+    // signs with overwhelming probability), cluster axes differ in sign
+    // pattern so 16-bit buckets separate them
+    def vec(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(8)(d =>
+        (if (d % 3 == axis) 1.0f else -1.0f) + jit * 1e-4f)
+    val rows = for {
+      axis <- 0 until 3
+      member <- 0 until 4
+    } yield (axis * 10L + member, vec(axis, member))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = graft.vector.VectorFunctions
+      .semanticDupGroups(df, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    for (axis <- 0 until 3; member <- 0 until 4)
+      assert(m(axis * 10L + member) == axis * 10L,
+        s"vec ${axis * 10 + member} -> ${m(axis * 10L + member)}")
+    // distinct clusters keep distinct reps
+    assert(Set(m(0L), m(10L), m(20L)).size == 3)
+  }
 }
