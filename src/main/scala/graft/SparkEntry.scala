@@ -1079,6 +1079,54 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
         .orderBy("lang", "rk")),
 
+    // domain-mixture sampling: per-source keep rates (the "3× wiki, 0.5×
+    // crawl" weighting step of a training mix) — deterministic hash filter,
+    // no shuffle, refinable per stratum
+    "q_mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling
+        .mixtureSample(Tables.documents(s, dir), "doc_id", "source",
+          Map("src0" -> 1000, "src1" -> 500, "src2" -> 250), defaultPm = 100)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // deterministic per-epoch global corpus shuffle: range-partitioned sort
+    // on an exact-modular permutation key — the scale-correct "shuffle
+    // before each epoch" (no row_number bottleneck); epoch changes the
+    // permutation reproducibly
+    "q_epoch_shuffle" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Sampling.epochShuffleKey(col("doc_id"), epoch = 3)
+            .as("skey"))
+        .orderBy("skey", "doc_id")),
+
+    // the full dedup DECISION a trainer runs: near-dup groups (fixpoint
+    // label propagation) joined with the quality score, keeping the
+    // best-quality member per group (ties → min doc_id). min_by over a
+    // (4-score, id) struct = one partially-aggregated shuffle — no window
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val groups = MinHash.nearDupGroups(docs, "doc_id", "text")
+      val scored = docs.select(
+        col("doc_id").as("id"),
+        ((size(TF.rawTokens(col("text"))) >= 50 &&
+          size(TF.rawTokens(col("text"))) <= 20000).cast("int") +
+          (TF.alphaCount(col("text")) >= size(TF.rawTokens(col("text"))) * 2 &&
+            TF.alphaCount(col("text")) <= size(TF.rawTokens(col("text"))) * 12)
+            .cast("int") +
+          (TF.punctCount(col("text")) * 10 <= length(col("text"))).cast("int") +
+          (TF.digitCount(col("text")) * 5 <= length(col("text"))).cast("int"))
+          .cast("long").as("score"))
+      groups.join(scored, Seq("id"))
+        .groupBy("group_rep")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(col("score")).as("best_score"),
+          min_by(col("id"), struct(lit(4L) - col("score"), col("id")))
+            .as("keep_id"))
+        .orderBy("group_rep")
+    }),
+
     // BPE-ish tokenization (letter runs / digit runs / punctuation runs):
     // per-doc token + unique-token counts — the regex is RE2-compatible so
     // both engines tokenize identically
@@ -2281,6 +2329,90 @@ object SparkEntry {
            SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
            FROM ranked CROSS JOIN m WHERE rk <= minn
            ORDER BY lang, rk""",
+
+      "q_mixture_sample" ->
+        """SELECT doc_id, source FROM documents
+           WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 <
+             CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                         WHEN 'src2' THEN 250 ELSE 100 END
+           ORDER BY doc_id""",
+
+      "q_epoch_shuffle" ->
+        """SELECT doc_id,
+             ((doc_id % 1000000007)
+              * ((2654435761 + 3 * 40503) % 1000000007) + 3) % 1000000007
+               AS skey
+           FROM documents ORDER BY skey, doc_id""",
+
+      // q_dedup_groups' recursive closure composed with q_quality_filter's
+      // score: per near-dup group, keep the best-quality member (ties →
+      // min doc_id) — the dedup decision a training pipeline actually makes
+      "q_dedup_keep_best" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs WHERE len(sh) > 0),
+           bb AS (
+             SELECT doc_id, b.band AS band, b.bh AS bh
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                     AS b
+                   FROM sig)),
+           edges AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh),
+           reach AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           labels AS (
+             SELECT src AS id, min(dst) AS group_rep FROM reach GROUP BY src),
+           q AS (
+             SELECT doc_id AS id,
+               CAST(CAST(n_words >= 50 AND n_words <= 20000 AS INTEGER)
+                  + CAST(n_alpha >= n_words * 2 AND n_alpha <= n_words * 12
+                      AS INTEGER)
+                  + CAST(n_punct * 10 <= n_chars AS INTEGER)
+                  + CAST(n_digit * 5 <= n_chars AS INTEGER) AS BIGINT) AS score
+             FROM (SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       AS n_words,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+                       AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                       AS n_digit,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                       AS n_punct
+                   FROM documents)),
+           r AS (
+             SELECT l.group_rep, l.id, q.score,
+               row_number() OVER (PARTITION BY l.group_rep
+                                  ORDER BY q.score DESC, l.id) AS rk,
+               count(*) OVER (PARTITION BY l.group_rep) AS n_members,
+               max(q.score) OVER (PARTITION BY l.group_rep) AS best_score
+             FROM labels l JOIN q USING (id))
+           SELECT group_rep, CAST(n_members AS BIGINT) AS n_members,
+             best_score, id AS keep_id
+           FROM r WHERE rk = 1 ORDER BY group_rep""",
 
       "q_bpe_tokens" ->
         """SELECT doc_id,

@@ -48,6 +48,51 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Domain-mixture sampling: keep each row with a per-stratum rate (per
+    * mille), the "3× Wikipedia, 0.5× CommonCrawl" weighting step of a
+    * training-data mix. Same exact-hash selection as [[hashSample]], so the
+    * chosen row set is layout-independent, refinable (raising a stratum's
+    * rate only ADDS rows), and SQL-reproducible. Pure per-row filter — no
+    * shuffle; the rate lookup is a literal CASE chain (fine for the tens of
+    * domains a mixture spec names; a broadcast join would replace it for
+    * thousands).
+    *
+    * Rates > 1000‰ mean "keep everything" (upsampling beyond 1× is epoch
+    * repetition, a reader-side concern, not a filter).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      key: String,
+      stratum: String,
+      ratesPm: Map[String, Int],
+      defaultPm: Int = 0
+  ): DataFrame = {
+    val rate = ratesPm.toSeq.sortBy(_._1).foldLeft(lit(defaultPm): Column) {
+      case (acc, (s, pm)) => when(col(stratum) === s, lit(pm)).otherwise(acc)
+    }
+    df.filter(pmod(detHash(col(key)), lit(1000L)) < rate)
+  }
+
+  /** Deterministic per-epoch global shuffle key: order the corpus by this
+    * (then by `key` for total order) to get a reproducible, epoch-varying
+    * permutation. `orderBy` over it is a range-partitioned sort — the
+    * scale-correct global shuffle (sampled range boundaries, no single-task
+    * bottleneck), unlike a row_number window. Exact modular arithmetic
+    * (products < 2^60), so any SQL engine reproduces the permutation.
+    *
+    * The epoch varies the MULTIPLIER, not an additive offset: adding a
+    * constant mod P shifts every key equally and leaves the sort order
+    * untouched except at the wraparound (caught by SamplingSpec), whereas
+    * multiplication by a nonzero constant mod prime P is a genuine
+    * permutation of the residues.
+    */
+  def epochShuffleKey(key: Column, epoch: Int): Column = {
+    val m = (2654435761L + 40503L * epoch) % 1000000007L
+    pmod(
+      pmod(key.cast("long"), lit(1000000007L)) * lit(m) + lit(epoch.toLong),
+      lit(1000000007L))
+  }
+
   /** Class-balanced downsampling: every stratum is cut to the size of the
     * smallest one, choosing rows by hash order (deterministic, unbiased
     * w.r.t. the hash). One window shuffle on `stratum`; the global minimum
