@@ -54,6 +54,14 @@ object GraftExtensions {
         def intOf(e: Expression): Int =
           e.eval(null).asInstanceOf[Number].intValue()
         HyperplaneBuckets(es.head, intOf(es(1)), intOf(es(2)))
+      }),
+    ("z_value",
+      info("z_value",
+        "z_value(x, y, bits) - Z-order (Morton) interleave of the low bits of two bigints"),
+      (es: Seq[Expression]) => {
+        def intOf(e: Expression): Int =
+          e.eval(null).asInstanceOf[Number].intValue()
+        ZValue(es.head, es(1), intOf(es(2)))
       })
   )
 

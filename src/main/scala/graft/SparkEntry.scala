@@ -1047,6 +1047,20 @@ object SparkEntry {
         .withColumn("ewma", round(col("ewma"), 6))
         .orderBy("user_id", "ts", "event_id")),
 
+    // Z-order (Morton) clustering key over (user, minute): sorting writes
+    // by z co-locates rows close in BOTH dimensions, so per-file min/max
+    // stats prune scans on either — the data-layout step before a big
+    // write (storage.RangeWriter sorts by it). Codegen'd ZValue expression;
+    // pure integer bit interleave, mirrored exactly in the oracle
+    "q_zorder" -> ((s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        graft.functions.exprs.zValue(
+          pmod(col("user_id"), lit(1L << 20)),
+          pmod(expr("unix_micros(ts) DIV 60000000"), lit(1L << 20)),
+          bits = 20).as("z"))
+        .orderBy("z", "event_id")),
+
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
     // Runs to fixpoint, so the output is the exact connected components of
@@ -2329,6 +2343,17 @@ object SparkEntry {
            SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
            FROM ranked CROSS JOIN m WHERE rk <= minn
            ORDER BY lang, rk""",
+
+      "q_zorder" ->
+        """SELECT event_id,
+             CAST(list_sum(list_transform(range(0, 20), b ->
+               (((u >> b) & 1) << (2*b + 1)) + (((m >> b) & 1) << (2*b))))
+               AS BIGINT) AS z
+           FROM (SELECT event_id,
+                   user_id % 1048576 AS u,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) % 1048576 AS m
+                 FROM events)
+           ORDER BY z, event_id""",
 
       "q_mixture_sample" ->
         """SELECT doc_id, source FROM documents

@@ -186,6 +186,29 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Z-order (Morton) clustering key of two integral columns (see
+  * [[ZOrderKernel.zValue]]): one static codegen'd call per row. Inputs must
+  * be LongType (callers cast/mask); `bits` per dimension ≤ 31 keeps the
+  * result in a positive long.
+  */
+case class ZValue(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, "bits per dimension must be in [1, 31]")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint inputs")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderKernel.zValue(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ZOrderKernel.zValue($a, $b, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZValue =
+    copy(l, r)
+  override def prettyName: String = "z_value"
+}
+
 /** Column-facade for the custom expressions. */
 object exprs {
   private def ex(c: Column): Expression = bridge.expression(c)
@@ -198,4 +221,6 @@ object exprs {
     co(HyperplaneBuckets(ex(v), nbits, tables))
   def wordShingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
   def simhashPoly(c: Column, bits: Int): Column = co(SimHashPoly(ex(c), bits))
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    co(ZValue(ex(x), ex(y), bits))
 }

@@ -151,3 +151,30 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Z-order (Morton) bit interleave — the multi-column clustering key for
+  * data-layout locality at lake scale: sorting writes by z-value co-locates
+  * rows that are close in EVERY interleaved dimension, so per-file min/max
+  * statistics prune scans on any of them (classic space-filling-curve
+  * clustering, cf. the public Delta/Iceberg OPTIMIZE ZORDER feature and
+  * Morton 1966). Pure integer bit arithmetic — a SQL engine reproduces the
+  * key exactly, which is what lets the driver gate hash-check it.
+  */
+object ZOrderKernel {
+  /** Interleave the low `bits` bits of x (odd z positions) and y (even z
+    * positions): bit b of x → z bit 2b+1, bit b of y → z bit 2b. Higher
+    * input bits are ignored (callers mask/mod into range). The prefix
+    * property `z >> 2k  ==  zValue(x >> k, y >> k)` is what makes
+    * min/max range pruning sound on z-sorted files.
+    */
+  def zValue(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((x >> b) & 1L) << (2 * b + 1)
+      z |= ((y >> b) & 1L) << (2 * b)
+      b += 1
+    }
+    z
+  }
+}

@@ -33,4 +33,31 @@ object RangeWriter {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-order-clustered bulk output: range-partition + sort by the Morton
+    * interleave of TWO dimensions ([[graft.functions.ZOrderKernel]]), so
+    * every file's parquet min/max statistics are tight in BOTH columns and
+    * scans filtering on either prune to a few files — where a plain
+    * lexicographic sort only prunes on its leading column. The z key is
+    * computed on the fly (masked to `bits`) and not written.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      numFiles: Int
+  ): Unit = {
+    require(numFiles >= 1)
+    val z = graft.functions.exprs.zValue(
+      pmod(col(xCol).cast("long"), lit(1L << bits)),
+      pmod(col(yCol).cast("long"), lit(1L << bits)),
+      bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ZOrderKernel, exprs}
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits (golden values)") {
+    // x=0b101 (odd positions), y=0b011 (even positions) → 0b100111 = 39
+    assert(ZOrderKernel.zValue(5L, 3L, 3) == 39L)
+    assert(ZOrderKernel.zValue(0L, 0L, 20) == 0L)
+    // single bits land at 2b+1 (x) and 2b (y)
+    assert(ZOrderKernel.zValue(1L, 0L, 1) == 2L)
+    assert(ZOrderKernel.zValue(0L, 1L, 1) == 1L)
+    // high bits beyond `bits` are ignored
+    assert(ZOrderKernel.zValue(1L << 25, 0L, 20) == 0L)
+  }
+
+  test("prefix property: z >> 2k == zValue(x >> k, y >> k) — the basis of min/max pruning") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextLong().abs % (1L << 20)
+      val y = rnd.nextLong().abs % (1L << 20)
+      val z = ZOrderKernel.zValue(x, y, 20)
+      Seq(1, 4, 10, 19).foreach { k =>
+        assert((z >> (2 * k)) == ZOrderKernel.zValue(x >> k, y >> k, 20 - k),
+          s"prefix broken at k=$k for ($x, $y)")
+      }
+    }
+  }
+
+  test("z-sorted layout bounds both dimensions per equal-size block") {
+    // 4096 points on a 64x64 grid, z-sorted and cut into 16 blocks of 256:
+    // every block must span at most a 16x16 tile in BOTH dimensions (a
+    // row-major sort would span the full 64 in the secondary dimension)
+    val pts = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, ZOrderKernel.zValue(x.toLong, y.toLong, 6))
+    val blocks = pts.sortBy(_._3).grouped(256).toSeq
+    blocks.foreach { b =>
+      val xs = b.map(_._1); val ys = b.map(_._2)
+      assert(xs.max - xs.min <= 15, s"x spread ${xs.max - xs.min}")
+      assert(ys.max - ys.min <= 15, s"y spread ${ys.max - ys.min}")
+    }
+  }
+
+  test("writeZOrdered: every parquet file is tight in BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val pts = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    graft.storage.RangeWriter.writeZOrdered(pts, s"$dir/out", "x", "y",
+      bits = 6, numFiles = 16)
+    val spreads = spark.read.parquet(s"$dir/out")
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(spreads.length == 16)
+    // 4096 points / 16 files = 256/file ⇒ a 16×16 z-tile per file; a plain
+    // (x, y) sort would give dy = 63 in every file
+    spreads.foreach { case (f, dx, dy, n) =>
+      assert(dx <= 15 && dy <= 15, s"file $f spreads dx=$dx dy=$dy (n=$n)")
+    }
+  }
+
+  test("ZValue expression matches the kernel and is SQL-registered") {
+    val df = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("x", "y")
+    val viaExpr = df.select(exprs.zValue(col("x"), col("y"), 10).as("z"))
+      .as[Long].collect()
+    val expected = (0L until 500L).map(i => ZOrderKernel.zValue(i, i * 7 % 1000, 10))
+    assert(viaExpr.sameElements(expected))
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("zt")
+    val viaSql = spark.sql("SELECT z_value(x, y, 10) AS z FROM zt ORDER BY x")
+      .as[Long].collect()
+    assert(viaSql.sameElements(expected))
+  }
+}
