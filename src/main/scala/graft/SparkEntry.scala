@@ -1069,6 +1069,24 @@ object SparkEntry {
       MinHash.nearDupGroups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // INCREMENTAL dedup: docs ending in 0 arrive as a "new batch" against
+    // the already-clustered rest; the batch is labeled via the stored
+    // (rep, band, bh) bucket index without re-clustering the corpus. New
+    // docs adopt reps, merge through the old corpus, or form new groups —
+    // the whole two-phase pipeline is mirrored in the oracle
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val oldLabels = MinHash.nearDupGroups(oldDocs, "doc_id", "text")
+      val index = MinHash.bandEdges(oldDocs, "doc_id", "text")
+        .join(oldLabels, Seq("id"))
+        .select(col("group_rep"), col("band"), col("bh")).distinct()
+      val (labels, _) =
+        MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
+      labels.orderBy("id")
+    }),
+
     // deterministic 1/10 hash sample — pure filter, no shuffle, same row
     // set at any scale/partitioning (operators.Sampling)
     "q_sample" -> ((s, dir) =>
@@ -2314,6 +2332,66 @@ object SparkEntry {
                  (a, b) -> a + b) AS sum_abs_err
              FROM embeddings)
            ORDER BY vec_id""",
+
+      // Incremental dedup, both phases mirrored: cluster the old corpus
+      // (doc_id % 5 <> 0), project its buckets to group reps, then close
+      // over the joint (rep ∪ new-batch) bucket graph. Reps are old doc
+      // ids (never ≡ 0 mod 5), so the output filter cleanly selects the
+      // new batch.
+      "q_dedup_incremental" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs WHERE len(sh) > 0),
+           bb AS (
+             SELECT doc_id, b.band AS band, b.bh AS bh
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                     AS b
+                   FROM sig)),
+           bb_old AS (SELECT * FROM bb WHERE doc_id % 5 <> 0),
+           bb_new AS (SELECT * FROM bb WHERE doc_id % 5 = 0),
+           edges_old AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bb_old a JOIN bb_old b ON a.band = b.band AND a.bh = b.bh),
+           reach_old AS (
+             SELECT src, dst FROM edges_old
+             UNION
+             SELECT r.src, e.dst FROM reach_old r JOIN edges_old e ON r.dst = e.src),
+           labels_old AS (
+             SELECT src AS id, min(dst) AS group_rep FROM reach_old GROUP BY src),
+           joint AS (
+             SELECT DISTINCT l.group_rep AS doc_id, b.band, b.bh
+             FROM bb_old b JOIN labels_old l ON b.doc_id = l.id
+             UNION
+             SELECT doc_id, band, bh FROM bb_new),
+           edges_j AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM joint a JOIN joint b ON a.band = b.band AND a.bh = b.bh),
+           reach_j AS (
+             SELECT src, dst FROM edges_j
+             UNION
+             SELECT r.src, e.dst FROM reach_j r JOIN edges_j e ON r.dst = e.src)
+           SELECT src AS id, min(dst) AS group_rep
+           FROM reach_j WHERE src % 5 = 0 GROUP BY src ORDER BY id""",
 
       "q_sample" ->
         """SELECT doc_id, lang, source FROM documents

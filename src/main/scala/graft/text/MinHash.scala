@@ -192,20 +192,86 @@ object MinHash {
       bands: Int = 4,
       maxIters: Int = 25
   ): (DataFrame, Int) = {
+    // The fixpoint itself (round structure, change detection, pointer
+    // jumping, checkpointing) lives in
+    // [[graft.operators.ConnectedComponents]], shared with the
+    // embedding-space dedup.
+    graft.operators.ConnectedComponents.labelPropagateWithRounds(
+      bandEdges(docs, idCol, textCol, shingleN, k, bands),
+      "id", Seq("band", "bh"), maxIters)
+  }
+
+  /** doc ↔ LSH-bucket membership edges (id, band, bh) — the unit both
+    * dedup-group operators propagate over, and (projected to group reps)
+    * the stored bucket INDEX that [[nearDupGroupsIncremental]] matches new
+    * batches against.
+    */
+  def bandEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sh = docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh"))
-    // doc ↔ bucket edges; bucket identity is (band, bh). The fixpoint
-    // itself (round structure, change detection, pointer jumping,
-    // checkpointing) lives in [[graft.operators.ConnectedComponents]],
-    // shared with the embedding-space dedup.
-    val edges = signatureDf(sh, "id", "sh", k)
+    signatureDf(sh, "id", "sh", k)
       .select(col("id"),
         posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-    graft.operators.ConnectedComponents
-      .labelPropagateWithRounds(edges, "id", Seq("band", "bh"), maxIters)
+  }
+
+  /** Label a NEW batch of docs against an already-deduplicated corpus
+    * WITHOUT re-clustering it — the daily-append posture at 100 TB, where
+    * the corpus's doc↔bucket graph is kept as a stored artifact projected
+    * to group reps (one row per (group_rep, band, bh) — bounded by the
+    * original edge count, shrinking as groups merge).
+    *
+    * Semantics: connected components of the joint graph whose nodes are
+    * the new doc ids plus the existing group reps (reps carry their
+    * group's full bucket membership, so two new docs linked only THROUGH
+    * the old corpus still merge). Labels are the component-minimum id;
+    * with monotonically growing doc ids (the normal append case) every
+    * existing rep is below every new id, so old groups keep their reps and
+    * new docs either adopt an existing rep or form new groups keyed by
+    * their own minimum. Exactly mirrors a from-scratch re-cluster UNLESS a
+    * new doc bridges two existing groups — then the new doc and the
+    * returned index adopt the SMALLER rep (the merge is applied to the
+    * index, so future batches see the united group), while the old
+    * corpus's per-doc labels keep the stale larger rep until a periodic
+    * full re-cluster reconciles them — the standard incremental-dedup
+    * contract.
+    *
+    * @param bucketIndex (group_rep, band, bh) of the existing corpus
+    * @return (labels for the new docs (id, group_rep), updated bucket
+    *         index covering old + new docs, again projected to reps)
+    */
+  def nearDupGroupsIncremental(
+      bucketIndex: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      maxIters: Int = 25
+  ): (DataFrame, DataFrame) = {
+    val newEdges = bandEdges(newDocs, idCol, textCol, shingleN, k, bands)
+    val repEdges = bucketIndex.select(
+      col("group_rep").as("id"), col("band"), col("bh"))
+    val (joint, _) = graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(repEdges.unionByName(newEdges),
+        "id", Seq("band", "bh"), maxIters)
+    val newLabels = joint
+      .join(newEdges.select("id").distinct(), Seq("id"), "left_semi")
+    val updatedIndex = repEdges.unionByName(newEdges)
+      .join(joint, Seq("id"))
+      .select(col("group_rep"), col("band"), col("bh"))
+      .distinct()
+    (newLabels, updatedIndex)
   }
 
   /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no

@@ -55,6 +55,39 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(rounds <= 10, s"took $rounds rounds for a 63-hop chain")
   }
 
+  test("incremental dedup: new batch adopts reps, bridges merge in the index, fresh families form new groups") {
+    import org.apache.spark.sql.functions._
+    // old corpus: family A (1..3), family B (10..11), singleton 20
+    val oldDocs = Seq(
+      (1L, doc(1)), (2L, doc(1, " x")), (3L, doc(1, " y")),
+      (10L, doc(50)), (11L, doc(50, " q")),
+      (20L, doc(7777))
+    ).toDF("doc_id", "text")
+    val oldLabels = MinHash.nearDupGroups(oldDocs, "doc_id", "text")
+    val index = MinHash.bandEdges(oldDocs, "doc_id", "text")
+      .join(oldLabels, Seq("id"))
+      .select(col("group_rep"), col("band"), col("bh")).distinct()
+    // new batch: 100 joins family A; 101 and 102 are a fresh family;
+    // 103/104 both match family B (connected only THROUGH the old corpus)
+    val newDocs = Seq(
+      (100L, doc(1, " z")),
+      (101L, doc(9000)), (102L, doc(9000, " w")),
+      (103L, doc(50, " r")), (104L, doc(50, " s"))
+    ).toDF("doc_id", "text")
+    val (labels, updated) =
+      MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m(100L) == 1L, s"100 should adopt rep 1: $m")
+    assert(m(101L) == 101L && m(102L) == 101L, s"fresh family: $m")
+    assert(m(103L) == 10L && m(104L) == 10L, s"through-corpus adoption: $m")
+    // updated index covers the fresh family under its new rep and keeps
+    // the old reps
+    val reps = updated.select("group_rep").distinct().as[Long].collect().toSet
+    assert(reps.contains(101L) && reps.contains(1L) && reps.contains(10L)
+      && reps.contains(20L), reps.toString)
+    assert(!reps.contains(102L) && !reps.contains(103L), reps.toString)
+  }
+
   test("semanticDupGroups: near-identical embeddings group, separated clusters stay apart") {
     import org.apache.spark.sql.functions._
     // three tight clusters around orthogonal-ish directions in R^8:
