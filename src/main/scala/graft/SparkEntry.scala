@@ -1073,14 +1073,23 @@ object SparkEntry {
     // the already-clustered rest; the batch is labeled via the stored
     // (rep, band, bh) bucket index without re-clustering the corpus. New
     // docs adopt reps, merge through the old corpus, or form new groups —
-    // the whole two-phase pipeline is mirrored in the oracle
+    // the whole two-phase pipeline is mirrored in the oracle. NOTE: the
+    // measured time is dominated by the SETUP (clustering the 4/5 "old"
+    // corpus from scratch, which a real deployment amortizes across every
+    // batch); the incremental phase itself is O(batch) — the fixpoint runs
+    // only on the index slice whose buckets the batch touches
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
       val newDocs = docs.filter(col("doc_id") % 5 === 0)
-      val oldLabels = MinHash.nearDupGroups(oldDocs, "doc_id", "text")
-      val index = MinHash.bandEdges(oldDocs, "doc_id", "text")
-        .join(oldLabels, Seq("id"))
+      // edges computed ONCE (persisted): feed the clustering and the
+      // index projection from the same pass — the signature scan is the
+      // expensive part of the setup phase
+      val oldEdges = MinHash.bandEdges(oldDocs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (oldLabels, _) = graft.operators.ConnectedComponents
+        .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
+      val index = oldEdges.join(oldLabels, Seq("id"))
         .select(col("group_rep"), col("band"), col("bh")).distinct()
       val (labels, _) =
         MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")

@@ -245,7 +245,15 @@ object MinHash {
     * full re-cluster reconciles them — the standard incremental-dedup
     * contract.
     *
-    * @param bucketIndex (group_rep, band, bh) of the existing corpus
+    * Cost is O(batch × bands) regardless of corpus size: a consistent
+    * index has exactly one rep per bucket, so only the index slice whose
+    * buckets the batch touches can affect any label — the fixpoint runs
+    * on that slice plus the batch (see inline invariant note).
+    *
+    * @param bucketIndex (group_rep, band, bh) of the existing corpus —
+    *        must be bucket-consistent (one rep per bucket), which both
+    *        [[nearDupGroups]]-derived indexes and this function's returned
+    *        index satisfy
     * @return (labels for the new docs (id, group_rep), updated bucket
     *         index covering old + new docs, again projected to reps)
     */
@@ -260,17 +268,38 @@ object MinHash {
       maxIters: Int = 25
   ): (DataFrame, DataFrame) = {
     val newEdges = bandEdges(newDocs, idCol, textCol, shingleN, k, bands)
-    val repEdges = bucketIndex.select(
-      col("group_rep").as("id"), col("band"), col("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A consistent index holds exactly ONE rep per bucket (same bucket ⇒
+    // same component ⇒ same rep — preserved by the relabeling below), so
+    // index buckets the batch doesn't touch are inert single-rep islands:
+    // the fixpoint only needs the TOUCHED slice. That makes labeling cost
+    // O(batch × bands) — independent of corpus size, which is the whole
+    // point of keeping the index. The batch's bucket set broadcasts; the
+    // index scan filters map-side.
+    val newBuckets = newEdges.select("band", "bh").distinct()
+    val touched = bucketIndex
+      .join(broadcast(newBuckets), Seq("band", "bh"), "left_semi")
+      .select(col("group_rep").as("id"), col("band"), col("bh"))
     val (joint, _) = graft.operators.ConnectedComponents
-      .labelPropagateWithRounds(repEdges.unionByName(newEdges),
+      .labelPropagateWithRounds(touched.unionByName(newEdges),
         "id", Seq("band", "bh"), maxIters)
     val newLabels = joint
       .join(newEdges.select("id").distinct(), Seq("id"), "left_semi")
-    val updatedIndex = repEdges.unionByName(newEdges)
-      .join(joint, Seq("id"))
-      .select(col("group_rep"), col("band"), col("bh"))
+    // Updated index: relabel every row of a touched rep (a rep's rows move
+    // as a unit — components stay bucket-consistent), keep untouched rows,
+    // add the batch's rows under their final labels.
+    val repMap = joint
+      .join(touched.select("id").distinct(), Seq("id"), "left_semi")
+      .select(col("id").as("group_rep"), col("group_rep").as("__new"))
+    val updatedIndex = bucketIndex
+      .join(repMap, Seq("group_rep"), "left")
+      .select(coalesce(col("__new"), col("group_rep")).as("group_rep"),
+        col("band"), col("bh"))
+      .unionByName(
+        newEdges.join(joint, Seq("id"))
+          .select(col("group_rep"), col("band"), col("bh")))
       .distinct()
+    newEdges.unpersist(blocking = false)
     (newLabels, updatedIndex)
   }
 
