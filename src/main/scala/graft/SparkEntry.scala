@@ -579,6 +579,16 @@ object SparkEntry {
         .semanticDupGroups(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("id")),
 
+    // MULTI-SIGNAL dedup: one connected-components pass over the UNION of
+    // the text LSH graph and the embedding hyperplane graph — "duplicate
+    // by surface text OR semantic similarity", transitively through mixed
+    // chains. Buckets namespaced by kind; same shared fixpoint
+    "q_dedup_multisignal" -> ((s, dir) =>
+      graft.operators.MultiSignalDedup.groups(
+        Tables.documents(s, dir), "doc_id", "text",
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("id")),
+
     // dedup (near): SimHash fingerprints over polynomial token hashes —
     // reproducible in DuckDB, so oracle hash-checked (the xxhash64 variant
     // MinHash.simhash64 remains as the engine-native fast path)
@@ -2911,6 +2921,68 @@ object SparkEntry {
              CAST(count(*) * 10 >= n_shingles AS INTEGER) AS contaminated
            FROM tr JOIN ev USING (g)
            GROUP BY doc_id, n_shingles ORDER BY doc_id""",
+
+      // Multi-signal dedup: text band buckets (q_dedup_groups mirror) and
+      // hyperplane buckets (q_semantic_dedup mirror) unioned under a kind
+      // namespace, one transitive closure over the combined graph.
+      "q_dedup_multisignal" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs WHERE len(sh) > 0),
+           bb AS (
+             SELECT doc_id, b.band AS band, b.bh AS bh
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                     AS b
+                   FROM sig)),
+           buck AS (
+             SELECT vec_id, t.tbl AS tbl,
+               CAST(list_sum(list_transform(range(0, 16), b ->
+                 CASE WHEN list_reduce(list_prepend(0.0,
+                        list_transform(range(1, len(embedding)+1), j ->
+                          CAST(embedding[j] AS DOUBLE) *
+                          (CAST(((1000003*(t.tbl*16+b) + 7919*(j-1) + 12345)
+                                 * 2654435761) % 1000000007 AS DOUBLE)
+                           * 2.0 / 1000000007.0 - 1.0))),
+                      (x, y) -> x + y) >= 0
+                 THEN 1 << (15 - b) ELSE 0 END)) AS BIGINT) AS bucket
+             FROM embeddings, (SELECT unnest(range(0, 2)) AS tbl) t),
+           mem AS (
+             SELECT doc_id AS id, 'b' || CAST(band AS VARCHAR) AS kind,
+               bh AS key
+             FROM bb
+             UNION ALL
+             SELECT vec_id AS id, 'v' || CAST(tbl AS VARCHAR) AS kind,
+               bucket AS key
+             FROM buck),
+           edges AS (
+             SELECT DISTINCT a.id AS src, b.id AS dst
+             FROM mem a JOIN mem b ON a.kind = b.kind AND a.key = b.key),
+           reach AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           SELECT src AS id, min(dst) AS group_rep
+           FROM reach GROUP BY src ORDER BY id""",
 
       // Semantic dedup groups: the q_ann_lsh hyperplane-bucket mirror
       // (nbits=16, tables=2 matching the semanticDupGroups defaults)

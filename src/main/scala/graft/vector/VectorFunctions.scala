@@ -261,13 +261,27 @@ object VectorFunctions {
       nbits: Int = 16,
       tables: Int = 2,
       maxIters: Int = 25
-  ): DataFrame = {
-    val edges = corpus.select(
+  ): DataFrame =
+    graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(
+        hyperplaneEdges(corpus, idCol, vecCol, nbits, tables),
+        "id", Seq("table", "bucket"), maxIters)._1
+
+  /** vector ↔ hyperplane-bucket membership edges (id, table, bucket) — the
+    * semantic twin of [[graft.text.MinHash.bandEdges]]; the unit
+    * [[semanticDupGroups]] propagates over, and one of the two signals in
+    * multi-signal dedup.
+    */
+  def hyperplaneEdges(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nbits: Int = 16,
+      tables: Int = 2
+  ): DataFrame =
+    corpus.select(
       col(idCol).as("id"),
       posexplode(lshBuckets(col(vecCol), nbits, tables)).as(Seq("table", "bucket")))
-    graft.operators.ConnectedComponents
-      .labelPropagateWithRounds(edges, "id", Seq("table", "bucket"), maxIters)._1
-  }
 
   def lshTopK(
       corpus: DataFrame,

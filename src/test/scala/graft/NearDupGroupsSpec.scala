@@ -88,6 +88,25 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(!reps.contains(102L) && !reps.contains(103L), reps.toString)
   }
 
+  test("multi-signal dedup: a mixed chain (text link + embedding link) unifies transitively") {
+    import org.apache.spark.sql.functions._
+    // 1 ≈text 2 (shared shingles, unrelated vectors); 2 ≈emb 3 (near-equal
+    // vectors, disjoint vocab); 4 is unrelated in both signals
+    def v(axis: Int, jit: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d % 4 == axis) 1.0f else -1.0f) + jit * 1e-4f)
+    val docs = Seq(
+      (1L, doc(1)), (2L, doc(1, " x")), (3L, doc(500)), (4L, doc(900))
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, v(0, 0)), (2L, v(1, 0)), (3L, v(1, 1)), (4L, v(2, 0))
+    ).toDF("vec_id", "embedding")
+    val m = graft.operators.MultiSignalDedup
+      .groups(docs, "doc_id", "text", embs, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L, m.toString)
+    assert(m(4L) == 4L, m.toString)
+  }
+
   test("semanticDupGroups: near-identical embeddings group, separated clusters stay apart") {
     import org.apache.spark.sql.functions._
     // three tight clusters around orthogonal-ish directions in R^8:
