@@ -87,6 +87,36 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental dedup: later batches adopt earlier batches' groups via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("incdedup").toString
+    def doc(seed: Int, extra: String = ""): String =
+      (0 until 60).map(i => s"t${seed}_$i").mkString(" ") + extra
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingDedup.incrementalDedupBatch(
+        s"$base/index", s"$base/labels", "doc_id", "text"))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // batch 0: family A (1, 2) and a singleton
+      mem.addData((1L, doc(1)), (2L, doc(1, " x")), (10L, doc(77)))
+      q.processAllAvailable()
+      // batch 1: 20 joins family A; 21/22 form a fresh family
+      mem.addData((20L, doc(1, " y")), (21L, doc(500)), (22L, doc(500, " z")))
+      q.processAllAvailable()
+      val labels = spark.read.parquet(s"$base/labels")
+        .select("id", "group_rep").as[(Long, Long)].collect().toMap
+      assert(labels(1L) == 1L && labels(2L) == 1L && labels(10L) == 10L)
+      assert(labels(20L) == 1L, s"cross-batch adoption failed: $labels")
+      assert(labels(21L) == 21L && labels(22L) == 21L, labels.toString)
+      // index advanced once per batch and covers all reps
+      val reps = spark.read.parquet(s"$base/index/v=1")
+        .select("group_rep").distinct().as[Long].collect().toSet
+      assert(reps == Set(1L, 10L, 21L), reps.toString)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
