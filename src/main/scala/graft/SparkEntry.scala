@@ -579,6 +579,13 @@ object SparkEntry {
         .semanticDupGroups(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("id")),
 
+    // exact substring-overlap dedup (Lee et al. 2022's 50-token criterion):
+    // docs sharing ANY 50-token window group transitively — local and
+    // exact, catches long-quote embedding that whole-doc MinHash misses
+    "q_substring_dedup" -> ((s, dir) =>
+      MinHash.substringDupGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
     // MULTI-SIGNAL dedup: one connected-components pass over the UNION of
     // the text LSH graph and the embedding hyperplane graph — "duplicate
     // by surface text OR semantic similarity", transitively through mixed
@@ -2921,6 +2928,37 @@ object SparkEntry {
              CAST(count(*) * 10 >= n_shingles AS INTEGER) AS contaminated
            FROM tr JOIN ev USING (g)
            GROUP BY doc_id, n_shingles ORDER BY doc_id""",
+
+      // Substring-overlap dedup: 50-token windows from the same
+      // shingle/trim/lower tokenization, polyBase hashes (fold seeded 0),
+      // transitive closure over shared windows.
+      "q_substring_dedup" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           ws AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 50
+                 THEN list_distinct(list_transform(range(1, len(t) - 48),
+                        i -> array_to_string(t[i:i+49], ' ')))
+                 ELSE [] END AS w
+             FROM toks),
+           wh AS (
+             SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(g, '(?s).'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) AS wh
+             FROM (SELECT doc_id, unnest(w) AS g FROM ws)),
+           edges AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM wh a JOIN wh b ON a.wh = b.wh),
+           reach AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           SELECT src AS id, min(dst) AS group_rep
+           FROM reach GROUP BY src ORDER BY id""",
 
       // Multi-signal dedup: text band buckets (q_dedup_groups mirror) and
       // hyperplane buckets (q_semantic_dedup mirror) unioned under a kind

@@ -303,6 +303,46 @@ object MinHash {
     (newLabels, updatedIndex)
   }
 
+  /** Exact substring-overlap dedup groups: two docs are duplicates when
+    * they share ANY contiguous window of `windowTokens` tokens (the
+    * "50-token overlap" criterion of Lee et al. 2022, Deduplicating
+    * Training Data Makes Language Models Better — arXiv:2107.06499),
+    * closed transitively. Unlike MinHash (probabilistic, whole-doc
+    * similarity) this is exact and LOCAL: a doc that embeds a long quote
+    * of another doc groups with it even when the rest differs entirely.
+    *
+    * Shape: one [[graft.operators.ConnectedComponents]] fixpoint over the
+    * doc ↔ window-hash graph — windows come from the same
+    * [[TextFunctions.wordShingles]] kernel (n = windowTokens, distinct
+    * per doc), hashed with the polynomial family, so the whole construct
+    * mirrors into SQL and is hash-oracle-checked. Cost is linear in total
+    * tokens; the window-hash aggregation partially combines map-side.
+    * Docs shorter than `windowTokens` tokens produce no windows and are
+    * absent from the output (they cannot meet the overlap criterion).
+    *
+    * Window identity is the 30-bit-range polynomial hash (mod 1e9+7), so
+    * ~n²/2·10⁻⁹ spurious window collisions are expected across n distinct
+    * windows — at billions of windows swap in a 128-bit hash (same
+    * construction); the mod-P family is what keeps the operator
+    * cross-engine reproducible for the oracle gate.
+    */
+  def substringDupGroups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      maxIters: Int = 25
+  ): DataFrame = {
+    // wordShingles is already distinct per doc, so (id, wh) needs no
+    // extra dedup shuffle
+    val edges = docs.select(
+      col(idCol).as("id"),
+      explode(wordShingles(col(textCol), windowTokens)).as("__w"))
+      .select(col("id"), graft.functions.exprs.polyBase(col("__w")).as("wh"))
+    graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(edges, "id", Seq("wh"), maxIters)._1
+  }
+
   /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no
     * cross-engine hash parity). Built as one SQL expression so shift
     * amounts can be lambda variables (the Scala `shiftleft` helper only

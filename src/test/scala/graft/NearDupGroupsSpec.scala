@@ -88,6 +88,23 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(!reps.contains(102L) && !reps.contains(103L), reps.toString)
   }
 
+  test("substring dedup: a 50-token quote links docs, a 49-token quote does not") {
+    val a = (0 until 60).map(i => s"t1_$i")
+    def withQuote(id: Int, quoteLen: Int): String =
+      ((0 until 10).map(i => s"u${id}_$i") ++ a.slice(5, 5 + quoteLen) ++
+        (0 until 10).map(i => s"w${id}_$i")).mkString(" ")
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, withQuote(2, 50)), // embeds a full 50-token window of doc 1
+      (3L, withQuote(3, 49)), // one token short of the criterion
+      (4L, (0 until 55).map(i => s"z_$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = MinHash.substringDupGroups(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 1L, m.toString)
+    assert(m(3L) == 3L && m(4L) == 4L, m.toString)
+  }
+
   test("multi-signal dedup: a mixed chain (text link + embedding link) unifies transitively") {
     import org.apache.spark.sql.functions._
     // 1 ≈text 2 (shared shingles, unrelated vectors); 2 ≈emb 3 (near-equal
