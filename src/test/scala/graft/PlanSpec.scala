@@ -145,4 +145,35 @@ class PlanSpec extends SparkSpec {
     }
     assert(stages.exists(_.toString.contains("hyperplane_buckets")), plan.toString)
   }
+
+  test("whole-stage codegen covers the z-order clustering key") {
+    val df = graft.catalog.Tables.events(spark, dir)
+      .select(graft.functions.exprs.zValue(
+        pmod(col("user_id"), lit(1L << 20)),
+        pmod(col("event_id"), lit(1L << 20)), 20).as("z"))
+      .agg(max("z"))
+    val plan = finalPlan(df)
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("z_value")), plan.toString)
+  }
+
+  test("incremental dedup filters the bucket index with a broadcast semi join (no index-wide shuffle)") {
+    import graft.text.MinHash
+    val docs = graft.catalog.Tables.documents(spark, dir)
+    val index = MinHash.bandEdges(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      .withColumnRenamed("id", "group_rep")
+    val newEdges = MinHash.bandEdges(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    val touched = index.join(
+      broadcast(newEdges.select("band", "bh").distinct()),
+      Seq("band", "bh"), "left_semi")
+    val plan = finalPlan(touched.groupBy("group_rep").count())
+    val bcast = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty, s"expected broadcast semi join in:\n$plan")
+    assert(bcast.exists(_.joinType.toString.contains("LeftSemi")), plan.toString)
+  }
 }
