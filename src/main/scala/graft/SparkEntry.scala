@@ -1224,6 +1224,29 @@ object SparkEntry {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Unigram-LM surprisal scoring: the corpus's own unigram counts act as
+    // the language model; each token costs log2(n_total/count) bits and a
+    // doc's mean surprisal is the model-based quality signal (high = rare
+    // vocabulary / noise, low = common boilerplate) — the classic
+    // perplexity-filter shape with the LM table joined in. Same fixed-point
+    // integer log2 as q_tfidf, so sums/means are exact BIGINT arithmetic.
+    // Scale: the unigram table is vocab-sized (broadcastable when small;
+    // AQE picks the join); the per-doc agg partially combines map-side.
+    "q_unigram_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(cnts, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("s_e6", expr(log2e6Sql("n_total", "cnt")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s_e6")).as("sum_surprisal_e6"))
+        .withColumn("mean_surprisal_e6",
+          expr("sum_surprisal_e6 div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition quality signals (Gopher-style): duplicate-word and
     // duplicate-3-gram fractions per document — exact integer counts, one
     // floored double division
@@ -2561,6 +2584,46 @@ object SparkEntry {
       // The fold is a recursive CTE over the distinct df values, NOT
       // list_reduce: DuckDB 1.0's list_reduce cross-contaminates struct
       // accumulators between rows of a vector (batch-dependent results)
+      // Unigram surprisal: the q_tfidf fixed-point log machinery (recursive
+      // fold over DISTINCT count values — see that oracle's comment on
+      // DuckDB list_reduce) applied to n_total/cnt, summed per doc.
+      "q_unigram_surprisal" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+           nt AS (SELECT count(*) AS n_total FROM toks),
+           dv AS (SELECT cnt, n_total
+                  FROM (SELECT DISTINCT cnt FROM cnts) CROSS JOIN nt),
+           it AS (
+             SELECT cnt, n_total, 0 AS i,
+               (CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))
+                 / CAST((1::BIGINT << (length(bin(n_total // cnt)) - 1)) AS DOUBLE)
+                 AS m,
+               0::BIGINT AS k
+             FROM dv
+             UNION ALL
+             SELECT cnt, n_total, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM it WHERE i < 20),
+           sv AS (
+             SELECT cnt,
+               ((CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) * 1048576 + k)
+                 * 1000000) // 1048576 AS s_e6
+             FROM it WHERE i = 20),
+           per AS (
+             SELECT doc_id, count(*) AS n_tokens, sum(s_e6) AS sum_surprisal_e6
+             FROM toks JOIN cnts USING (token) JOIN sv USING (cnt)
+             GROUP BY doc_id)
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum_surprisal_e6 AS BIGINT) AS sum_surprisal_e6,
+             CAST(sum_surprisal_e6 // n_tokens AS BIGINT) AS mean_surprisal_e6
+           FROM per ORDER BY doc_id""",
+
       "q_tfidf" ->
         """WITH RECURSIVE toks AS (
              SELECT doc_id,
