@@ -31,6 +31,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.stratifiedEqualize(emptyEvents, "user_id", "event_id").count() == 0)
   }
 
+  test("dedup family degrades to empty output on empty corpora and empty batches") {
+    import graft.text.MinHash
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(MinHash.nearDupGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(MinHash.substringDupGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.vector.VectorFunctions
+      .semanticDupGroups(emptyVecs, "vec_id", "embedding").count() == 0)
+    assert(graft.operators.MultiSignalDedup
+      .groups(emptyDocs, "doc_id", "text", emptyVecs, "vec_id", "embedding")
+      .count() == 0)
+    // incremental: empty index + nonempty batch clusters the batch alone;
+    // nonempty index + empty batch returns no labels and the index intact
+    val docs = Seq((1L, (0 until 60).map(i => s"a_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emptyIndex = Seq.empty[(Long, Int, Long)].toDF("group_rep", "band", "bh")
+    val (l1, u1) = MinHash.nearDupGroupsIncremental(emptyIndex, docs, "doc_id", "text")
+    assert(l1.as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+    assert(u1.count() > 0)
+    val (l2, u2) = MinHash.nearDupGroupsIncremental(u1, emptyDocs, "doc_id", "text")
+    assert(l2.count() == 0 && u2.count() == u1.count())
+  }
+
   test("asof join with an empty right side keeps all left rows with null payload") {
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 5.0))
       .toDF("user_id", "ts", "event_id", "value")
