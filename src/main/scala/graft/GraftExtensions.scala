@@ -34,6 +34,10 @@ object GraftExtensions {
     ("poly_base",
       info("poly_base", "poly_base(str) - rolling polynomial hash base (mod 1e9+7)"),
       (es: Seq[Expression]) => PolyBase(es.head)),
+    ("poly_base2",
+      info("poly_base2",
+        "poly_base2(str) - independent second rolling hash (base 137 mod 998244353)"),
+      (es: Seq[Expression]) => PolyBase2(es.head)),
     ("poly_pow",
       info("poly_pow", "poly_pow(str) - 131^length(str) mod 1e9+7"),
       (es: Seq[Expression]) => PolyPow(es.head)),

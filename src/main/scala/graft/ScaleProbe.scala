@@ -130,9 +130,20 @@ object ScaleProbe {
         .groupBy("doc_id", "n").agg(count(lit(1))).count()
     }
 
+    def substr(df: DataFrame) = graft.text.MinHash
+      .substringDupGroups(df, "doc_id", "text").count()
+    // synthetic unit-free embeddings derived from doc_id (deterministic)
+    def withVecs(df: DataFrame) = df.select(col("doc_id"),
+      expr("""transform(sequence(1, 8),
+                i -> CAST(pmod(xxhash64(doc_id, i), 2000) / 1000.0 - 1.0 AS FLOAT))""")
+        .as("embedding"))
+    def multis(df: DataFrame) = graft.operators.MultiSignalDedup
+      .groups(df, "doc_id", "text", withVecs(df), "doc_id", "embedding").count()
+
     val textOps: Seq[(String, DataFrame => Any)] = Seq(
       "minhash_lsh" -> minhash, "simhash" -> simhash, "bpe_tokens" -> bpe,
-      "dedup_groups" -> groups, "tfidf" -> tfidf, "contamination" -> contam)
+      "dedup_groups" -> groups, "tfidf" -> tfidf, "contamination" -> contam,
+      "substr_dedup" -> substr, "multisignal" -> multis)
 
     def time(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -174,6 +185,35 @@ object ScaleProbe {
         val tag = s"random_${mult}x"
         println(f"$tag%-18s ${df.count()}%8d $t%8.2f $rounds%6d")
     }
+    // Incremental labeling cost vs corpus size at a FIXED 1000-doc batch:
+    // the O(batch) claim — the corpus is clustered and its index
+    // materialized OUTSIDE the timed step; only the batch labeling is
+    // timed. Flat t_inc across 100× corpus growth = the fixpoint really
+    // touches only the batch's bucket slice.
+    println(f"${"incremental"}%-18s ${"corpus"}%8s t_inc_s")
+    Seq(5000L, 100000L, 500000L).foreach { n =>
+      val corpus = synthDocs(n)
+      val edges = graft.text.MinHash.bandEdges(corpus, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (lab, _) = graft.operators.ConnectedComponents
+        .labelPropagateWithRounds(edges, "id", Seq("band", "bh"))
+      val index = edges.join(lab, Seq("id"))
+        .select(col("group_rep"), col("band"), col("bh")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.count()
+      val batch = spark.range(10000000L, 10001000L).select(
+        col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, 150),
+                  i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')""")
+          .as("text"))
+      val tInc = time {
+        graft.text.MinHash
+          .nearDupGroupsIncremental(index, batch, "doc_id", "text")._1.count()
+      }
+      println(f"batch_1k_vs_$n%-12d $n%8d $tInc%8.2f")
+      edges.unpersist(blocking = false); index.unpersist(blocking = false)
+    }
+
     val chain = spark.range(20000).select(col("id").as("doc_id"),
       expr("""array_join(transform(sequence(1, 150),
                 i -> concat('w', id * 5 + i)), ' ')""").as("text"))

@@ -2003,7 +2003,10 @@ object SparkEntry {
              SELECT doc_id, sh,
                unnest(list_transform(range(0, 8), j -> {'band': j, 'bh':
                  list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
-                   (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)})) AS b
+                   (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                 * 998244353 +
+                 list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
+                   (a, v) -> (a * 137 + (v % 998244353)) % 998244353)})) AS b
              FROM sig),
            cand AS (
              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
@@ -2413,7 +2416,10 @@ object SparkEntry {
              FROM (SELECT doc_id,
                      unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
                        list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
-                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                       * 998244353 +
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
                      AS b
                    FROM sig)),
            bb_old AS (SELECT * FROM bb WHERE doc_id % 5 <> 0),
@@ -2525,7 +2531,10 @@ object SparkEntry {
              FROM (SELECT doc_id,
                      unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
                        list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
-                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                       * 998244353 +
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
                      AS b
                    FROM sig)),
            edges AS (
@@ -2897,7 +2906,10 @@ object SparkEntry {
              FROM (SELECT doc_id,
                      unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
                        list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
-                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                       * 998244353 +
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
                      AS b
                    FROM sig)),
            edges AS (
@@ -2993,8 +3005,9 @@ object SparkEntry {
            GROUP BY doc_id, n_shingles ORDER BY doc_id""",
 
       // Substring-overlap dedup: 50-token windows from the same
-      // shingle/trim/lower tokenization, polyBase hashes (fold seeded 0),
-      // transitive closure over shared windows.
+      // shingle/trim/lower tokenization, identified by the PAIR of
+      // independent poly folds (131 mod 1e9+7, 137 mod 998244353) combined
+      // into one ~59-bit value, transitive closure over shared windows.
       "q_substring_dedup" ->
         """WITH RECURSIVE toks AS (
              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -3011,7 +3024,12 @@ object SparkEntry {
                list_reduce(list_prepend(CAST(0 AS BIGINT),
                  list_transform(regexp_extract_all(g, '(?s).'),
                    c -> CAST(unicode(c) AS BIGINT))),
-                 (a, b) -> (a * 131 + b) % 1000000007) AS wh
+                 (a, b) -> (a * 131 + b) % 1000000007)
+               * 998244353 +
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(g, '(?s).'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 998244353) AS wh
              FROM (SELECT doc_id, unnest(w) AS g FROM ws)),
            edges AS (
              SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
@@ -3052,7 +3070,10 @@ object SparkEntry {
              FROM (SELECT doc_id,
                      unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
                        list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
-                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)}))
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                       * 998244353 +
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
                      AS b
                    FROM sig)),
            buck AS (

@@ -41,6 +41,24 @@ case class PolyBase(child: Expression)
   override def prettyName: String = "poly_base"
 }
 
+/** Second independent polynomial hash (base 137 mod 998244353) — see
+  * [[PolyHash.base2]]. Paired with [[PolyBase]] to widen bucket keys past
+  * the 30-bit birthday horizon.
+  */
+case class PolyBase2(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.base2(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.base2($c)")
+  override protected def withNewChildInternal(c: Expression): PolyBase2 = copy(c)
+  override def prettyName: String = "poly_base2"
+}
+
 case class PolyPow(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -214,6 +232,7 @@ object exprs {
   private def ex(c: Column): Expression = bridge.expression(c)
   private def co(e: Expression): Column = bridge.column(e)
   def polyBase(c: Column): Column = co(PolyBase(ex(c)))
+  def polyBase2(c: Column): Column = co(PolyBase2(ex(c)))
   def polyPow(c: Column): Column = co(PolyPow(ex(c)))
   def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
   def cosineSim(a: Column, b: Column): Column = co(CosineSim(ex(a), ex(b)))

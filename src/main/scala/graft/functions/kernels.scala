@@ -40,6 +40,31 @@ object PolyHash {
     }
     acc
   }
+
+  /** Independent second member of the hash family: base 137 mod 998244353.
+    * Combined with [[base]] as `base(s)·P2 + base2(s)` it yields a ~59-bit
+    * fingerprint (max < 10^18, BIGINT-safe in both engines). A single
+    * 30-bit hash collides by birthday at ~10^5 keys — at corpus scale the
+    * spurious-collision graph crosses the percolation threshold and
+    * bucket-equality dedup glues unrelated docs (measured: 10M window
+    * hashes → 50k collision buckets → one giant ~100-round component).
+    * The pair pushes the birthday horizon to ~10^9 keys per bucket
+    * namespace and spurious edges to negligible at 100 TB.
+    */
+  val P2 = 998244353L
+  val M2 = 137L
+
+  def base2(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * M2 + cp) % P2
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }
 
 object SimHashKernel {

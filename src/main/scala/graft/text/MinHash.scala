@@ -56,18 +56,29 @@ object MinHash {
   }
 
   /** Band hashes: fold each of `bands` signature slices of length `rows`
-    * with the polynomial combiner (seed 17).
+    * with TWO independent polynomial combiners (seed 17; bases 131/137,
+    * mods 1e9+7/998244353), combined as `h1·998244353 + h2` — a ~59-bit
+    * bucket key (max < 10^18, BIGINT-safe in DuckDB). Bucket equality is
+    * taken as truth by the groups/incremental dedup operators (no
+    * pair-level verification), so a single 30-bit hash would glue
+    * unrelated docs once the corpus carries ≳10^5 distinct band values —
+    * measured on a 100k random corpus: 50k spurious collision buckets
+    * formed one giant flood-limited component. The pair keeps spurious
+    * fusions negligible past 10^9 distinct band values per band index.
     */
-  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    transform(
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column = {
+    def fold(mul: Long, mod: Long) = transform(
       sequence(lit(0), lit(bands - 1)),
       j =>
         aggregate(
           slice(sig, j * lit(rows) + lit(1), lit(rows)),
           lit(17L),
-          (acc, v) => (acc * lit(PolyMul) + pmod(v, lit(PolyMod))) % lit(PolyMod)
+          (acc, v) => (acc * lit(mul) + pmod(v, lit(mod))) % lit(mod)
         )
     )
+    zip_with(fold(PolyMul, PolyMod), fold(PolyMul2, PolyMod2),
+      (h1, h2) => h1 * lit(PolyMod2) + h2)
+  }
 
   /** Near-duplicate pairs: LSH candidates verified with exact Jaccard over
     * the shingle sets.
@@ -148,16 +159,16 @@ object MinHash {
     * Driver-side cost is ONE Spark job per round: the `changed` flag is
     * computed inside the propagation plan itself (the previous label rides
     * through the round's aggregations as a per-id constant, so no separate
-    * prev-join), the round's frame is lazily `localCheckpoint`ed, and a
-    * single `max(changed)` action both materializes the checkpoint
-    * (truncating lineage, so the optimizer never sees a plan that grows
-    * with the round count) and returns convergence. Round 1 folds the
-    * identity labeling into the edge frame itself — no initial distinct()
-    * shuffle and no first-round join. Each later round also applies a
-    * pointer-jumping shortcut (label ← min(label, previous label OF the
-    * label), the hash-to-min / big-star step of Kiveris et al.'s
-    * connected-components family), which collapses label chains
-    * geometrically — rounds scale with log(diameter), not diameter.
+    * prev-join), the round's frame is lineage-cut (stats-free — see
+    * [[graft.operators.ConnectedComponents]] on why `localCheckpoint`'s
+    * carried size estimate compounds exponentially in a fixpoint), and a
+    * single `max(changed)` action both materializes the cut RDD and
+    * returns convergence. Round 1 folds the identity labeling into the
+    * edge frame itself — no initial distinct() shuffle and no first-round
+    * join. Each later round also applies a pointer-jumping shortcut
+    * (label ← min(label, previous label OF the label), the hash-to-min /
+    * big-star step of Kiveris et al.'s connected-components family),
+    * which collapses label chains geometrically.
     *
     * Unlike [[nearDupPairs]] there is NO exact-Jaccard verification (that
     * would reintroduce the pairs), so a single colliding bucket fuses two
@@ -320,11 +331,15 @@ object MinHash {
     * Docs shorter than `windowTokens` tokens produce no windows and are
     * absent from the output (they cannot meet the overlap criterion).
     *
-    * Window identity is the 30-bit-range polynomial hash (mod 1e9+7), so
-    * ~n²/2·10⁻⁹ spurious window collisions are expected across n distinct
-    * windows — at billions of windows swap in a 128-bit hash (same
-    * construction); the mod-P family is what keeps the operator
-    * cross-engine reproducible for the oracle gate.
+    * Window identity is the PAIR of independent polynomial hashes
+    * (131 mod 1e9+7, 137 mod 998244353) combined into one ~59-bit long —
+    * a single 30-bit hash collides by birthday at ~10^5 windows, and the
+    * resulting spurious edges cross the random-graph percolation
+    * threshold (measured: 10M windows → 50k collision buckets → one
+    * giant >100-round component of unrelated docs). The 59-bit pair
+    * keeps the operator exact w.h.p. out to ~10^9 distinct windows while
+    * remaining cross-engine reproducible for the oracle gate; at
+    * trillions of windows widen to a third member (same construction).
     */
   def substringDupGroups(
       docs: DataFrame,
@@ -338,7 +353,9 @@ object MinHash {
     val edges = docs.select(
       col(idCol).as("id"),
       explode(wordShingles(col(textCol), windowTokens)).as("__w"))
-      .select(col("id"), graft.functions.exprs.polyBase(col("__w")).as("wh"))
+      .select(col("id"),
+        (graft.functions.exprs.polyBase(col("__w")) * lit(PolyMod2) +
+          graft.functions.exprs.polyBase2(col("__w"))).as("wh"))
     graft.operators.ConnectedComponents
       .labelPropagateWithRounds(edges, "id", Seq("wh"), maxIters)._1
   }

@@ -22,6 +22,14 @@ object TextFunctions {
   val PolyMod = 1000000007L
   val PolyMul = 131L
 
+  /** Independent second hash member (see [[graft.functions.PolyHash.base2]]):
+    * combined as `h1·PolyMod2 + h2` a bucket key spans ~59 bits, pushing
+    * birthday collisions from the ~10^5-key horizon of a single 30-bit hash
+    * out to ~10^9 keys — required for bucket-equality dedup at corpus scale.
+    */
+  val PolyMod2 = 998244353L
+  val PolyMul2 = 137L
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 

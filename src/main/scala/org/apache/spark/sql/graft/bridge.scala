@@ -22,4 +22,40 @@ object bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Lineage cut for iterative algorithms: compile `df` to an RDD, mark it
+    * for local checkpointing, and rewrap as a fresh [[LogicalRDD]] — like
+    * `Dataset.localCheckpoint(eager = false)` but WITHOUT carrying the
+    * origin plan's `Statistics` into the new leaf. `localCheckpoint`
+    * propagates the pre-cut size estimate (`originStats`), and in a
+    * fixpoint loop each round's estimate is a *product* over the previous
+    * round's (`SizeInBytesOnlyStatsPlanVisitor.visitJoin` multiplies
+    * children), so `sizeInBytes` compounds to BigInts with ~3^round digits
+    * and Catalyst stats visits start burning minutes of driver CPU per
+    * round by round ~10. A fresh leaf restores the default (conservative,
+    * never-broadcast) estimate each round: constant-cost planning at any
+    * round count. Physical output partitioning and ordering ARE preserved,
+    * so a following same-key join or aggregation doesn't re-shuffle. The
+    * RDD materializes (and truncates lineage) at the caller's next action.
+    */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    val physical = qe.executedPlan
+    val rdd = physical.execute().map(_.copy())
+    rdd.localCheckpoint()
+    // a PartitioningCollection can reference attributes the analyzed output
+    // doesn't expose; keep its first leaf, as Dataset.checkpoint does
+    def firstLeaf(p: org.apache.spark.sql.catalyst.plans.physical.Partitioning)
+        : org.apache.spark.sql.catalyst.plans.physical.Partitioning = p match {
+      case c: org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection =>
+        firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(
+        qe.analyzed.output, rdd, firstLeaf(physical.outputPartitioning),
+        physical.outputOrdering, isStreaming = false)(spark))
+  }
 }
