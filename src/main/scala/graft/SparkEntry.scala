@@ -1247,6 +1247,76 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 ranking (Robertson/Spärck Jones; k1 = 6/5, b = 3/4) for a fixed
+    // query-term set, in EXACT integer arithmetic: with T = total corpus
+    // tokens and N = n_docs, the per-term denominator
+    // tf + k1·(1 − b + b·dl/(T/N)) equals (10·tf·T + 3·T + 9·dl·N)/(10·T),
+    // so term score = idf_e6 · tf · 22 · T div (10·tf·T + 3·T + 9·dl·N)
+    // with idf_e6 the fixed-point log2(N/df) ([[log2e6Sql]]) — every
+    // compared value is one BIGINT integer division away from integer
+    // inputs, nothing for a library log or double rounding to flip.
+    // Magnitudes: idf_e6·tf·22·T ≲ 10^7·10^2·22·T — BIGINT-safe to
+    // corpus sizes of ~10^9 tokens; beyond that widen to DECIMAL(38,0).
+    // Scale: tf/dl partially aggregate map-side; df and the two corpus
+    // scalars broadcast; docs without query terms drop out of the semi
+    // join (they score 0 and are absent, documented contract).
+    "q_bm25" -> ((s, dir) => {
+      val qTerms = Seq("spark", "query", "table", "join", "stream")
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val qtoks = toks.filter(col("token").isin(qTerms: _*))
+      val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = qtoks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tTotal = toks.agg(count(lit(1)).as("t_total"))
+      tf.join(dl, "doc_id")
+        .join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(tTotal))
+        .withColumn("idf_e6", expr(log2e6Sql("n_docs", "df")))
+        .withColumn("term_e6", expr(
+          "(idf_e6 * tf * 22 * t_total) div (10*tf*t_total + 3*t_total + 9*dl*n_docs)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_terms"), sum("term_e6").as("score_e6"))
+        .orderBy(desc("score_e6"), col("doc_id"))
+        .limit(100)
+    }),
+
+    // Corpus-wide boilerplate removal (CCNet/Gopher line-dedup shape):
+    // split each doc into non-overlapping 3-token chunks, count each
+    // chunk's occurrences across the WHOLE corpus, drop chunks occurring
+    // >= 3 times, and reassemble the surviving chunks in position order.
+    // Chunk identity here is the exact string (collision-free by
+    // construction); at 100 TB the count table would key on the 59-bit
+    // hash pair instead and the reassembly join would carry hashes, same
+    // plan shape. Scale: the chunk count is one map-side-combinable
+    // aggregation; reassembly is a per-doc sort of its own chunks only.
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TF.tokens(col("text"))
+      val chunks = docs.select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(toks) + lit(2)) / lit(3)).cast("int") - lit(1)),
+          i => array_join(slice(toks, i * lit(3) + lit(1), lit(3)), " ")))
+          .as(Seq("pos", "chunk")))
+      val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+      chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("n_removed"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("cnt") < 3, struct(col("pos"), col("chunk"))))),
+              e => e.getField("chunk")),
+            " ").as("cleaned_text"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition quality signals (Gopher-style): duplicate-word and
     // duplicate-3-gram fractions per document — exact integer counts, one
     // floored double division
@@ -2632,6 +2702,83 @@ object SparkEntry {
              CAST(sum_surprisal_e6 AS BIGINT) AS sum_surprisal_e6,
              CAST(sum_surprisal_e6 // n_tokens AS BIGINT) AS mean_surprisal_e6
            FROM per ORDER BY doc_id""",
+
+      // BM25: same fixed-point-log recursive CTE as q_tfidf for idf over
+      // the (few) distinct df values of the query terms; the rest is pure
+      // BIGINT arithmetic mirroring the integer-folded k1=6/5, b=3/4
+      // formula (see the Spark-side comment for the derivation).
+      "q_bm25" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           qt AS (SELECT * FROM toks
+                  WHERE token IN ('spark','query','table','join','stream')),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+           dfreq AS (SELECT token, count(*) AS df
+                     FROM (SELECT DISTINCT doc_id, token FROM qt) GROUP BY 1),
+           nd AS (SELECT count(*) AS n_docs FROM documents),
+           tt AS (SELECT count(*) AS t_total FROM toks),
+           dv AS (SELECT df, n_docs
+                  FROM (SELECT DISTINCT df FROM dfreq) CROSS JOIN nd),
+           it AS (
+             SELECT df, n_docs, 0 AS i,
+               (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                 / CAST((1::BIGINT << (length(bin(n_docs // df)) - 1)) AS DOUBLE)
+                 AS m,
+               0::BIGINT AS k
+             FROM dv
+             UNION ALL
+             SELECT df, n_docs, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM it WHERE i < 20),
+           iv AS (
+             SELECT df,
+               ((CAST(length(bin(n_docs // df)) - 1 AS BIGINT) * 1048576 + k)
+                 * 1000000) // 1048576 AS idf_e6
+             FROM it WHERE i = 20),
+           scored AS (
+             SELECT tf.doc_id,
+               (idf_e6 * tf * 22 * t_total)
+                 // (10 * tf * t_total + 3 * t_total + 9 * dl * n_docs) AS term_e6
+             FROM tf
+             JOIN dl USING (doc_id)
+             JOIN dfreq USING (token)
+             JOIN iv USING (df)
+             CROSS JOIN nd CROSS JOIN tt)
+           SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+             CAST(score_e6 AS BIGINT) AS score_e6
+           FROM (SELECT doc_id, count(*) AS n_terms, sum(term_e6) AS score_e6
+                 FROM scored GROUP BY doc_id)
+           ORDER BY score_e6 DESC, doc_id LIMIT 100""",
+
+      // Boilerplate removal: non-overlapping 3-token chunks, corpus-wide
+      // occurrence counts, drop cnt >= 3, reassemble survivors in position
+      // order (string_agg ORDER BY pos == Spark's array_sort on (pos, chunk)
+      // structs since pos is unique per doc).
+      "q_boilerplate" ->
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           chunks AS (
+             SELECT doc_id, c.pos AS pos, c.chunk AS chunk
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, (len(t) + 2) // 3),
+                       i -> {'pos': i,
+                             'chunk': array_to_string(t[i*3+1:i*3+3], ' ')})) AS c
+                   FROM toks)),
+           freq AS (SELECT chunk, count(*) AS cnt FROM chunks GROUP BY 1)
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN cnt < 3 THEN chunk END, ' ' ORDER BY pos), '')
+               AS cleaned_text
+           FROM chunks JOIN freq USING (chunk)
+           GROUP BY doc_id ORDER BY doc_id""",
 
       "q_tfidf" ->
         """WITH RECURSIVE toks AS (
