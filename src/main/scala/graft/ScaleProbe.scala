@@ -223,6 +223,18 @@ object ScaleProbe {
     val nGroups = cg.select("group_rep").distinct().count()
     val t = (System.nanoTime() - t0) / 1e9
     println(f"chain_20k (${nGroups} comps)  $t%8.2f $cRounds%6d")
+    // Same chain with PERMUTED doc ids — label values no longer chain, so
+    // min-label propagation floods (Θ(diameter) rounds; it would blow the
+    // 40-round cap here) while star contraction rewires the topology
+    // itself: O(log² n) rounds for ANY id placement.
+    val permChain = chain.select(
+      (pmod(col("doc_id") * 48271L, lit(20011L))).as("doc_id"), col("text"))
+    val t1 = System.nanoTime()
+    val (sg, sRounds) = graft.text.MinHash
+      .nearDupGroupsStar(permChain, "doc_id", "text")
+    val sGroups = sg.select("group_rep").distinct().count()
+    val ts = (System.nanoTime() - t1) / 1e9
+    println(f"chain_20k_rand_ids star (${sGroups} comps)  $ts%8.2f $sRounds%6d")
     spark.stop()
   }
 }

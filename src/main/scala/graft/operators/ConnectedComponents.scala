@@ -97,4 +97,93 @@ object ConnectedComponents {
           "raise maxIters")
     (labels.select(col("id"), col("label").as("group_rep")), it)
   }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond", alg. 5 "two-phase") —
+    * the adversarial-topology fallback to [[labelPropagateWithRounds]].
+    *
+    * Min-label propagation converges in O(log diameter) rounds only when
+    * label VALUES chain (ids correlated with topology); when ids are
+    * random w.r.t. topology — hashed doc ids over a long chain of
+    * versioned near-dups — its pointer jump finds only short chains and
+    * information floods ~1 hop per round, i.e. Θ(diameter) rounds. The
+    * star steps rewrite the EDGE SET itself (every node links its
+    * greater/lesser neighbors directly to its minimum neighbor), which
+    * contracts any topology in O(log² n) rounds regardless of id
+    * placement — each round is two node-keyed aggregations + a join, same
+    * cost class as one propagation round, but the edge frame (not a label
+    * frame) is the carried state.
+    *
+    * Node encoding: callers fold bucket identities into the SAME long id
+    * space as the docs, disjointly and injectively (docs below
+    * `bucketBase`, buckets at `bucketBase + injective-encoding` — see
+    * [[graft.text.MinHash.nearDupGroupsStar]]). Every component contains
+    * at least one doc (buckets only occur on edges with a doc) and every
+    * doc id is below every bucket id, so the component minimum IS the
+    * minimum doc id — the same `group_rep` contract as label propagation,
+    * verified equivalent on randomized graphs in NearDupGroupsSpec.
+    *
+    * @param edgesIn two long columns (`aCol`, `bCol`), one row per edge;
+    *                endpoints must differ
+    * @return (labels(id, group_rep) for ALL nodes incl. buckets — filter
+    *         to doc range at the caller; rounds)
+    */
+  def starContractWithRounds(
+      edgesIn: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 40
+  ): (DataFrame, Int) = {
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage _
+    def sym(e: DataFrame) =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    // large-star: every neighbor v > u links to u's min neighbor (or u);
+    // small-star: every neighbor v <= u (plus u itself) links to it.
+    // Both emit canonical (a = greater, b = lesser) edges; self-loops drop.
+    def largeStar(e: DataFrame) = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame) = {
+      val s = sym(e)
+      val le = s.filter(col("v") <= col("u"))
+      val m = le.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      le.join(m, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionByName(m.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(greatest(col("x"), col("m")).as("a"),
+          least(col("x"), col("m")).as("b"))
+        .distinct()
+    }
+    var e = cut(edgesIn
+      .select(greatest(col(aCol), col(bCol)).as("a"),
+        least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = cut(smallStar(largeStar(e)))
+      // LS/SS are deterministic functions of the edge set, so
+      // SS(LS(E)) == E is an exact fixpoint test (one symmetric-diff job)
+      converged = next.unionByName(e)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
+      e = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starContract: did not reach fixpoint in $maxIters rounds — " +
+          "output would not be connected components; raise maxIters")
+    // fixpoint edge set is a union of stars (member a → root b)
+    val labels = e.select(col("a").as("id"), col("b").as("group_rep"))
+      .unionByName(
+        e.select(col("b").as("id"), col("b").as("group_rep")).distinct())
+    (labels, it)
+  }
 }

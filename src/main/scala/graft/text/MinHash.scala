@@ -212,6 +212,41 @@ object MinHash {
       "id", Seq("band", "bh"), maxIters)
   }
 
+  /** [[nearDupGroups]] via alternating large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents.starContractWithRounds]]) —
+    * same output contract, O(log² n) rounds on ANY topology. Use when the
+    * corpus can contain LONG near-dup chains (versioned documents,
+    * crawl re-fetches) with ids uncorrelated to edit order (hashed doc
+    * ids): min-label propagation floods such chains in Θ(diameter)
+    * rounds, while star contraction rewires them logarithmically
+    * (measured in ScaleProbe: a 20k-doc random-id chain).
+    *
+    * Node encoding: bucket (band, bh) → 2^40 + bh·bands + band, which is
+    * injective (band < bands) and keeps every bucket id above every doc
+    * id, so component minima are doc ids. Requires 0 <= doc id < 2^40
+    * and bh·bands + 2^40 within Long (holds for the 59-bit band hashes
+    * with bands <= 4; the default pairs posture of 8 bands stays on
+    * [[nearDupPairs]], which never runs a fixpoint).
+    */
+  def nearDupGroupsStar(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      maxIters: Int = 40
+  ): (DataFrame, Int) = {
+    require(bands <= 4, "bucket-node encoding needs bh*bands to stay in Long range")
+    val BucketBase = 1L << 40
+    val edges = bandEdges(docs, idCol, textCol, shingleN, k, bands)
+      .select(col("id").as("a"),
+        (lit(BucketBase) + col("bh") * lit(bands.toLong) + col("band")).as("b"))
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .starContractWithRounds(edges, "a", "b", maxIters)
+    (labels.filter(col("id") < BucketBase), rounds)
+  }
+
   /** doc ↔ LSH-bucket membership edges (id, band, bh) — the unit both
     * dedup-group operators propagate over, and (projected to group reps)
     * the stored bucket INDEX that [[nearDupGroupsIncremental]] matches new

@@ -55,6 +55,57 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(rounds <= 10, s"took $rounds rounds for a 63-hop chain")
   }
 
+  test("star contraction matches label propagation on family corpora and randomized graphs") {
+    import org.apache.spark.sql.functions._
+    // family corpus (same construction as the propagation tests)
+    val docs = ((0 until 40).map { i =>
+      val fam = i / 4
+      (i.toLong, doc(fam * 1000 + 1, s" v$i"))
+    } ++ Seq((100L, doc(7777)), (101L, doc(31337)))).toDF("doc_id", "text")
+    val viaProp = MinHash.nearDupGroups(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val (starLabels, _) = MinHash.nearDupGroupsStar(docs, "doc_id", "text")
+    val viaStar = starLabels.as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp, s"star=$viaStar prop=$viaProp")
+
+    // randomized bipartite graphs: star contraction and label propagation
+    // must produce identical components for any topology
+    val rng = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 120
+      val edges = (0 until 260).map { _ =>
+        (rng.nextInt(n).toLong, (1L << 40) + rng.nextInt(60).toLong)
+      }.toDF("a", "b")
+      val (prop, _) = graft.operators.ConnectedComponents
+        .labelPropagateWithRounds(
+          edges.select(col("a").as("id"), col("b").as("bucket")),
+          "id", Seq("bucket"), maxIters = 40)
+      val pm = prop.as[(Long, Long)].collect().toMap
+      val (star, _) = graft.operators.ConnectedComponents
+        .starContractWithRounds(edges, "a", "b")
+      val sm = star.filter(col("id") < (1L << 40))
+        .as[(Long, Long)].collect().toMap
+      assert(sm == pm, s"trial $trial: star=$sm prop=$pm")
+    }
+  }
+
+  test("star contraction stays logarithmic on a chain with RANDOM ids (flood-adversarial)") {
+    import org.apache.spark.sql.functions._
+    // chain of 300 nodes whose ids are a seeded permutation — label values
+    // don't chain, so min-label propagation floods ~1 hop/round while the
+    // star steps contract topologically
+    val perm = new scala.util.Random(7).shuffle((0 until 300).toVector)
+    val edges = (0 until 299).map(i =>
+      (perm(i).toLong, (1L << 40) + i.toLong)) ++
+      (1 until 300).map(i => (perm(i).toLong, (1L << 40) + (i - 1).toLong))
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .starContractWithRounds(edges.toDF("a", "b"), "a", "b")
+    val m = labels.filter(col("id") < (1L << 40))
+      .as[(Long, Long)].collect().toMap
+    (0 until 300).foreach(i => assert(m(i.toLong) == 0L, s"node $i -> ${m(i.toLong)}"))
+    assert(rounds <= 12, s"took $rounds rounds for a 300-hop random-id chain")
+  }
+
   test("incremental dedup: new batch adopts reps, bridges merge in the index, fresh families form new groups") {
     import org.apache.spark.sql.functions._
     // old corpus: family A (1..3), family B (10..11), singleton 20
