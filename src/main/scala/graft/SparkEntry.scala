@@ -33,37 +33,12 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 6))).cast("double")
 
-  /** Spark-SQL snippet computing log2(`num`/`den`)·1e6 (floored at a 2^-20
-    * quantization) as a BIGINT, for integer columns `num` >= `den` >= 1.
-    *
-    * Built ONLY from operations that IEEE 754 defines exactly — integer
-    * arithmetic, correctly-rounded double multiply, division by powers of
-    * two, comparisons — so any IEEE engine computes the identical integer.
-    * Library `log2` has 1-ulp latitude that can flip `floor(log2(x)*1e6)`
-    * across engines on boundary values; this construction cannot.
-    *
-    * Shape: integer part e = bitlength(num div den) - 1 (valid for any
-    * rational >= 1, since floor(log2(r)) == floor(log2(floor(r)))); the
-    * mantissa m0 = (num/den)/2^e in [1,2) is exact (power-of-two scaling
-    * only moves the exponent); the fractional part is the classic 20-step
-    * fixed-point binary log (square the mantissa, emit a bit, renormalize).
-    * The DuckDB oracles mirror this construction as a 20-step recursive CTE
-    * over the distinct inputs (NOT list_reduce — DuckDB 1.0's list_reduce
-    * cross-contaminates struct accumulators between rows of a vector), so
-    * the compared integers agree bit-for-bit.
+  /** Fixed-point log2(num/den)·1e6 as exact BIGINT — the cross-engine-safe
+    * log used wherever a compared column needs one. Moved to
+    * [[graft.text.CorpusOps.log2e6Sql]] (full construction notes there).
     */
-  private def log2e6Sql(num: String, den: String): String = {
-    val e = s"(length(conv(($num) div ($den), 10, 2)) - 1)"
-    val m0 = s"((CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / " +
-      s"CAST(shiftleft(CAST(1 AS BIGINT), $e) AS DOUBLE))"
-    val k = s"""aggregate(sequence(1, 20),
-      named_struct('m', $m0, 'k', CAST(0 AS BIGINT)),
-      (acc, i) -> IF(acc.m * acc.m >= CAST(2 AS DOUBLE),
-        named_struct('m', acc.m * acc.m / CAST(2 AS DOUBLE), 'k', acc.k * 2 + 1),
-        named_struct('m', acc.m * acc.m, 'k', acc.k * 2)),
-      acc -> acc.k)"""
-    s"(((CAST($e AS BIGINT) * 1048576 + $k) * 1000000) div 1048576)"
-  }
+  private def log2e6Sql(num: String, den: String): String =
+    graft.text.CorpusOps.log2e6Sql(num, den)
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
@@ -1086,6 +1061,14 @@ object SparkEntry {
       MinHash.nearDupGroups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // Same groups via large-star/small-star contraction — the
+    // adversarial-topology path (O(log² n) rounds for ANY id placement,
+    // see ConnectedComponents.starContractWithRounds). Shares
+    // q_dedup_groups' oracle: both must equal the recursive-CTE closure.
+    "q_dedup_groups_star" -> ((s, dir) =>
+      MinHash.nearDupGroupsStar(Tables.documents(s, dir), "doc_id", "text")._1
+        .orderBy("id")),
+
     // INCREMENTAL dedup: docs ending in 0 arrive as a "new batch" against
     // the already-clustered rest; the batch is labeled via the stored
     // (rep, band, bh) bucket index without re-clustering the corpus. New
@@ -1247,75 +1230,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // BM25 ranking (Robertson/Spärck Jones; k1 = 6/5, b = 3/4) for a fixed
-    // query-term set, in EXACT integer arithmetic: with T = total corpus
-    // tokens and N = n_docs, the per-term denominator
-    // tf + k1·(1 − b + b·dl/(T/N)) equals (10·tf·T + 3·T + 9·dl·N)/(10·T),
-    // so term score = idf_e6 · tf · 22 · T div (10·tf·T + 3·T + 9·dl·N)
-    // with idf_e6 the fixed-point log2(N/df) ([[log2e6Sql]]) — every
-    // compared value is one BIGINT integer division away from integer
-    // inputs, nothing for a library log or double rounding to flip.
-    // Magnitudes: idf_e6·tf·22·T ≲ 10^7·10^2·22·T — BIGINT-safe to
-    // corpus sizes of ~10^9 tokens; beyond that widen to DECIMAL(38,0).
-    // Scale: tf/dl partially aggregate map-side; df and the two corpus
-    // scalars broadcast; docs without query terms drop out of the semi
-    // join (they score 0 and are absent, documented contract).
-    "q_bm25" -> ((s, dir) => {
-      val qTerms = Seq("spark", "query", "table", "join", "stream")
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val qtoks = toks.filter(col("token").isin(qTerms: _*))
-      val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = qtoks.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val tTotal = toks.agg(count(lit(1)).as("t_total"))
-      tf.join(dl, "doc_id")
-        .join(broadcast(dfreq), "token")
-        .crossJoin(broadcast(nDocs))
-        .crossJoin(broadcast(tTotal))
-        .withColumn("idf_e6", expr(log2e6Sql("n_docs", "df")))
-        .withColumn("term_e6", expr(
-          "(idf_e6 * tf * 22 * t_total) div (10*tf*t_total + 3*t_total + 9*dl*n_docs)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_terms"), sum("term_e6").as("score_e6"))
+    // BM25 ranking for a fixed query-term set in EXACT integer arithmetic
+    // (see [[graft.text.CorpusOps.bm25]] for the k1=6/5, b=3/4 integer
+    // folding and the BIGINT-range analysis)
+    "q_bm25" -> ((s, dir) =>
+      graft.text.CorpusOps
+        .bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "query", "table", "join", "stream"))
+        .withColumnRenamed("id", "doc_id")
         .orderBy(desc("score_e6"), col("doc_id"))
-        .limit(100)
-    }),
+        .limit(100)),
 
-    // Corpus-wide boilerplate removal (CCNet/Gopher line-dedup shape):
-    // split each doc into non-overlapping 3-token chunks, count each
-    // chunk's occurrences across the WHOLE corpus, drop chunks occurring
-    // >= 3 times, and reassemble the surviving chunks in position order.
-    // Chunk identity here is the exact string (collision-free by
-    // construction); at 100 TB the count table would key on the 59-bit
-    // hash pair instead and the reassembly join would carry hashes, same
-    // plan shape. Scale: the chunk count is one map-side-combinable
-    // aggregation; reassembly is a per-doc sort of its own chunks only.
-    "q_boilerplate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toks = TF.tokens(col("text"))
-      val chunks = docs.select(
-        col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ((size(toks) + lit(2)) / lit(3)).cast("int") - lit(1)),
-          i => array_join(slice(toks, i * lit(3) + lit(1), lit(3)), " ")))
-          .as(Seq("pos", "chunk")))
-      val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-      chunks.join(freq, "chunk")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast("long").as("n_chunks"),
-          sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("n_removed"),
-          array_join(
-            transform(
-              array_sort(collect_list(
-                when(col("cnt") < 3, struct(col("pos"), col("chunk"))))),
-              e => e.getField("chunk")),
-            " ").as("cleaned_text"))
-        .orderBy("doc_id")
-    }),
+    // Corpus-wide boilerplate removal (CCNet/Gopher line-dedup shape at
+    // 3-token-chunk granularity — see [[graft.text.CorpusOps.removeBoilerplate]])
+    "q_boilerplate" -> ((s, dir) =>
+      graft.text.CorpusOps
+        .removeBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 3, maxOccurrences = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     // Repetition quality signals (Gopher-style): duplicate-word and
     // duplicate-3-gram fractions per document — exact integer counts, one
@@ -1647,6 +1580,54 @@ object SparkEntry {
     * tables). `events.ts` is TIMESTAMP_NS in the raw file; every oracle casts
     * it to µs TIMESTAMP, matching the engine's normalization (truncation).
     */
+  // Shared ground truth for q_dedup_groups AND q_dedup_groups_star: the
+  // same polynomial signature/band construction as q_minhash_lsh (k=16 but
+  // 4 bands × 4 rows), then a recursive transitive closure; group_rep =
+  // min reachable doc id. Closure size is Σ|component|² — fine for oracle
+  // scale, which is exactly why the engine side uses label propagation /
+  // star contraction instead.
+  private val dedupGroupsClosureSql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         FROM documents),
+       shs AS (
+         SELECT doc_id,
+           CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+2], ' ')))
+             ELSE [] END AS sh
+         FROM toks),
+       sig AS (
+         SELECT doc_id,
+           list_transform(range(0, 16), s ->
+             list_min(list_transform(sh, g ->
+               list_reduce(
+                 list_prepend(CAST(s + 1 AS BIGINT),
+                   list_transform(regexp_extract_all(g, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+         FROM shs WHERE len(sh) > 0),
+       bb AS (
+         SELECT doc_id, b.band AS band, b.bh AS bh
+         FROM (SELECT doc_id,
+                 unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
+                   list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                     (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                   * 998244353 +
+                   list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                     (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
+                 AS b
+               FROM sig)),
+       edges AS (
+         SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh),
+       reach AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       SELECT src AS id, min(dst) AS group_rep
+       FROM reach GROUP BY src ORDER BY id"""
+
   def oracleSql: Map[String, String] = {
     val evTs = "CAST(ts AS TIMESTAMP)"
     Map(
@@ -3021,53 +3002,13 @@ object SparkEntry {
              CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
            FROM orders ORDER BY o_orderkey""",
 
-      // Exact connected components of the LSH doc↔bucket graph: same
-      // polynomial signature/band construction as q_minhash_lsh (k=16 but
-      // 4 bands × 4 rows), then a recursive transitive closure; group_rep
-      // = min reachable doc id == the Spark side's label-propagation
-      // fixpoint. Closure size is Σ|component|² — fine for oracle scale,
-      // which is exactly why the engine side uses label propagation.
-      "q_dedup_groups" ->
-        """WITH RECURSIVE toks AS (
-             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-             FROM documents),
-           shs AS (
-             SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                 THEN list_distinct(list_transform(range(1, len(t) - 1),
-                        i -> array_to_string(t[i:i+2], ' ')))
-                 ELSE [] END AS sh
-             FROM toks),
-           sig AS (
-             SELECT doc_id,
-               list_transform(range(0, 16), s ->
-                 list_min(list_transform(sh, g ->
-                   list_reduce(
-                     list_prepend(CAST(s + 1 AS BIGINT),
-                       list_transform(regexp_extract_all(g, '(?s).'),
-                         c -> CAST(unicode(c) AS BIGINT))),
-                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
-             FROM shs WHERE len(sh) > 0),
-           bb AS (
-             SELECT doc_id, b.band AS band, b.bh AS bh
-             FROM (SELECT doc_id,
-                     unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
-                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
-                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
-                       * 998244353 +
-                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
-                         (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
-                     AS b
-                   FROM sig)),
-           edges AS (
-             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-             FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh),
-           reach AS (
-             SELECT src, dst FROM edges
-             UNION
-             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-           SELECT src AS id, min(dst) AS group_rep
-           FROM reach GROUP BY src ORDER BY id""",
+      // Exact connected components of the LSH doc↔bucket graph — see
+      // [[dedupGroupsClosureSql]] for the construction.
+      "q_dedup_groups" -> dedupGroupsClosureSql,
+
+      // identical ground truth for the star-contraction path: both
+      // engines' outputs must equal the same transitive closure
+      "q_dedup_groups_star" -> dedupGroupsClosureSql,
 
       "q_percentile_cont" ->
         """SELECT l_returnflag,

@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text operators (DataFrame → DataFrame): BM25 ranking and
+  * corpus-wide boilerplate removal. Both are built so every compared value
+  * is exact BIGINT arithmetic (see [[log2e6Sql]]) and therefore
+  * hash-oracle-checkable against DuckDB.
+  */
+object CorpusOps {
+
+  /** Spark-SQL snippet computing log2(`num`/`den`)·1e6 (floored at a 2^-20
+    * quantization) as a BIGINT, for integer columns `num` >= `den` >= 1.
+    *
+    * Built ONLY from operations that IEEE 754 defines exactly — integer
+    * arithmetic, correctly-rounded double multiply, division by powers of
+    * two, comparisons — so any IEEE engine computes the identical integer.
+    * Library `log2` has 1-ulp latitude that can flip `floor(log2(x)*1e6)`
+    * across engines on boundary values; this construction cannot.
+    *
+    * Shape: integer part e = bitlength(num div den) - 1 (valid for any
+    * rational >= 1, since floor(log2(r)) == floor(log2(floor(r)))); the
+    * mantissa m0 = (num/den)/2^e in [1,2) is exact (power-of-two scaling
+    * only moves the exponent); the fractional part is the classic 20-step
+    * fixed-point binary log (square the mantissa, emit a bit, renormalize).
+    * The DuckDB oracles mirror this construction as a 20-step recursive CTE
+    * over the distinct inputs (NOT list_reduce — DuckDB 1.0's list_reduce
+    * cross-contaminates struct accumulators between rows of a vector), so
+    * the compared integers agree bit-for-bit.
+    */
+  private[graft] def log2e6Sql(num: String, den: String): String = {
+    val e = s"(length(conv(($num) div ($den), 10, 2)) - 1)"
+    val m0 = s"((CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / " +
+      s"CAST(shiftleft(CAST(1 AS BIGINT), $e) AS DOUBLE))"
+    val k = s"""aggregate(sequence(1, 20),
+      named_struct('m', $m0, 'k', CAST(0 AS BIGINT)),
+      (acc, i) -> IF(acc.m * acc.m >= CAST(2 AS DOUBLE),
+        named_struct('m', acc.m * acc.m / CAST(2 AS DOUBLE), 'k', acc.k * 2 + 1),
+        named_struct('m', acc.m * acc.m, 'k', acc.k * 2)),
+      acc -> acc.k)"""
+    s"(((CAST($e AS BIGINT) * 1048576 + $k) * 1000000) div 1048576)"
+  }
+
+  /** BM25 document scores (Robertson/Spärck Jones; k1 = 6/5, b = 3/4) for a
+    * fixed query-term set, in EXACT integer arithmetic: with T = total
+    * corpus tokens and N = corpus docs, the per-term denominator
+    * tf + k1·(1 − b + b·dl/(T/N)) equals (10·tf·T + 3·T + 9·dl·N)/(10·T),
+    * so term score = idf_e6 · tf · 22 · T div (10·tf·T + 3·T + 9·dl·N)
+    * with idf_e6 the fixed-point log2(N/df) ([[log2e6Sql]]) — every value
+    * is one BIGINT integer division away from integer inputs, nothing for
+    * a library log or double rounding to flip.
+    *
+    * Magnitudes: idf_e6·tf·22·T stays in Long out to ~10^9 corpus tokens;
+    * beyond that widen the product to DECIMAL(38,0) (same construction).
+    * Scale: tf and dl partially aggregate map-side; df and the two corpus
+    * scalars broadcast; docs containing no query term drop out of the
+    * semi-join (score 0, absent — the documented contract).
+    *
+    * @return (id, n_terms, score_e6), one row per doc containing >= 1 term
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val qtoks = toks.filter(col("token").isin(terms: _*))
+    val tf = qtoks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = qtoks.select("id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tTotal = toks.agg(count(lit(1)).as("t_total"))
+    tf.join(dl, "id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(tTotal))
+      .withColumn("idf_e6", expr(log2e6Sql("n_docs", "df")))
+      .withColumn("term_e6", expr(
+        "(idf_e6 * tf * 22 * t_total) div (10*tf*t_total + 3*t_total + 9*dl*n_docs)"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum("term_e6").as("score_e6"))
+  }
+
+  /** Corpus-wide boilerplate removal (the CCNet/Gopher repeated-line dedup
+    * shape at sub-document granularity): split each doc into
+    * non-overlapping `chunkTokens`-token chunks, count each chunk's
+    * occurrences across the WHOLE corpus, drop chunks occurring more than
+    * `maxOccurrences` times, and reassemble the survivors in position
+    * order.
+    *
+    * Chunk identity is the exact chunk string (collision-free by
+    * construction); at 100 TB the count table would key on the 59-bit
+    * hash pair instead and the reassembly join would carry hashes — same
+    * plan shape. Scale: the chunk count is one map-side-combinable
+    * aggregation; reassembly sorts each doc's own chunks only.
+    *
+    * @return (id, n_chunks, n_removed, cleaned_text)
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 3,
+      maxOccurrences: Int = 2
+  ): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = lit(chunkTokens)
+    val chunks = docs.select(
+      col(idCol).as("id"),
+      posexplode(transform(
+        sequence(lit(0), ((size(toks) + n - lit(1)) / n).cast("int") - lit(1)),
+        i => array_join(slice(toks, i * n + lit(1), n), " ")))
+        .as(Seq("pos", "chunk")))
+    val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    chunks.join(freq, "chunk")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("cnt") > maxOccurrences, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cnt") <= maxOccurrences, struct(col("pos"), col("chunk"))))),
+            e => e.getField("chunk")),
+          " ").as("cleaned_text"))
+  }
+}

@@ -395,6 +395,30 @@ object MinHash {
       .labelPropagateWithRounds(edges, "id", Seq("wh"), maxIters)._1
   }
 
+  /** [[substringDupGroups]] via star contraction — quote chains (doc A
+    * quotes B quotes C …) with hashed doc ids are exactly the
+    * flood-adversarial topology, see [[nearDupGroupsStar]]. Window hashes
+    * are < 2^60, so `2^40 + wh` stays in Long and above every doc id.
+    */
+  def substringDupGroupsStar(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      maxIters: Int = 40
+  ): (DataFrame, Int) = {
+    val BucketBase = 1L << 40
+    val edges = docs.select(
+      col(idCol).as("a"),
+      explode(wordShingles(col(textCol), windowTokens)).as("__w"))
+      .select(col("a"),
+        (lit(BucketBase) + graft.functions.exprs.polyBase(col("__w")) * lit(PolyMod2) +
+          graft.functions.exprs.polyBase2(col("__w"))).as("b"))
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .starContractWithRounds(edges, "a", "b", maxIters)
+    (labels.filter(col("id") < BucketBase), rounds)
+  }
+
   /** 64-bit SimHash over tokens, xxhash64 bit-votes (rows-only check: no
     * cross-engine hash parity). Built as one SQL expression so shift
     * amounts can be lambda variables (the Scala `shiftleft` helper only

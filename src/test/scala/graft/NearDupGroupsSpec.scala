@@ -154,6 +154,10 @@ class NearDupGroupsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(m(1L) == 1L && m(2L) == 1L, m.toString)
     assert(m(3L) == 3L && m(4L) == 4L, m.toString)
+    // star-contraction path: identical groups
+    val ms = MinHash.substringDupGroupsStar(docs, "doc_id", "text")._1
+      .as[(Long, Long)].collect().toMap
+    assert(ms == m, s"star=$ms prop=$m")
   }
 
   test("multi-signal dedup: a mixed chain (text link + embedding link) unifies transitively") {
