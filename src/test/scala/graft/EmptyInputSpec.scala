@@ -52,6 +52,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(u1.count() > 0)
     val (l2, u2) = MinHash.nearDupGroupsIncremental(u1, emptyDocs, "doc_id", "text")
     assert(l2.count() == 0 && u2.count() == u1.count())
+    // star-contraction path: empty edges converge immediately to empty labels
+    assert(MinHash.nearDupGroupsStar(emptyDocs, "doc_id", "text")._1.count() == 0)
+    assert(graft.operators.ConnectedComponents
+      .starContractWithRounds(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      ._1.count() == 0)
+  }
+
+  test("corpus ops degrade to empty output on an empty corpus") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.CorpusOps
+      .bm25(emptyDocs, "doc_id", "text", Seq("spark", "query")).count() == 0)
+    assert(graft.text.CorpusOps
+      .removeBoilerplate(emptyDocs, "doc_id", "text").count() == 0)
   }
 
   test("asof join with an empty right side keeps all left rows with null payload") {

@@ -101,6 +101,23 @@ class PlanSpec extends SparkSpec {
     assert(bcasts.nonEmpty, plan.toString)
   }
 
+  test("q_bm25 broadcasts df and the corpus scalars; tf/dl partially aggregate") {
+    val df = SparkEntry.queries("q_bm25")(spark, dir)
+    val plan = finalPlan(df)
+    // df-per-term and the two 1-row corpus scalars must come to the tf
+    // side as broadcasts, never shuffling it
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.size >= 3, plan.toString)
+    // tf and dl aggregations combine map-side (partial before the exchange)
+    val partials = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+    }
+    assert(partials.nonEmpty, plan.toString)
+  }
+
   test("q_contamination eval-shingle side broadcasts (semi join, no tf-side shuffle)") {
     val df = SparkEntry.queries("q_contamination")(spark, dir)
     val bhj = finalPlan(df).collect { case j: BroadcastHashJoinExec => j }
