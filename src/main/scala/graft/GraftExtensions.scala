@@ -47,6 +47,10 @@ object GraftExtensions {
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    ("dot_product_long",
+      info("dot_product_long",
+        "dot_product_long(a, b) - exact integer dot product of bigint arrays"),
+      (es: Seq[Expression]) => DotProductLong(es.head, es(1))),
     ("ohlc_agg",
       info("ohlc_agg",
         "ohlc_agg(value, ord) - fused (open, high, low, close, n) aggregate over ord order"),

@@ -544,6 +544,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity search: two-stage int8 retrieval — integer-exact
+    // quantized shortlist (amax_e6 · Σ qcode·dcode, codes =
+    // floor(x·127/amax + ½)) re-ranked by true float cosine. The whole
+    // shortlist stage is BIGINT arithmetic, so candidates AND final ranks
+    // hash-match DuckDB end to end (see VectorFunctions.annInt8Rerank).
+    "q_ann_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .annInt8Rerank(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, shortlist = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-space near-dup GROUPS: connected components of the
     // vector↔hyperplane-bucket graph — the semantic twin of q_dedup_groups
     // (same ConnectedComponents fixpoint, hyperplane buckets instead of
@@ -1112,6 +1125,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // LEAKAGE-SAFE train/val/test split: the hash keys on the near-dup
+    // GROUP representative, so every member of a duplicate family lands in
+    // the same split — the guard against train/eval contamination via
+    // near-duplicates that a per-doc hash split cannot give. Docs with no
+    // shingles (no group) fall back to their own id (left join +
+    // coalesce). One fixpoint + one broadcastable label join on top of
+    // the shuffle-free hash filter.
+    "q_split_groupaware" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val groups = MinHash.nearDupGroups(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      docs.join(groups, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("group_rep"), col("doc_id")))
+        .select(
+          col("doc_id"),
+          col("group_key"),
+          graft.operators.Sampling.splitLabel(col("group_key")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // class-balanced downsample: every lang stratum cut to the smallest
     // stratum's size by hash order
     "q_stratified" -> ((s, dir) =>
@@ -1586,7 +1619,7 @@ object SparkEntry {
   // min reachable doc id. Closure size is Σ|component|² — fine for oracle
   // scale, which is exactly why the engine side uses label propagation /
   // star contraction instead.
-  private val dedupGroupsClosureSql =
+  private val dedupGroupsClosureCtes =
     """WITH RECURSIVE toks AS (
          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
          FROM documents),
@@ -1624,7 +1657,9 @@ object SparkEntry {
        reach AS (
          SELECT src, dst FROM edges
          UNION
-         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
+
+  private val dedupGroupsClosureSql = dedupGroupsClosureCtes + """
        SELECT src AS id, min(dst) AS group_rep
        FROM reach GROUP BY src ORDER BY id"""
 
@@ -2089,6 +2124,51 @@ object SparkEntry {
            FROM shs a JOIN shs b ON b.doc_id = a.doc_id + 1
            ORDER BY id_a""",
 
+      // Two-stage int8 retrieval: quantization (the q_vec_quant mirror),
+      // EXACT-BIGINT shortlist key amax_e6 · Σ qcode·dcode, float-cosine
+      // re-rank (the q_cosine_topk fold) over the shortlist only.
+      "q_ann_int8" ->
+        """WITH base AS (
+             SELECT vec_id, embedding,
+               greatest(CAST(list_max(embedding) AS DOUBLE),
+                        -CAST(list_min(embedding) AS DOUBLE), 1e-12) AS amax
+             FROM embeddings),
+           coded AS (
+             SELECT vec_id, embedding, amax,
+               CAST(floor(amax * 1e6) AS BIGINT) AS amax_e6,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+                 AS codes
+             FROM base),
+           q AS (SELECT vec_id AS query_id, embedding AS qe, codes AS qc
+                 FROM coded WHERE vec_id < 20),
+           s AS (
+             SELECT query_id, c.vec_id AS neighbor_id, qe, c.embedding AS ce,
+               c.amax_e6 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(qc)+1), i -> qc[i] * c.codes[i])),
+                 (x, y) -> x + y) AS int8_key
+             FROM q, coded c WHERE c.vec_id != query_id),
+           sl AS (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY int8_key DESC, neighbor_id) AS srank
+             FROM s),
+           re AS (
+             SELECT query_id, neighbor_id, int8_key, srank,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ce)+1),
+                    i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+             FROM sl WHERE srank <= 20),
+           r AS (
+             SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+             FROM re)
+           SELECT query_id, neighbor_id, sim, rank, int8_key,
+             CAST(srank AS INTEGER) AS srank
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
       "q_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                       FROM embeddings WHERE vec_id < 20),
@@ -2503,6 +2583,22 @@ object SparkEntry {
         """SELECT doc_id, lang, source FROM documents
            WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 10 < 1
            ORDER BY doc_id""",
+
+      // Group-aware split: the closure CTEs compute near-dup groups, then
+      // the q_split hash keys on the group rep (own id for groupless docs)
+      "q_split_groupaware" -> (dedupGroupsClosureCtes + """,
+           g AS (SELECT src AS id, min(dst) AS group_rep
+                 FROM reach GROUP BY src)
+           SELECT doc_id, group_key,
+             CASE WHEN h < 800 THEN 'train'
+                  WHEN h < 900 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, group_key,
+                   ((group_key % 1000000007) * 2654435761) % 1000000007 % 1000 AS h
+                 FROM (SELECT d.doc_id,
+                         coalesce(g.group_rep, d.doc_id) AS group_key
+                       FROM documents d LEFT JOIN g ON d.doc_id = g.id))
+           ORDER BY doc_id"""),
 
       "q_split" ->
         """SELECT lang,

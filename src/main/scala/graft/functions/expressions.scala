@@ -14,8 +14,12 @@ private[functions] object TypeChecks {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 }
-import TypeChecks.isFloatArray
+import TypeChecks.{isFloatArray, isLongArray}
 
 /** Custom Catalyst expressions for the engine's hot scalar kernels
   * (SURVEY.md §7.3 / builder guidance: native `Expression` with codegen
@@ -87,6 +91,27 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(l, r)
   override def prettyName: String = "dot_product"
+}
+
+/** Integer dot product over array<bigint> (int8-quantized retrieval's
+  * scoring kernel): exact BIGINT arithmetic, so quantized rankings are
+  * bit-reproducible across engines — unlike float folds there is no
+  * rounding to mirror at all.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> inputs")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductLong =
+    copy(l, r)
+  override def prettyName: String = "dot_product_long"
 }
 
 case class CosineSim(left: Expression, right: Expression)
@@ -235,6 +260,7 @@ object exprs {
   def polyBase2(c: Column): Column = co(PolyBase2(ex(c)))
   def polyPow(c: Column): Column = co(PolyPow(ex(c)))
   def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+  def dotProductLong(a: Column, b: Column): Column = co(DotProductLong(ex(a), ex(b)))
   def cosineSim(a: Column, b: Column): Column = co(CosineSim(ex(a), ex(b)))
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))

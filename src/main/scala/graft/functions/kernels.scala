@@ -126,6 +126,20 @@ object VectorKernels {
     acc
   }
 
+  /** Exact integer dot product over long arrays (int8 codes fit trivially:
+    * 64 dims × 127² < 2^21 per pair).
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = acc + a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) with the same
     * association as the fold-based form.
     */

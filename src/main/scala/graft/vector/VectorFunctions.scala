@@ -54,6 +54,58 @@ object VectorFunctions {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Two-stage quantized retrieval (the standard int8 shortlist + float
+    * re-rank posture of production ANN): corpus and query vectors are
+    * symmetric-int8 quantized per vector (codes = floor(x·127/amax + ½),
+    * the q_vec_quant construction), the shortlist is the top-`shortlist`
+    * by the EXACT-integer key amax_e6(doc) · Σ(qcode·dcode) — the query's
+    * own scale is constant per query and drops out of the ordering — and
+    * the final top-`k` re-ranks the shortlist by true float cosine.
+    *
+    * Every shortlist comparison is BIGINT arithmetic (codes and the
+    * floored per-vector scale), so the candidate set is bit-reproducible
+    * across engines; only the final re-rank touches floats (the same
+    * sequential fold the float top-k oracles already pin down). At scale
+    * the int8 corpus is 4× smaller than float32 — the scan stage streams
+    * codes only; full vectors are touched for shortlist·|queries| rows.
+    *
+    * Output: (query_id, neighbor_id, sim, rank, int8_key, srank) —
+    * rank 1..k by cosine, srank the candidate's shortlist position.
+    */
+  def annInt8Rerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 20
+  ): DataFrame = {
+    def coded(df: DataFrame, idAs: String, p: String) = df
+      .select(col(idCol).as(idAs), col(vecCol).as(s"__${p}v"))
+      .withColumn(s"__${p}amax",
+        greatest(array_max(col(s"__${p}v")).cast("double"),
+          -array_min(col(s"__${p}v")).cast("double"), lit(1e-12)))
+      .withColumn(s"__${p}c", expr(
+        s"transform(__${p}v, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / __${p}amax + 0.5) AS BIGINT))"))
+    val c = coded(corpus, "neighbor_id", "c")
+      .withColumn("__amax_e6", floor(col("__camax") * lit(1e6)).cast("long"))
+    val q = coded(queries, "query_id", "q")
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("int8_key").desc, col("neighbor_id"))
+    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("int8_key",
+        col("__amax_e6") * graft.functions.exprs.dotProductLong(col("__qc"), col("__cc")))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank"), col("int8_key"), col("srank").cast("int").as("srank"))
+  }
+
   /** All `tables` random-hyperplane bucket ids as an array (random
     * projection LSH, Charikar 2002), computed in one kernel pass
     * ([[graft.functions.HyperplaneBuckets]]: deterministic plane matrix,

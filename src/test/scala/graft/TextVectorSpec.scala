@@ -148,6 +148,11 @@ class TextVectorSpec extends SparkSpec {
     assert(r.getLong(0) === (97L * 131 + 98) % 1000000007L)
     assert(r.getLong(1) === (131L * 131) % 1000000007L)
     assert(r.getDouble(2) === 1.0)
+    val r2 = spark.sql(
+      """SELECT poly_base2('ab') AS b2,
+                dot_product_long(array(1L, 2L, 3L), array(4L, -5L, 6L)) AS d""").head()
+    assert(r2.getLong(0) === (97L * 137 + 98) % 998244353L)
+    assert(r2.getLong(1) === (4L - 10L + 18L))
   }
 
   test("SQL facade: ohlc_agg aggregate usable from spark.sql") {
