@@ -163,6 +163,22 @@ class PlanSpec extends SparkSpec {
     assert(stages.exists(_.toString.contains("hyperplane_buckets")), plan.toString)
   }
 
+  test("q_ann_int8: query side broadcasts and dot_product_long stays in codegen") {
+    val df = SparkEntry.queries("q_ann_int8")(spark, dir)
+    val plan = finalPlan(df)
+    // the 20-query side must broadcast (the corpus never shuffles for
+    // scoring), and the integer shortlist kernel must run inside a
+    // whole-stage-generated stage, not interpreted
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.nonEmpty, plan.toString)
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("dot_product_long")), plan.toString)
+  }
+
   test("whole-stage codegen covers the z-order clustering key") {
     val df = graft.catalog.Tables.events(spark, dir)
       .select(graft.functions.exprs.zValue(

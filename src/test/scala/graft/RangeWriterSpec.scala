@@ -9,6 +9,38 @@ import graft.storage.RangeWriter
 class RangeWriterSpec extends SparkSpec {
   import spark.implicits._
 
+  test("manifest: one row per file, exact counts and key ranges, invisible to data readers") {
+    import graft.storage.Manifest
+    val out = Files.createTempDirectory("manifest").toString + "/data"
+    val events = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "value")
+    RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)
+    Manifest.write(spark, out, "event_id")
+
+    val m = Manifest.read(spark, out)
+      .select("file", "rows", "min_key", "max_key")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._3)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(m.length == files.length, s"${m.length} manifest rows, ${files.length} files")
+    assert(m.map(_._2).sum == events.count())
+    // per-file min/max must match the actual file contents
+    m.foreach { case (f, rows, mn, mx) =>
+      val actual = spark.read.parquet(f).agg(
+        count(lit(1)), min("event_id"), max("event_id"))
+        .as[(Long, Long, Long)].head()
+      assert(actual == ((rows, mn, mx)), s"$f: $actual != ($rows, $mn, $mx)")
+    }
+    // range-written files: manifest proves disjoint coverage
+    m.sliding(2).foreach {
+      case Array((_, _, _, prevMax), (_, _, nextMin, _)) =>
+        assert(prevMax <= nextMin, s"overlap: $prevMax > $nextMin")
+      case _ =>
+    }
+    // the _manifest dir is hidden from dataset readers
+    assert(spark.read.parquet(out).count() == events.count())
+  }
+
   test("range-partitioned write yields disjoint, internally sorted files") {
     val out = Files.createTempDirectory("rangewrite").toString + "/sorted"
     val events = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
