@@ -557,6 +557,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN EVALUATION: recall@5 of the int8-shortlist+rerank path against
+    // exact float top-5 — the harness an ANN deployment runs before
+    // trading accuracy for the 4× bandwidth win. Per-query hit counts are
+    // exact integers (both constituent rankings are deterministic and
+    // independently oracled), so the whole evaluation hash-matches.
+    "q_ann_int8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val bf = VectorFunctions
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val i8 = VectorFunctions
+        .annInt8Rerank(emb, q, "vec_id", "embedding", k = 5, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      bf.join(i8, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .orderBy("query_id")
+    }),
+
     // embedding-space near-dup GROUPS: connected components of the
     // vector↔hyperplane-bucket graph — the semantic twin of q_dedup_groups
     // (same ConnectedComponents fixpoint, hyperplane buckets instead of
@@ -1663,6 +1683,48 @@ object SparkEntry {
        SELECT src AS id, min(dst) AS group_rep
        FROM reach GROUP BY src ORDER BY id"""
 
+  // Shared CTE chain for the int8 retrieval oracles (q_ann_int8 and its
+  // recall evaluation): per-vector quantization (the q_vec_quant mirror),
+  // exact-BIGINT shortlist key, float-cosine re-rank of the shortlist.
+  private val annInt8Ctes =
+    """WITH base AS (
+         SELECT vec_id, embedding,
+           greatest(CAST(list_max(embedding) AS DOUBLE),
+                    -CAST(list_min(embedding) AS DOUBLE), 1e-12) AS amax
+         FROM embeddings),
+       coded AS (
+         SELECT vec_id, embedding, amax,
+           CAST(floor(amax * 1e6) AS BIGINT) AS amax_e6,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+             AS codes
+         FROM base),
+       q AS (SELECT vec_id AS query_id, embedding AS qe, codes AS qc
+             FROM coded WHERE vec_id < 20),
+       s AS (
+         SELECT query_id, c.vec_id AS neighbor_id, qe, c.embedding AS ce,
+           c.amax_e6 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(qc)+1), i -> qc[i] * c.codes[i])),
+             (x, y) -> x + y) AS int8_key
+         FROM q, coded c WHERE c.vec_id != query_id),
+       sl AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY int8_key DESC, neighbor_id) AS srank
+         FROM s),
+       re AS (
+         SELECT query_id, neighbor_id, int8_key, srank,
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ce)+1),
+                i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+         FROM sl WHERE srank <= 20),
+       r AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         FROM re)"""
+
   def oracleSql: Map[String, String] = {
     val evTs = "CAST(ts AS TIMESTAMP)"
     Map(
@@ -2127,47 +2189,36 @@ object SparkEntry {
       // Two-stage int8 retrieval: quantization (the q_vec_quant mirror),
       // EXACT-BIGINT shortlist key amax_e6 · Σ qcode·dcode, float-cosine
       // re-rank (the q_cosine_topk fold) over the shortlist only.
-      "q_ann_int8" ->
-        """WITH base AS (
-             SELECT vec_id, embedding,
-               greatest(CAST(list_max(embedding) AS DOUBLE),
-                        -CAST(list_min(embedding) AS DOUBLE), 1e-12) AS amax
-             FROM embeddings),
-           coded AS (
-             SELECT vec_id, embedding, amax,
-               CAST(floor(amax * 1e6) AS BIGINT) AS amax_e6,
-               list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
-                 AS codes
-             FROM base),
-           q AS (SELECT vec_id AS query_id, embedding AS qe, codes AS qc
-                 FROM coded WHERE vec_id < 20),
-           s AS (
-             SELECT query_id, c.vec_id AS neighbor_id, qe, c.embedding AS ce,
-               c.amax_e6 * list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(1, len(qc)+1), i -> qc[i] * c.codes[i])),
-                 (x, y) -> x + y) AS int8_key
-             FROM q, coded c WHERE c.vec_id != query_id),
-           sl AS (
-             SELECT *, row_number() OVER (
-               PARTITION BY query_id ORDER BY int8_key DESC, neighbor_id) AS srank
-             FROM s),
-           re AS (
-             SELECT query_id, neighbor_id, int8_key, srank,
-               list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
-                 i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y)
-               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
-                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x + y))
-                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ce)+1),
-                    i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
-             FROM sl WHERE srank <= 20),
-           r AS (
-             SELECT *, CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
-             FROM re)
+      "q_ann_int8" -> (annInt8Ctes + """
            SELECT query_id, neighbor_id, sim, rank, int8_key,
              CAST(srank AS INTEGER) AS srank
-           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+      // Recall@5 of the int8 path vs exact float top-5: both rankings are
+      // the already-mirrored constructions; per-query hits are integers.
+      "q_ann_int8_recall" -> (annInt8Ctes + """,
+           i8 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+           bfs AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.embedding)+1),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+             FROM q, coded c WHERE c.vec_id != query_id),
+           bf AS (
+             SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM bfs) WHERE rnk <= 5)
+           SELECT bf.query_id AS query_id,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN i8.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+           FROM bf LEFT JOIN i8
+             ON bf.query_id = i8.query_id AND bf.neighbor_id = i8.neighbor_id
+           GROUP BY bf.query_id ORDER BY query_id"""),
 
       "q_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
