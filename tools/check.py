@@ -5,6 +5,7 @@ against DuckDB oracles and compare per-query (rows, schema, values).
 Usage: python3 tools/check.py [sfdir] [outdir]
 (run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
 """
+import functools
 import glob
 import json
 import math
@@ -13,6 +14,9 @@ import sys
 
 import duckdb
 import pyarrow.parquet as pq
+
+# per-query progress must reach the log even when stdout is a pipe/file
+print = functools.partial(print, flush=True)
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUTDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
