@@ -1694,7 +1694,7 @@ object SparkEntry {
          FROM embeddings),
        coded AS (
          SELECT vec_id, embedding, amax,
-           CAST(floor(amax * 1e6) AS BIGINT) AS amax_e6,
+           greatest(CAST(floor(amax * 1e6) AS BIGINT), CAST(1 AS BIGINT)) AS amax_e6,
            list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
              AS codes

@@ -62,6 +62,10 @@ object ConnectedComponents {
       .withColumnRenamed(idCol, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = null
+    // round N's checkpointed blocks are dead once round N+1 materializes
+    // (the new cut truncates lineage); unpersist them or a deep fixpoint
+    // holds every round's label frame in the block manager simultaneously
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -82,10 +86,12 @@ object ConnectedComponents {
           .select(col("id"),
             least(col("plabel"), coalesce(col("__jl"), col("plabel"))).as("label"),
             col("__prev"))
-      val next = org.apache.spark.sql.graft.bridge.cutLineage(jumped
+      val (next, nextRdd) = org.apache.spark.sql.graft.bridge.cutLineageTracked(jumped
         .select(col("id"), col("label"), (col("label") < col("__prev")).as("__changed")))
       val anyChanged = next.agg(max(col("__changed"))).head()
       converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
       labels = next.select("id", "label")
       it += 1
     }
@@ -134,7 +140,7 @@ object ConnectedComponents {
       bCol: String,
       maxIters: Int = 40
   ): (DataFrame, Int) = {
-    val cut = org.apache.spark.sql.graft.bridge.cutLineage _
+    val cutTracked = org.apache.spark.sql.graft.bridge.cutLineageTracked _
     def sym(e: DataFrame) =
       e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
@@ -148,8 +154,18 @@ object ConnectedComponents {
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b")).distinct()
     }
-    def smallStar(e: DataFrame) = {
-      val s = sym(e)
+    // small-star, with the PREVIOUS edge set riding through the step's own
+    // dedup aggregation tagged `__new = false`: per canonical edge,
+    // max(__new) says "in SS(LS(E))" and min(__new) says "not in E" (i.e.
+    // an ADDED edge). LS/SS are deterministic functions of the edge set,
+    // so SS(LS(E)) == E is an exact fixpoint test; set equality of two
+    // distinct sets is (no additions) && (|next| == |E|), and both facts
+    // come out of the round's single materializing action — no separate
+    // symmetric-difference job (which cost a second full-edge shuffle +
+    // driver barrier per round, the propagation path's folded changed-flag
+    // pattern applied here).
+    def smallStarDiff(eLs: DataFrame, ePrev: DataFrame) = {
+      val s = sym(eLs)
       val le = s.filter(col("v") <= col("u"))
       val m = le.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       le.join(m, "u")
@@ -157,23 +173,33 @@ object ConnectedComponents {
         .unionByName(m.select(col("u").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(greatest(col("x"), col("m")).as("a"),
-          least(col("x"), col("m")).as("b"))
-        .distinct()
+          least(col("x"), col("m")).as("b"), lit(true).as("__new"))
+        .unionByName(ePrev.select(col("a"), col("b"), lit(false).as("__new")))
+        .groupBy("a", "b")
+        .agg(max(col("__new")).as("__in_next"), min(col("__new")).as("__added"))
+        .filter(col("__in_next"))
+        .select(col("a"), col("b"), col("__added"))
     }
-    var e = cut(edgesIn
+    val (e0, rdd0) = cutTracked(edgesIn
       .select(greatest(col(aCol), col(bCol)).as("a"),
         least(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
+    var e = e0
+    var prevRdd: org.apache.spark.rdd.RDD[_] = rdd0
+    var cntE = e.count()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val next = cut(smallStar(largeStar(e)))
-      // LS/SS are deterministic functions of the edge set, so
-      // SS(LS(E)) == E is an exact fixpoint test (one symmetric-diff job)
-      converged = next.unionByName(e)
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1).isEmpty
-      e = next
+      val (next, nextRdd) = cutTracked(smallStarDiff(largeStar(e), e))
+      // one action: materializes the round AND returns (any added?, |next|)
+      val row = next.agg(max(col("__added")), count(lit(1))).head()
+      val anyAdded = !row.isNullAt(0) && row.getBoolean(0)
+      val cntNext = row.getLong(1)
+      converged = !anyAdded && cntNext == cntE
+      prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
+      e = next.select("a", "b")
+      cntE = cntNext
       it += 1
     }
     if (!converged)

@@ -26,12 +26,24 @@ object StreamingDedup {
     StructField("band", IntegerType),
     StructField("bh", LongType)))
 
-  private def latestVersion(spark: SparkSession, indexPath: String): Option[Long] = {
-    val dir = new java.io.File(indexPath)
-    if (!dir.isDirectory) None
-    else dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+  /** Highest COMPLETE index version under `indexPath`, or None.
+    *
+    * Listing goes through the Hadoop FileSystem API so the index can live
+    * on any supported store (file://, hdfs://, s3a://) — `java.io.File`
+    * would silently return None off the local disk and every batch would
+    * be labeled against an empty index. A version counts only if its
+    * directory carries the `_SUCCESS` marker Spark writes on commit, so a
+    * mid-write crash (partial v=N) falls back to the intact previous
+    * version, matching the replay contract in the class doc.
+    */
+  private[streaming] def latestVersion(spark: SparkSession, indexPath: String): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
       .sorted.lastOption
   }
 

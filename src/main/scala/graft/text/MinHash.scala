@@ -240,12 +240,27 @@ object MinHash {
     require(bands <= 4, "bucket-node encoding needs bh*bands to stay in Long range")
     val BucketBase = 1L << 40
     val edges = bandEdges(docs, idCol, textCol, shingleN, k, bands)
-      .select(col("id").as("a"),
+      .select(checkDocIdRange(col("id"), "nearDupGroupsStar").as("a"),
         (lit(BucketBase) + col("bh") * lit(bands.toLong) + col("band")).as("b"))
     val (labels, rounds) = graft.operators.ConnectedComponents
       .starContractWithRounds(edges, "a", "b", maxIters)
     (labels.filter(col("id") < BucketBase), rounds)
   }
+
+  /** Runtime guard for the star-contraction bucket-node encoding: doc ids
+    * MUST sit in [0, 2^40) or they collide with bucket-node space (or get
+    * silently dropped by the `id < BucketBase` output filter), producing
+    * wrong groups with no error. The motivating use case — hashed doc ids —
+    * is exactly where full-range/negative longs appear, so the precondition
+    * is enforced per edge row: the branch is codegen'd and free next to the
+    * shingle hashing, and a violation FAILS THE JOB with the offending id
+    * instead of corrupting output. Full-range ids should be remapped (e.g.
+    * `hash & ((1<<40)-1)` plus collision check, or zipWithIndex) first.
+    */
+  private def checkDocIdRange(id: Column, op: String): Column =
+    when(id >= 0L && id < (1L << 40), id).otherwise(raise_error(concat(
+      lit(s"$op: doc id out of [0, 2^40) — remap hashed/negative ids first: "),
+      id.cast("string"))))
 
   /** doc ↔ LSH-bucket membership edges (id, band, bh) — the unit both
     * dedup-group operators propagate over, and (projected to group reps)
@@ -409,7 +424,7 @@ object MinHash {
   ): (DataFrame, Int) = {
     val BucketBase = 1L << 40
     val edges = docs.select(
-      col(idCol).as("a"),
+      checkDocIdRange(col(idCol), "substringDupGroupsStar").as("a"),
       explode(wordShingles(col(textCol), windowTokens)).as("__w"))
       .select(col("a"),
         (lit(BucketBase) + graft.functions.exprs.polyBase(col("__w")) * lit(PolyMod2) +

@@ -69,6 +69,17 @@ object VectorFunctions {
     * the int8 corpus is 4× smaller than float32 — the scan stage streams
     * codes only; full vectors are touched for shortlist·|queries| rows.
     *
+    * Ranking caveat: the key `amax_e6 · Σ(qcode·dcode)` approximates
+    * dot-product order only when per-doc scales are COMPARABLE (e.g.
+    * unit-normalized embeddings, the usual cosine-retrieval posture).
+    * For mixed-sign dots a larger amax pushes a negative key further
+    * down, so adversarially heterogeneous scales can reorder the
+    * shortlist relative to true dot ranking — the float re-rank then
+    * only sees what the shortlist admitted (the recall@5 eval query
+    * measures this on the default data, not adversarial scales).
+    * `amax_e6` is clamped to ≥ 1 so near-zero vectors (amax < 1e-6)
+    * keep a direction-sensitive key instead of collapsing to 0.
+    *
     * Output: (query_id, neighbor_id, sim, rank, int8_key, srank) —
     * rank 1..k by cosine, srank the candidate's shortlist position.
     */
@@ -88,7 +99,8 @@ object VectorFunctions {
       .withColumn(s"__${p}c", expr(
         s"transform(__${p}v, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / __${p}amax + 0.5) AS BIGINT))"))
     val c = coded(corpus, "neighbor_id", "c")
-      .withColumn("__amax_e6", floor(col("__camax") * lit(1e6)).cast("long"))
+      .withColumn("__amax_e6",
+        greatest(floor(col("__camax") * lit(1e6)).cast("long"), lit(1L)))
     val q = coded(queries, "query_id", "q")
     val ws = Window.partitionBy("query_id")
       .orderBy(col("int8_key").desc, col("neighbor_id"))

@@ -38,7 +38,18 @@ object bridge {
     * so a following same-key join or aggregation doesn't re-shuffle. The
     * RDD materializes (and truncates lineage) at the caller's next action.
     */
-  def cutLineage(df: DataFrame): DataFrame = {
+  def cutLineage(df: DataFrame): DataFrame = cutLineageTracked(df)._1
+
+  /** [[cutLineage]] plus the underlying checkpointed RDD, so fixpoint
+    * loops can `unpersist` round N's blocks once round N+1 has
+    * materialized (localCheckpoint persists MEMORY_AND_DISK and nothing
+    * else ever frees it — a 25-round fixpoint would otherwise hold 25
+    * dead label frames in the block manager). Only unpersist AFTER an
+    * action has fully materialized every downstream frame that reads the
+    * RDD: local checkpointing truncates the consumer's lineage at its own
+    * materialization, after which the old blocks are unreachable anyway.
+    */
+  def cutLineageTracked(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -53,9 +64,10 @@ object bridge {
         firstLeaf(c.partitionings.head)
       case other => other
     }
-    classic.Dataset.ofRows(spark,
+    val cut = classic.Dataset.ofRows(spark,
       org.apache.spark.sql.execution.LogicalRDD(
         qe.analyzed.output, rdd, firstLeaf(physical.outputPartitioning),
         physical.outputOrdering, isStreaming = false)(spark))
+    (cut, rdd)
   }
 }
