@@ -71,7 +71,10 @@ object SparkEntry {
 
   // ---- queries ------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ resampleQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1+P2+P3+O1: projected, predicated, inclusive-range ordered scan.
     // Range bounds go to Tables.events too so the ns-domain equivalents
     // reach the Parquet scan (PushedFilters) below the ns→µs conversion.
@@ -1116,15 +1119,17 @@ object SparkEntry {
             .as("mae_e9"))
         .orderBy("vec_id")),
 
-    // sequential per-key recursion (EWMA) via the mapPartitions scan — not
-    // SQL-expressible without recursive CTEs, so rows-only here; the
-    // recursion itself is verified against a reference fold in ScalaTest
+    // sequential per-key recursion (EWMA) via the mapPartitions scan,
+    // FULL per-row output. α = 1/2 makes the recursion's two products
+    // exact halvings, so each step is the same three IEEE ops in any
+    // engine (q_ewma_fold pins the identical fold for last-values); the
+    // oracle replays every prefix with a windowed list_reduce, so the
+    // whole scan hash-matches — no rounding, no rows-only fallback.
     "q_ewma" -> ((s, dir) =>
       graft.operators.TimeSeries
         .ewma(ev(s, dir).select("user_id", "ts", "event_id", "value"),
           key = "user_id", time = "ts", tiebreak = "event_id",
-          value = "value", alpha = 0.2)
-        .withColumn("ewma", round(col("ewma"), 6))
+          value = "value", alpha = 0.5)
         .orderBy("user_id", "ts", "event_id")),
 
     // Z-order (Morton) clustering key over (user, minute): sorting writes
@@ -1681,6 +1686,64 @@ object SparkEntry {
         .orderBy("event_id")
     })
   )
+
+  /** A2 closure: the API supports 7 resample timeframes
+    * (`api.Processor.resampleOhlc`, reference
+    * `clickhouse_query_engine.py:177-190, 218-271`); 1m is oracled as
+    * q_ohlc_1m and 15m as the hand-written q_ohlc_resample_15m — these
+    * five close the family so every timeframe a reference user can ask
+    * for has its own green CORRECTNESS row. Both sides are generated from
+    * one template per timeframe (only the bucket width varies).
+    */
+  private val resampleTimeframes: Seq[(String, Int)] =
+    Seq("5m" -> 5, "30m" -> 30, "1h" -> 60, "4h" -> 240, "1d" -> 1440)
+
+  private def resampleQueries: Map[String, (SparkSession, String) => DataFrame] =
+    resampleTimeframes.map { case (tag, minutes) =>
+      s"q_ohlc_resample_$tag" -> ((s: SparkSession, dir: String) => {
+        val bars1m = Ohlc.bars(ev(s, dir), Seq("event_type"), "ts", "value", "event_id", 1)
+        Ohlc.withDerivedMetrics(
+            Ohlc.resample(bars1m, Seq("event_type"), "bar_ts", minutes))
+          .orderBy("event_type", "bar_ts")
+      })
+    }.toMap
+
+  // time_bucket's default origin (2000-01-03) sits a whole number of
+  // 4h/1d periods from the epoch Ohlc.bucketStart floors against, so the
+  // two bucketings agree for every timeframe here (and any minute width
+  // dividing a day).
+  private def resampleOracles(evTs: String): Map[String, String] =
+    resampleTimeframes.map { case (tag, minutes) =>
+      s"q_ohlc_resample_$tag" ->
+        s"""WITH pts AS (
+              SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
+                     $evTs AS ts, event_id, value
+              FROM events),
+            o AS (
+              SELECT *,
+                first_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+                last_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+              FROM pts),
+            m1 AS (
+              SELECT event_type, bar_ts, min(open_v) AS open, max(value) AS high,
+                     min(value) AS low, min(close_v) AS close,
+                     CAST(count(*) AS BIGINT) AS tick_count
+              FROM o GROUP BY event_type, bar_ts),
+            mN AS (
+              SELECT event_type, time_bucket(INTERVAL $minutes MINUTE, bar_ts) AS bN,
+                     arg_min(open, bar_ts) AS open, max(high) AS high,
+                     min(low) AS low, arg_max(close, bar_ts) AS close,
+                     CAST(sum(tick_count) AS BIGINT) AS tick_count
+              FROM m1 GROUP BY event_type, bN)
+            SELECT event_type, bN AS bar_ts, open, high, low, close, tick_count,
+                   CASE WHEN tick_count > 0 THEN (high - low) / tick_count END AS range_per_tick,
+                   CASE WHEN tick_count > 0 THEN abs(close - open) / tick_count END AS body_per_tick
+            FROM mN ORDER BY event_type, bar_ts"""
+    }.toMap
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -3258,6 +3321,18 @@ object SparkEntry {
                  FROM embeddings)
            GROUP BY label, pos ORDER BY label, pos""",
 
+      // per-row EWMA: each row's value is the fold over its own ordered
+      // prefix (windowed list; O(prefix) per row is oracle-scale-only —
+      // the engine side is the one-pass mapPartitions scan)
+      "q_ewma" ->
+        s"""SELECT user_id, ts, event_id, value,
+              list_reduce(list(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                (acc, x) -> x * 0.5 + acc * 0.5) AS ewma
+            FROM (SELECT user_id, $evTs AS ts, event_id, value FROM events)
+            ORDER BY user_id, ts, event_id""",
+
       "q_ewma_fold" ->
         """SELECT user_id,
              list_reduce(list(value ORDER BY ts, event_id),
@@ -3737,6 +3812,6 @@ object SparkEntry {
                ELSE 0.0 END AS scaled
            FROM events e JOIN s USING (event_type)
            ORDER BY event_id"""
-    )
+    ) ++ resampleOracles(evTs)
   }
 }
