@@ -36,7 +36,7 @@ object StreamingDedup {
     * mid-write crash (partial v=N) falls back to the intact previous
     * version, matching the replay contract in the class doc.
     */
-  private[streaming] def latestVersion(spark: SparkSession, indexPath: String): Option[Long] = {
+  private[graft] def latestVersion(spark: SparkSession, indexPath: String): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(indexPath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
@@ -71,5 +71,62 @@ object StreamingDedup {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(labelsPath)
     updated.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$batchId")
+  }
+
+  /** Prune old index versions — the versioning scheme accumulates one
+    * `v=N` directory per micro-batch, which at a long-running stream is
+    * an unbounded copy-count of the (bounded-size) index. Keeps the
+    * newest `keep` COMPLETE versions (`_SUCCESS` present) plus anything
+    * NEWER than the newest complete version (a possibly in-flight write
+    * must never be deleted); everything older goes, including partial
+    * crash leftovers. Replay safety: Structured Streaming replays at
+    * most the last uncommitted batch, which reads version batchId-1 —
+    * `keep >= 2` therefore always suffices; the default keeps headroom.
+    *
+    * @return the deleted version numbers (ascending)
+    */
+  def compactIndex(spark: SparkSession, indexPath: String, keep: Int = 3): Seq[Long] = {
+    require(keep >= 2, "keep >= 2: batch replay reads the previous version")
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Nil
+    val versioned = fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
+      .sortBy(-_._1)
+    val complete = versioned.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+    if (complete.isEmpty) return Nil
+    val keepSet = complete.take(keep).map(_._1).toSet
+    val newestComplete = complete.head._1
+    val toDelete = versioned
+      .filter { case (v, _) => v < newestComplete && !keepSet.contains(v) }
+    toDelete.foreach { case (_, p) => fs.delete(p, true) }
+    toDelete.map(_._1).sorted
+  }
+
+  /** Batch-mode reconciliation entry for a streamed label store: runs
+    * [[graft.text.MinHash.reconcileIncremental]] over the full corpus
+    * against the accumulated labels (e.g. `spark.read.parquet(labelsPath)`
+    * — the (id, group_rep) columns of the per-batch label dump), REPLACES
+    * the index with the fresh one as a new version (so the next
+    * micro-batch labels against ground truth), and returns the repair
+    * delta (id, old_rep, new_rep) to apply to the label store. Run it
+    * with the stream stopped (or between micro-batches) on the cadence
+    * bridge merges accumulate; follow with [[compactIndex]].
+    */
+  def reconcile(
+      corpus: DataFrame,
+      staleLabels: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val next = latestVersion(spark, indexPath).map(_ + 1).getOrElse(0L)
+    val (_, freshIndex, repairs) = graft.text.MinHash
+      .reconcileIncremental(corpus, staleLabels, idCol, textCol)
+    freshIndex.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$next")
+    repairs
   }
 }

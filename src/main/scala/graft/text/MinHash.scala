@@ -304,7 +304,9 @@ object MinHash {
     * index, so future batches see the united group), while the old
     * corpus's per-doc labels keep the stale larger rep until a periodic
     * full re-cluster reconciles them — the standard incremental-dedup
-    * contract.
+    * contract. [[reconcileIncremental]] is that reconciliation pass: run
+    * it on the cadence bridge merges accumulate (e.g. weekly at a
+    * daily-append posture).
     *
     * Cost is O(batch × bands) regardless of corpus size: a consistent
     * index has exactly one rep per bucket, so only the index slice whose
@@ -362,6 +364,54 @@ object MinHash {
       .distinct()
     newEdges.unpersist(blocking = false)
     (newLabels, updatedIndex)
+  }
+
+  /** Periodic reconciliation for the incremental-dedup lifecycle: a full
+    * re-cluster of the corpus that repairs the label staleness
+    * [[nearDupGroupsIncremental]] accumulates when later batches BRIDGE
+    * two pre-existing groups (the incremental pass merges the index, but
+    * already-stored per-doc labels keep the old, larger rep).
+    *
+    * Returns the ground-truth labeling, a fresh rep-projected bucket
+    * index (drop-in replacement for the stored one — bounded by the
+    * corpus edge count, same contract as the incremental updates), and
+    * the REPAIR DELTA (id, old_rep, new_rep) against `staleLabels` — at
+    * 100 TB the delta is what gets applied (rewrite only the label rows
+    * that moved, typically a tiny fraction), not a full label overwrite.
+    * Ids present in `staleLabels` but absent from the re-cluster (docs
+    * deleted from the corpus, or now too short to shingle) are not
+    * repaired — drop them with an anti-join on the fresh labels if the
+    * label store should forget them.
+    *
+    * Cost is one [[nearDupGroups]] fixpoint plus two linear joins —
+    * schedule it on the cadence bridge merges accumulate (e.g. weekly
+    * under daily appends); between passes the incremental index stays
+    * self-consistent, only per-doc labels lag.
+    */
+  def reconcileIncremental(
+      docs: DataFrame,
+      staleLabels: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      maxIters: Int = 25
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val edges = bandEdges(docs, idCol, textCol, shingleN, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (labels, _) = graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(edges, "id", Seq("band", "bh"), maxIters)
+    val freshIndex = edges.join(labels, Seq("id"))
+      .select(col("group_rep"), col("band"), col("bh")).distinct()
+    // staleLabels carries the (id, group_rep) contract of the label ops
+    val repairs = staleLabels
+      .select(col("id"), col("group_rep").as("old_rep"))
+      .join(labels, Seq("id"))
+      .filter(col("old_rep") =!= col("group_rep"))
+      .select(col("id"), col("old_rep"), col("group_rep").as("new_rep"))
+    edges.unpersist(blocking = false)
+    (labels, freshIndex, repairs)
   }
 
   /** Exact substring-overlap dedup groups: two docs are duplicates when

@@ -117,6 +117,54 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reconcileIncremental repairs stale per-doc labels and refreshes the index") {
+    import graft.text.MinHash
+    def doc(seed: Int, extra: String = ""): String =
+      (0 until 60).map(i => s"t${seed}_$i").mkString(" ") + extra
+    val emptyIndex = Seq.empty[(Long, Int, Long)].toDF("group_rep", "band", "bh")
+    // old corpus labeled first: near-dup family rep = 2, singleton 10
+    val old = Seq((2L, doc(1, " x")), (10L, doc(77))).toDF("doc_id", "text")
+    val (lbl0, idx0) = MinHash.nearDupGroupsIncremental(emptyIndex, old, "doc_id", "text")
+    // a later batch brings doc 1 — SAME family, lower id: the incremental
+    // pass merges the index under rep 1 but the stored label of 2 goes
+    // stale (kept rep 2; ground truth after the merge is 1)
+    val batch = Seq((1L, doc(1))).toDF("doc_id", "text")
+    val (lbl1, _) = MinHash.nearDupGroupsIncremental(idx0, batch, "doc_id", "text")
+    val stored = lbl0.unionByName(lbl1)
+    assert(stored.as[(Long, Long)].collect().toMap ==
+      Map(2L -> 2L, 10L -> 10L, 1L -> 1L)) // 2's label is now stale
+    val corpus = old.unionByName(batch)
+    val (labels, freshIdx, repairs) =
+      MinHash.reconcileIncremental(corpus, stored, "doc_id", "text")
+    assert(repairs.as[(Long, Long, Long)].collect().toSeq == Seq((2L, 2L, 1L)))
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L))
+    val reps = freshIdx.select("group_rep").distinct().as[Long].collect().toSet
+    assert(reps == Set(1L, 10L), reps.toString)
+  }
+
+  test("compactIndex prunes old and partial versions, keeps in-flight and replay horizon") {
+    val base = java.nio.file.Files.createTempDirectory("idxcompact").toString
+    val idx = s"$base/index"
+    // complete versions 0, 1, 3 (parquet writes commit _SUCCESS)
+    Seq(0, 1, 3).foreach { v =>
+      Seq((1L, 0, 42L)).toDF("group_rep", "band", "bh")
+        .write.parquet(s"$idx/v=$v")
+    }
+    // v=2: crash leftover (no _SUCCESS); v=4: in-flight newest (no _SUCCESS)
+    Seq(2, 4).foreach { v =>
+      val d = new java.io.File(s"$idx/v=$v")
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("part-partial.parquet"), "x")
+    }
+    // latestVersion must skip incomplete 4 and pick 3
+    assert(graft.streaming.StreamingDedup.latestVersion(spark, idx).contains(3L))
+    val deleted = graft.streaming.StreamingDedup.compactIndex(spark, idx, keep = 2)
+    assert(deleted == Seq(0L, 2L), deleted.toString)
+    val left = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(left == Set("v=1", "v=3", "v=4"), left.toString)
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
