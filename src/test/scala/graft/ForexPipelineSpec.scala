@@ -215,6 +215,46 @@ class ForexPipelineSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("timestamp", "bid", "ask"))
   }
 
+  test("fetcher end-to-end over loopback HTTP: stream, atomic move, 404 -> absent") {
+    import graft.ingest.TickFetcher
+    // real HTTP server on 127.0.0.1 (no egress): serves January's archive
+    // at the reference URL layout, 404s everything else
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new ZipOutputStream(bos)
+      zos.putNextEntry(new ZipEntry("Exness_EURUSD_Raw_Spread_2024_01.csv"))
+      zos.write(rawCsv.getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    val janPath = "/ticks/EURUSD_Raw_Spread/2024/01/Exness_EURUSD_Raw_Spread_2024_01.zip"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      if (ex.getRequestURI.getPath == janPath) {
+        ex.sendResponseHeaders(200, zipBytes.length.toLong)
+        ex.getResponseBody.write(zipBytes)
+      } else ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val spool = Files.createTempDirectory("graft_spool_http")
+      val fetched = TickFetcher.fetchMonths(base, spool, Seq((2024, 1), (2024, 2)))
+      // January streamed over HTTP and moved into place; February's 404
+      // maps to absent, not an error
+      assert(fetched.map(_.getFileName.toString) ===
+        Seq("Exness_EURUSD_Raw_Spread_2024_01.zip"))
+      // no .part leftovers from either the success or the 404 path
+      assert(!Files.list(spool).iterator().asScala.exists(_.toString.endsWith(".part")))
+      // the spooled bytes are the served archive, ingestable downstream
+      assert(Files.readAllBytes(fetched.head).sameElements(zipBytes))
+      val df = TickIngest.readZips(spark, fetched.head.toString)
+      assert(df.count() === 9)
+    } finally server.stop(0)
+  }
+
   test("incremental update regenerates only the touched months' partitions") {
     val (p, dir) = env // Jan+Feb already ingested
     val whDir = dir.resolve("warehouse")
