@@ -11,12 +11,15 @@ import graft.ohlc.Ohlc
   * shuffle-sound operator should scale ~linearly (ratio ≈ K on fixed
   * cores); superlinear growth exposes a plan that would not survive 100×.
   *
-  * Usage: runMain graft.ScaleProbe [K] (default 10); writes replicas under
-  * /tmp/graft_scaleprobe.
+  * Usage: runMain graft.ScaleProbe [K] [section...] (default 10, all
+  * sections); sections: relational text rounds incremental chain h2h.
+  * Writes replicas under /tmp/graft_scaleprobe.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sections = args.drop(1).toSet
+    def sec(name: String): Boolean = sections.isEmpty || sections(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -148,21 +151,25 @@ object ScaleProbe {
     def time(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + k + "x"}%8s ratio (data ${k}x)")
-    ops.foreach { case (name, f) =>
-      f(src); f(src) // warm
-      val t1 = time(f(src))
-      f(big)         // warm the big path once
-      val tk = time(f(big))
-      println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+    if (sec("relational")) {
+      println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + k + "x"}%8s ratio (data ${k}x)")
+      ops.foreach { case (name, f) =>
+        f(src); f(src) // warm
+        val t1 = time(f(src))
+        f(big)         // warm the big path once
+        val tk = time(f(big))
+        println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+      }
     }
-    println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + textK + "x"}%8s ratio (docs ${textK}x)")
-    textOps.foreach { case (name, f) =>
-      f(docsSrc); f(docsSrc)
-      val t1 = time(f(docsSrc))
-      f(docsBigR)
-      val tk = time(f(docsBigR))
-      println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+    if (sec("text")) {
+      println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + textK + "x"}%8s ratio (docs ${textK}x)")
+      textOps.foreach { case (name, f) =>
+        f(docsSrc); f(docsSrc)
+        val t1 = time(f(docsSrc))
+        f(docsBigR)
+        val tk = time(f(docsBigR))
+        println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+      }
     }
 
     // dedup-groups round-count probe: each fixpoint round is one
@@ -174,6 +181,7 @@ object ScaleProbe {
     // shares 145/150 words with doc i+1 ⇒ one giant component of diameter
     // ~20k), the diameter-adversarial shape where pointer jumping must
     // deliver logarithmic rounds.
+    if (sec("rounds")) {
     println(f"${"dedup_groups"}%-18s ${"docs"}%8s ${"wall_s"}%8s rounds")
     Seq(1 -> docsSrc, textK -> docsBigR, 100 -> synthDocs(500000L)).foreach {
       case (mult, df) =>
@@ -185,11 +193,13 @@ object ScaleProbe {
         val tag = s"random_${mult}x"
         println(f"$tag%-18s ${df.count()}%8d $t%8.2f $rounds%6d")
     }
+    }
     // Incremental labeling cost vs corpus size at a FIXED 1000-doc batch:
     // the O(batch) claim — the corpus is clustered and its index
     // materialized OUTSIDE the timed step; only the batch labeling is
     // timed. Flat t_inc across 100× corpus growth = the fixpoint really
     // touches only the batch's bucket slice.
+    if (sec("incremental")) {
     println(f"${"incremental"}%-18s ${"corpus"}%8s t_inc_s")
     Seq(5000L, 100000L, 500000L).foreach { n =>
       val corpus = synthDocs(n)
@@ -213,7 +223,8 @@ object ScaleProbe {
       println(f"batch_1k_vs_$n%-12d $n%8d $tInc%8.2f")
       edges.unpersist(blocking = false); index.unpersist(blocking = false)
     }
-
+    }
+    if (sec("chain")) {
     val chain = spark.range(20000).select(col("id").as("doc_id"),
       expr("""array_join(transform(sequence(1, 150),
                 i -> concat('w', id * 5 + i)), ' ')""").as("text"))
@@ -235,6 +246,57 @@ object ScaleProbe {
     val sGroups = sg.select("group_rep").distinct().count()
     val ts = (System.nanoTime() - t1) / 1e9
     println(f"chain_20k_rand_ids star (${sGroups} comps)  $ts%8.2f $sRounds%6d")
+    }
+    // Propagation vs star contraction HEAD-TO-HEAD (each round of either
+    // is one synchronous Spark job — round count × driver barrier is the
+    // 100 TB lever). Three topologies:
+    //  - family_500k: the realistic regime at 100× — 25k near-dup
+    //    families of 20 (star/clique shaped, diameter <= 2). Both should
+    //    converge in a handful of rounds; star's higher per-round cost
+    //    (edge rewriting + dedup agg vs label joins) is measured here.
+    //  - chain_600_rand_ids: the adversarial regime, sized so propagation
+    //    can actually CONVERGE inside the probe — ids uncorrelated with
+    //    topology make the pointer jump useless, so propagation floods
+    //    ~1 hop/round (Θ(diameter) rounds) while star contraction rewires
+    //    the same chain in O(log² n) rounds.
+    //  - random_100x: dup-free 500k — both converge immediately; measures
+    //    fixed per-round overhead at 100× scale.
+    def familyDocs(n: Long, fam: Int = 20): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        expr(s"""array_join(concat(
+                   transform(sequence(1, 145),
+                     i -> concat('f', pmod(xxhash64(id div $fam, i), 50000))),
+                   transform(sequence(1, 5), i -> concat('u', id, '_', i))),
+                 ' ')""").as("text"))
+    def headToHead(tag: String, df: DataFrame, propIters: Int): Unit = {
+      val tp0 = System.nanoTime()
+      val (pComps, pRounds) =
+        try {
+          val (g, r) = graft.text.MinHash
+            .nearDupGroupsWithRounds(df, "doc_id", "text", maxIters = propIters)
+          (g.select("group_rep").distinct().count(), r)
+        } catch { case _: IllegalStateException => (-1L, -1) } // hit cap
+      val tp = (System.nanoTime() - tp0) / 1e9
+      val ts0 = System.nanoTime()
+      val (sGr, sR) = graft.text.MinHash
+        .nearDupGroupsStar(df, "doc_id", "text", maxIters = 60)
+      val sComps = sGr.select("group_rep").distinct().count()
+      val tsw = (System.nanoTime() - ts0) / 1e9
+      println(f"$tag%-20s prop $tp%7.2fs /$pRounds%5d r ($pComps comps)   " +
+        f"star $tsw%7.2fs /$sR%4d r ($sComps comps)")
+    }
+    // chain position = id (doc id-th and (id+1)-th share 145/150 words);
+    // doc_id is a PERMUTATION of positions so label values cannot chain
+    val chain600 = spark.range(600).select(
+      pmod(col("id") * 48271L, lit(601L)).as("doc_id"),
+      expr("""array_join(transform(sequence(1, 150),
+                i -> concat('w', id * 5 + i)), ' ')""").as("text"))
+    if (sec("h2h")) {
+      println(f"${"head-to-head"}%-20s propagation vs star (rounds = driver barriers)")
+      headToHead("family_500k", familyDocs(500000L), propIters = 25)
+      headToHead("random_100x", synthDocs(500000L), propIters = 25)
+      headToHead("chain_600_rand_ids", chain600, propIters = 800)
+    }
     spark.stop()
   }
 }
