@@ -48,7 +48,8 @@ object Bench {
     // per-query timings go to a sidecar file; the final line carries a
     // representative headline subset (reference workload + extension ops).
     val headline = Seq(
-      "q1_pricing", "q_ticks_range", "q_ohlc_1m", "q_ohlc_resample_15m",
+      "q1_pricing", "q_ticks_range", "q_ohlc_1m", "q_ohlc_enriched",
+      "q_ohlc_resample_15m",
       "q_asof_join", "q_coverage", "q_cursor_page", "q_gap_months",
       "q_sql_q3", "q_join_agg", "q_top_revenue", "q_dedup", "q_dedup_exact",
       "q_minhash_lsh", "q_dedup_groups", "q_simhash", "q_ngram_jaccard",

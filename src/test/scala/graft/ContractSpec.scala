@@ -33,9 +33,13 @@ class ContractSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     val orphans = o.diff(q)
     assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
-    // rows-only queries are the documented exceptions, not accidents
+    // rows-only queries are the documented exceptions, not accidents:
+    // the two approximation sketches have no cross-engine twin, and the
+    // two calendar dumps are oracle INPUT fixtures (q_ohlc_enriched's
+    // DuckDB side joins against them — they are checked there, not here)
     val rowsOnly = q.diff(o)
-    val expectedRowsOnly = Set("q_approx_quantile", "q_hll_distinct", "q_ewma")
+    val expectedRowsOnly = Set("q_approx_quantile", "q_hll_distinct",
+      "q_calendar_intervals", "q_calendar_holidays")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries (add an oracle or update this list): " +
         s"${rowsOnly.diff(expectedRowsOnly)}")

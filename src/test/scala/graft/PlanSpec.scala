@@ -85,6 +85,20 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == manual.count())
   }
 
+  test("q_ohlc_enriched: calendar flag joins broadcast (no bar-side re-shuffle for enrichment)") {
+    val df = SparkEntry.queries("q_ohlc_enriched")(spark, dir)
+    val plan = finalPlan(df)
+    // the session-interval join and the holiday join must both be
+    // broadcast hash joins — the calendar tables are O(exchanges × days)
+    // rows and must never shuffle the bar stream at 100 TB
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected >=2 broadcast joins (intervals, holidays), got ${bhj.size}")
+    // no sort-merge join anywhere in the enrichment pipeline
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"unexpected sort-merge joins: ${smj.size}")
+  }
+
   test("q_tfidf top-k uses WindowGroupLimit pushdown and broadcasts the small sides") {
     val df = SparkEntry.queries("q_tfidf")(spark, dir)
     val plan = finalPlan(df)
