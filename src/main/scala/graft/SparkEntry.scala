@@ -1189,6 +1189,32 @@ object SparkEntry {
       labels.orderBy("id")
     }),
 
+    // RECONCILIATION of the incremental-dedup lifecycle: replay the
+    // q_dedup_incremental deployment (old corpus clustered, batch labeled
+    // against the stored index), take the ACCUMULATED label store
+    // (old-corpus labels ∪ incremental batch labels — exactly what a
+    // deployment has on disk), and emit reconcileIncremental's repair
+    // delta (id, old_rep, new_rep): the rows whose stored rep diverged
+    // from the full-recluster ground truth (bridge merges, lower-id
+    // adoptions). The oracle mirrors all three closures in SQL.
+    "q_dedup_reconcile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val oldEdges = MinHash.bandEdges(oldDocs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (oldLabels, _) = graft.operators.ConnectedComponents
+        .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
+      val index = oldEdges.join(oldLabels, Seq("id"))
+        .select(col("group_rep"), col("band"), col("bh")).distinct()
+      val (newLabels, _) =
+        MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
+      val stored = oldLabels.unionByName(newLabels)
+      val (_, _, repairs) =
+        MinHash.reconcileIncremental(docs, stored, "doc_id", "text")
+      repairs.orderBy("id")
+    }),
+
     // deterministic 1/10 hash sample — pure filter, no shuffle, same row
     // set at any scale/partitioning (operators.Sampling)
     "q_sample" -> ((s, dir) =>
@@ -2822,6 +2848,84 @@ object SparkEntry {
              SELECT r.src, e.dst FROM reach_j r JOIN edges_j e ON r.dst = e.src)
            SELECT src AS id, min(dst) AS group_rep
            FROM reach_j WHERE src % 5 = 0 GROUP BY src ORDER BY id""",
+
+      // Reconcile = stored labels (old-corpus closure ∪ incremental joint
+      // closure for the batch) diffed against the full-corpus closure.
+      // Shares the q_dedup_incremental construction; adds the all-docs
+      // closure and the repair diff.
+      "q_dedup_reconcile" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs WHERE len(sh) > 0),
+           bb AS (
+             SELECT doc_id, b.band AS band, b.bh AS bh
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, 4), j -> {'band': j, 'bh':
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                       * 998244353 +
+                       list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*4+1:j*4+4]),
+                         (a, v) -> (a * 137 + (v % 998244353)) % 998244353)}))
+                     AS b
+                   FROM sig)),
+           bb_old AS (SELECT * FROM bb WHERE doc_id % 5 <> 0),
+           bb_new AS (SELECT * FROM bb WHERE doc_id % 5 = 0),
+           edges_old AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bb_old a JOIN bb_old b ON a.band = b.band AND a.bh = b.bh),
+           reach_old AS (
+             SELECT src, dst FROM edges_old
+             UNION
+             SELECT r.src, e.dst FROM reach_old r JOIN edges_old e ON r.dst = e.src),
+           labels_old AS (
+             SELECT src AS id, min(dst) AS group_rep FROM reach_old GROUP BY src),
+           joint AS (
+             SELECT DISTINCT l.group_rep AS doc_id, b.band, b.bh
+             FROM bb_old b JOIN labels_old l ON b.doc_id = l.id
+             UNION
+             SELECT doc_id, band, bh FROM bb_new),
+           edges_j AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM joint a JOIN joint b ON a.band = b.band AND a.bh = b.bh),
+           reach_j AS (
+             SELECT src, dst FROM edges_j
+             UNION
+             SELECT r.src, e.dst FROM reach_j r JOIN edges_j e ON r.dst = e.src),
+           labels_new AS (
+             SELECT src AS id, min(dst) AS group_rep
+             FROM reach_j WHERE src % 5 = 0 GROUP BY src),
+           stored AS (
+             SELECT * FROM labels_old UNION ALL SELECT * FROM labels_new),
+           edges_all AS (
+             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh),
+           reach_all AS (
+             SELECT src, dst FROM edges_all
+             UNION
+             SELECT r.src, e.dst FROM reach_all r JOIN edges_all e ON r.dst = e.src),
+           labels_all AS (
+             SELECT src AS id, min(dst) AS group_rep FROM reach_all GROUP BY src)
+           SELECT s.id, s.group_rep AS old_rep, f.group_rep AS new_rep
+           FROM stored s JOIN labels_all f ON s.id = f.id
+           WHERE s.group_rep <> f.group_rep
+           ORDER BY s.id""",
 
       "q_sample" ->
         """SELECT doc_id, lang, source FROM documents
