@@ -49,12 +49,18 @@ object StreamingDedup {
 
   /** The foreachBatch function: wire with
     * `docsStream.writeStream.foreachBatch(StreamingDedup.incrementalDedupBatch(...))`.
+    *
+    * @param keepVersions compact the index after each batch, keeping this
+    *        many complete versions (default 3 — replay horizon + headroom,
+    *        see [[compactIndex]]); pass None to keep every version (e.g.
+    *        for time-travel debugging) and compact externally
     */
   def incrementalDedupBatch(
       indexPath: String,
       labelsPath: String,
       idCol: String,
-      textCol: String
+      textCol: String,
+      keepVersions: Option[Int] = Some(3)
   ): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val index = latestVersion(spark, indexPath) match {
@@ -71,6 +77,7 @@ object StreamingDedup {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(labelsPath)
     updated.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$batchId")
+    keepVersions.foreach(k => compactIndex(spark, indexPath, k))
   }
 
   /** Prune old index versions — the versioning scheme accumulates one

@@ -117,6 +117,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch auto-compaction bounds index versions while labeling stays correct") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("incdedupc").toString
+    def doc(seed: Int, extra: String = ""): String =
+      (0 until 60).map(i => s"t${seed}_$i").mkString(" ") + extra
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingDedup.incrementalDedupBatch(
+        s"$base/index", s"$base/labels", "doc_id", "text",
+        keepVersions = Some(2)))
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      mem.addData((1L, doc(1)), (10L, doc(77))); q.processAllAvailable()
+      mem.addData((2L, doc(1, " x")));           q.processAllAvailable()
+      mem.addData((3L, doc(1, " y")));           q.processAllAvailable()
+      mem.addData((4L, doc(500)));               q.processAllAvailable()
+      // cross-batch adoption intact through compacted history (batch 2's
+      // doc 3 adopts batch 0's family via an index version that batch 3's
+      // compaction later prunes)
+      val labels = spark.read.parquet(s"$base/labels")
+        .select("id", "group_rep").as[(Long, Long)].collect().toMap
+      assert(labels == Map(1L -> 1L, 10L -> 10L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+        labels.toString)
+      // only the newest 2 complete versions survive (v=2 kept for replay,
+      // v=3 newest; 0 and 1 pruned)
+      val versions = new java.io.File(s"$base/index").listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+      assert(versions == Seq("v=2", "v=3"), versions.toString)
+    } finally q.stop()
+  }
+
   test("reconcileIncremental repairs stale per-doc labels and refreshes the index") {
     import graft.text.MinHash
     def doc(seed: Int, extra: String = ""): String =
