@@ -59,6 +59,28 @@ class EmptyInputSpec extends SparkSpec {
       ._1.count() == 0)
   }
 
+  test("reconcile and enriched-OHLC degrade cleanly on empty inputs") {
+    import graft.text.MinHash
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "group_rep")
+    // empty corpus + empty store: nothing to relabel, nothing to repair
+    val (l, idx, rep) =
+      MinHash.reconcileIncremental(emptyDocs, emptyLabels, "doc_id", "text")
+    assert(l.count() == 0 && idx.count() == 0 && rep.count() == 0)
+    // nonempty stale store over an empty corpus: docs no longer present
+    // are NOT repaired (documented: drop via anti-join if desired)
+    val stale = Seq((5L, 7L)).toDF("id", "group_rep")
+    assert(MinHash.reconcileIncremental(emptyDocs, stale, "doc_id", "text")
+      ._3.count() == 0)
+    // empty tick frames: the 27-column generator returns an empty frame
+    // with the full schema (enrich takes its zero-flag early exit)
+    val emptyTicks = Seq.empty[(String, java.sql.Timestamp, Double, Double)]
+      .toDF("instrument", "timestamp", "bid", "ask")
+    val bars = graft.ohlc.OhlcGenerator.generate(emptyTicks, emptyTicks)
+    assert(bars.count() == 0)
+    assert(bars.columns.length == 27 && bars.columns.contains("is_nyse_session"))
+  }
+
   test("corpus ops degrade to empty output on an empty corpus") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.text.CorpusOps
