@@ -106,6 +106,19 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(rounds <= 12, s"took $rounds rounds for a 300-hop random-id chain")
   }
 
+  test("star path fails loudly on out-of-range doc ids instead of corrupting groups") {
+    // negative / >= 2^40 ids collide with bucket-node space — the guard
+    // must fail the job with the offending id, not return wrong groups
+    val bad = Seq((-5L, doc(1)), (1L, doc(1, " x"))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      MinHash.nearDupGroupsStar(bad, "doc_id", "text")._1.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("[0, 2^40)") && m.contains("-5")),
+      s"expected range-guard failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("incremental dedup: new batch adopts reps, bridges merge in the index, fresh families form new groups") {
     import org.apache.spark.sql.functions._
     // old corpus: family A (1..3), family B (10..11), singleton 20

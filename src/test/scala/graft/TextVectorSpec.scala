@@ -98,6 +98,27 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low on clustered data")
   }
 
+  test("int8 shortlist: near-zero-scale vectors keep a direction-sensitive key (amax clamp)") {
+    // docs with amax < 1e-6 used to collapse to int8_key = 0 regardless of
+    // direction; the clamp (amax_e6 >= 1) keeps the quantized dot's sign,
+    // so the aligned tiny vector must outrank the anti-aligned one in the
+    // shortlist ordering
+    val q = Seq((100L, Array.fill(8)(1e-0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array.fill(8)(1e-8f)),          // tiny, aligned with the query
+      (2L, Array.fill(8)(-1e-8f)),         // tiny, anti-aligned
+      (3L, Array.fill(8)(0.5f))            // normal-scale, aligned
+    ).toDF("vec_id", "embedding")
+    val out = VectorFunctions
+      .annInt8Rerank(corpus, q, "vec_id", "embedding", k = 3, shortlist = 3)
+      .select("neighbor_id", "int8_key", "srank")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L)._1 > 0, s"aligned tiny vector lost its sign: ${out(1L)}")
+    assert(out(2L)._1 < 0, s"anti-aligned tiny vector lost its sign: ${out(2L)}")
+    assert(out(1L)._2 < out(2L)._2,
+      s"shortlist must rank aligned above anti-aligned: $out")
+  }
+
   test("k-means trainer: objective improves, deterministic, recall holds") {
     val rnd = new scala.util.Random(7)
     val dim = 32
