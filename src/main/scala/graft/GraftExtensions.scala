@@ -51,6 +51,9 @@ object GraftExtensions {
       info("dot_product_long",
         "dot_product_long(a, b) - exact integer dot product of bigint arrays"),
       (es: Seq[Expression]) => DotProductLong(es.head, es(1))),
+    ("l2_sq",
+      info("l2_sq", "l2_sq(a, b) - sequential double squared-L2 distance of float arrays"),
+      (es: Seq[Expression]) => L2Sq(es.head, es(1))),
     ("ohlc_agg",
       info("ohlc_agg",
         "ohlc_agg(value, ord) - fused (open, high, low, close, n) aggregate over ord order"),

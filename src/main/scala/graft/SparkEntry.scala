@@ -635,6 +635,40 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // similarity search: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) —
+    // per-subspace codebooks trained by the decimal-exact Lloyd loop,
+    // corpus stored as m=4 codebook cells, per-query distance LUTs,
+    // sequential-fold ADC shortlist, true-cosine re-rank. The ENTIRE
+    // pipeline (training, encoding, ADC, re-rank) is mirrored in the
+    // DuckDB oracle, so this hash-checks end to end like q_ann_ivf_trained.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .pqRerank(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, m = 8, ksub = 16, shortlist = 50, trainIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN EVALUATION: recall@5 of the PQ-ADC+rerank path against exact
+    // float top-5 (the q_ann_int8_recall harness pointed at the 64×-
+    // compression operating point instead of int8's 4×). Exact-integer
+    // hit counts; hash-matches end to end.
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val bf = VectorFunctions
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val pq = VectorFunctions
+        .pqRerank(emb, q, "vec_id", "embedding", k = 5, m = 8, ksub = 16,
+          shortlist = 50, trainIters = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      bf.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .orderBy("query_id")
+    }),
+
     // embedding-space near-dup GROUPS: connected components of the
     // vector↔hyperplane-bucket graph — the semantic twin of q_dedup_groups
     // (same ConnectedComponents fixpoint, hyperplane buckets instead of
@@ -1869,6 +1903,99 @@ object SparkEntry {
            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          FROM re)"""
 
+  // Shared CTE chain for the product-quantization oracles (q_ann_pq and its
+  // recall evaluation): subvector slicing, hash-seeded codebooks, ONE
+  // unrolled Lloyd iteration per subspace (L2² argmin assignment with ties
+  // on cell, decimal-exact per-component means, empty cells keep their
+  // centroid), corpus encoding, per-query distance LUTs, sequential-fold
+  // ADC, float-cosine re-rank — the full VectorFunctions.pqRerank mirror.
+  private val annPqCtes = {
+    def l2(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1),
+            i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+               * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x,y) -> x + y)"""
+    val (m, ksub, iters) = (8, 16, 2)
+    // one unrolled Lloyd iteration: L2² argmin assignment (ties on cell),
+    // decimal-exact per-component means, empty cells keep their centroid
+    def lloyd(i: Int): String = {
+      val prev = s"cb${i - 1}"
+      s"""pa$i AS (
+         SELECT sub, cell, svec FROM (
+           SELECT v.sub, c.cell, v.svec,
+             row_number() OVER (PARTITION BY v.vec_id, v.sub
+               ORDER BY ${l2("v.svec", "c.cent")} ASC, c.cell) AS rk
+           FROM sv v JOIN $prev c ON c.sub = v.sub)
+         WHERE rk = 1),
+       pm$i AS (
+         SELECT sub, cell, pos,
+           CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS m
+         FROM (SELECT sub, cell, generate_subscripts(svec, 1) AS pos,
+                      unnest(svec) AS x FROM pa$i)
+         GROUP BY sub, cell, pos),
+       cb$i AS (
+         SELECT c.sub, c.cell, coalesce(u.newc, c.cent) AS cent
+         FROM $prev c LEFT JOIN (
+           SELECT sub, cell,
+             list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS newc
+           FROM pm$i GROUP BY sub, cell) u
+           ON u.sub = c.sub AND u.cell = c.cell)"""
+    }
+    s"""WITH sv AS (
+         SELECT e.vec_id, s.sub,
+           e.embedding[s.sub*(len(e.embedding)//$m)+1 :
+                       s.sub*(len(e.embedding)//$m)+(len(e.embedding)//$m)] AS svec
+         FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+       pqseeds AS (
+         SELECT vec_id FROM embeddings
+         ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id
+         LIMIT $ksub),
+       cb0 AS (
+         SELECT v.sub, v.vec_id AS cell, v.svec AS cent
+         FROM sv v JOIN pqseeds d ON d.vec_id = v.vec_id),
+       ${(1 to iters).map(lloyd).mkString(",\n       ")},
+       codes AS (
+         SELECT vec_id, sub, cell FROM (
+           SELECT v.vec_id, v.sub, c.cell,
+             row_number() OVER (PARTITION BY v.vec_id, v.sub
+               ORDER BY ${l2("v.svec", "c.cent")} ASC, c.cell) AS rk
+           FROM sv v JOIN cb$iters c ON c.sub = v.sub)
+         WHERE rk = 1),
+       lut AS (
+         SELECT v.vec_id AS query_id, v.sub, c.cell,
+           ${l2("v.svec", "c.cent")} AS d
+         FROM sv v JOIN cb$iters c ON c.sub = v.sub
+         WHERE v.vec_id < 20),
+       adc AS (
+         SELECT l.query_id, cd.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list(l.d ORDER BY l.sub)),
+             (x,y) -> x + y) AS adc
+         FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cell = cd.cell
+         WHERE cd.vec_id <> l.query_id
+         GROUP BY l.query_id, cd.vec_id),
+       psl AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS srank
+         FROM adc),
+       pre AS (
+         SELECT query_id, neighbor_id, adc, srank,
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.embedding)+1),
+             i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.embedding)+1),
+                i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ce.embedding)+1),
+                i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))), (x,y) -> x + y)))
+           AS sim
+         FROM psl
+         JOIN embeddings qe ON qe.vec_id = psl.query_id
+         JOIN embeddings ce ON ce.vec_id = psl.neighbor_id
+         WHERE srank <= 50),
+       pr AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         FROM pre)"""
+  }
+
   def oracleSql: Map[String, String] = {
     val evTs = "CAST(ts AS TIMESTAMP)"
     Map(
@@ -2438,6 +2565,42 @@ object SparkEntry {
            FROM bf LEFT JOIN i8
              ON bf.query_id = i8.query_id AND bf.neighbor_id = i8.neighbor_id
            GROUP BY bf.query_id ORDER BY query_id"""),
+
+      // Product-quantization ANN, the ENTIRE pipeline mirrored: codebook
+      // training (one Lloyd iteration per subspace, same decimal-exact
+      // discipline as q_ann_ivf_trained), encoding, sequential-fold ADC
+      // shortlist, float-cosine re-rank.
+      "q_ann_pq" -> (annPqCtes + """
+           SELECT query_id, neighbor_id, sim, rank, adc,
+             CAST(srank AS INTEGER) AS srank
+           FROM pr WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+      // Recall@5 of the PQ path vs exact float top-5 (the int8_recall
+      // harness at the 64×-compression operating point).
+      "q_ann_pq_recall" -> (annPqCtes + """,
+           pqr AS (SELECT query_id, neighbor_id FROM pr WHERE rank <= 5),
+           pbfs AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding)+1),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.embedding)+1),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+             FROM embeddings q, embeddings c
+             WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+           pbf AS (
+             SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM pbfs) WHERE rnk <= 5)
+           SELECT pbf.query_id AS query_id,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN pqr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+           FROM pbf LEFT JOIN pqr
+             ON pbf.query_id = pqr.query_id AND pbf.neighbor_id = pqr.neighbor_id
+           GROUP BY pbf.query_id ORDER BY query_id"""),
 
       "q_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

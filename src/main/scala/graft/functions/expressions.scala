@@ -93,6 +93,26 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Squared-L2 distance over array<float> (the PQ assignment / ADC metric):
+  * the same sequential double-precision fold as [[DotProduct]], so SQL
+  * oracles mirror it exactly.
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(l, r)
+  override def prettyName: String = "l2_sq"
+}
+
 /** Integer dot product over array<bigint> (int8-quantized retrieval's
   * scoring kernel): exact BIGINT arithmetic, so quantized rankings are
   * bit-reproducible across engines — unlike float folds there is no
@@ -262,6 +282,7 @@ object exprs {
   def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
   def dotProductLong(a: Column, b: Column): Column = co(DotProductLong(ex(a), ex(b)))
   def cosineSim(a: Column, b: Column): Column = co(CosineSim(ex(a), ex(b)))
+  def l2Sq(a: Column, b: Column): Column = co(L2Sq(ex(a), ex(b)))
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))
   def wordShingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))

@@ -126,6 +126,23 @@ object VectorKernels {
     acc
   }
 
+  /** Sequential left-to-right squared-L2 distance of two float arrays in
+    * double precision (≙ aggregate(zip_with(a,b,(x,y)->(x-y)·(x-y)), 0.0, +))
+    * — the PQ assignment/ADC metric. Same fold discipline as [[dot]], so a
+    * SQL oracle reproduces it bit-for-bit.
+    */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc = acc + d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Exact integer dot product over long arrays (int8 codes fit trivially:
     * 64 dims × 127² < 2^21 per pair).
     */

@@ -118,6 +118,177 @@ object VectorFunctions {
         col("rank"), col("int8_key"), col("srank").cast("int").as("srank"))
   }
 
+  /** Squared-L2 distance (sequential double fold — the PQ metric),
+    * computed by the codegen'd [[graft.functions.L2Sq]] kernel.
+    */
+  def l2Sq(a: Column, b: Column): Column = graft.functions.exprs.l2Sq(a, b)
+
+  private def subCol(vec: Column, sub: Column, m: Int): Column = {
+    // dim must be divisible by m; int-cast because Spark's `/` is always
+    // fractional and slice() requires int offsets
+    val dsub = (size(vec) / m).cast("int")
+    slice(vec, sub * dsub + 1, dsub)
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector space is
+    * split into `m` contiguous subspaces of dim/m components and each
+    * subspace gets its own `ksub`-centroid k-means codebook, trained by the
+    * same engine-portable Lloyd loop as [[kmeans]] — multiplicative-hash
+    * seeding (the first `ksub` corpus vectors' sub-slices; cells keyed by
+    * seed vec id), squared-L2 argmin assignment with ties on cell,
+    * decimal-exact per-component means, empty cells keep their previous
+    * centroid. All m codebooks train in the SAME jobs (subspace is just
+    * another grouping key), so training cost is one assign + one mean
+    * shuffle per iteration regardless of m.
+    *
+    * Returns (sub, cell, centroid: array<float>) — m·ksub rows, pinned to
+    * the driver per iteration like [[kmeans]] (k rows ≪ executor memory).
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 1
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val subIdx = explode(sequence(lit(0), lit(m - 1)))
+    val subs = vecs
+      .select(col("__id"), col("__v"), subIdx.as("sub"))
+      .select(col("__id"), col("sub"), subCol(col("__v"), col("sub"), m).as("__sv"))
+    val seedHash =
+      (col("__id").cast("long") % 1000000007L) * 2654435761L % 1000000007L
+    var cents = vecs.orderBy(seedHash, col("__id")).limit(ksub)
+      .select(col("__id").as("cell"), col("__v"), subIdx.as("sub"))
+      .select(col("sub"), col("cell"), subCol(col("__v"), col("sub"), m).as("__cent"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("__id", "sub").orderBy(col("__d").asc, col("cell"))
+      val assigned = subs
+        .join(broadcast(cents), Seq("sub"))
+        .withColumn("__d", l2Sq(col("__sv"), col("__cent")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("sub"), col("cell"), col("__sv"))
+      val updated = assigned
+        .select(col("sub"), col("cell"), posexplode(col("__sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos")
+        // decimal-exact mean, order-independent (the kmeans discipline)
+        .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cell"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("__new"))
+      cents = cents.join(updated, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("__new"), col("__cent")).as("__cent"))
+      cents = cents.sparkSession.createDataFrame(
+        cents.collectAsList(), cents.schema) // m·ksub rows: pin, cut lineage
+    }
+    cents.select(col("sub"), col("cell"), col("__cent").as("centroid"))
+  }
+
+  /** PQ codes for every corpus vector against trained codebooks:
+    * (id, sub, cell) — the nearest codebook centroid (squared-L2, ties on
+    * cell) per subspace. m rows per vector; at rest this is the m·log2(ksub)-
+    * bit compressed representation (64-dim float32 → 4 cells ≈ 64× smaller),
+    * which is the entire point of PQ at corpus scale: the ADC scan below
+    * streams codes only and never touches full vectors.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4
+  ): DataFrame = {
+    val subs = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("id"), col("sub"), subCol(col("__v"), col("sub"), m).as("__sv"))
+    val w = Window.partitionBy("id", "sub").orderBy(col("__d").asc, col("cell"))
+    subs
+      .join(broadcast(codebooks.select(col("sub"), col("cell"), col("centroid"))), Seq("sub"))
+      .withColumn("__d", l2Sq(col("__sv"), col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("sub"), col("cell"))
+  }
+
+  /** Product-quantization ANN with asymmetric distance computation and
+    * exact re-rank — the memory-bound scale path of production vector
+    * search (Jégou et al. 2011, the IVFPQ family): corpus vectors are
+    * stored as m codebook cells ([[pqEncode]]), each query precomputes a
+    * distance LUT (its squared-L2 to every codebook centroid — m·ksub
+    * doubles, broadcast), the approximate distance of a doc is the
+    * sequential sum of its m LUT entries in subspace order (ADC), the
+    * `shortlist` closest by ADC are re-ranked by true float cosine.
+    *
+    * Engine-portable end to end: L2 folds and the ADC sum are sequential
+    * double-precision folds (subspace order pinned by an array_sort), the
+    * codebook training is the decimal-exact Lloyd loop — so shortlist AND
+    * final ranking hash-match a SQL mirror, training included.
+    *
+    * Scale shape: the ADC stage joins corpus CODES (m small ints per doc —
+    * no vectors) to the broadcast LUT and partially aggregates; full
+    * vectors are touched only for shortlist·|queries| re-rank rows. At
+    * 10⁹×64-dim this is a 64× scan-bandwidth reduction vs float32 brute
+    * force, with the same plan shape as [[annInt8Rerank]] (whose 4× is the
+    * lighter-compression point on the same tradeoff curve).
+    *
+    * Output: (query_id, neighbor_id, sim, rank, adc, srank) — rank 1..k by
+    * true cosine within the shortlist, srank the ADC shortlist position.
+    */
+  def pqRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      shortlist: Int = 20,
+      trainIters: Int = 1
+  ): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, trainIters)
+    val codes = pqEncode(corpus, books, idCol, vecCol, m)
+      .withColumnRenamed("id", "neighbor_id")
+    // per-query distance LUT: |q|·m·ksub rows, broadcast to the code scan
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("query_id"), col("sub"), subCol(col("__qv"), col("sub"), m).as("__qsv"))
+      .join(books, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        l2Sq(col("__qsv"), col("centroid")).as("__d"))
+    val adc = codes
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      // ADC = sequential fold over subspace order (deterministic across
+      // engines; plain sum(double) would depend on partial-agg order)
+      .agg(array_sort(collect_list(struct(col("sub"), col("__d")))).as("__ds"))
+      .withColumn("adc",
+        expr("aggregate(__ds, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.__d)"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val ws = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id"))
+    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    adc
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"),
+        col("adc"), col("srank").cast("int").as("srank"))
+  }
+
   /** All `tables` random-hyperplane bucket ids as an array (random
     * projection LSH, Charikar 2002), computed in one kernel pass
     * ([[graft.functions.HyperplaneBuckets]]: deterministic plane matrix,

@@ -206,6 +206,23 @@ class PlanSpec extends SparkSpec {
     assert(stages.exists(_.toString.contains("z_value")), plan.toString)
   }
 
+  test("q_ann_pq: the ADC scan joins codes to a BROADCAST distance LUT and partially aggregates") {
+    val df = SparkEntry.queries("q_ann_pq")(spark, dir)
+    val plan = finalPlan(df)
+    // the corpus-codes side must stream into a broadcast hash join against
+    // the per-query LUT (codes never shuffle for scoring), and the ADC
+    // struct-collect must have a partial (map-side) aggregation step
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, plan.toString)
+    val partialAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.toString.contains("partial_collect_list") => a
+    }
+    assert(partialAggs.nonEmpty, s"expected partial collect_list in:\n$plan")
+  }
+
   test("incremental dedup filters the bucket index with a broadcast semi join (no index-wide shuffle)") {
     import graft.text.MinHash
     val docs = graft.catalog.Tables.documents(spark, dir)

@@ -160,6 +160,40 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"trained-IVF recall $recall too low on clustered data")
   }
 
+  test("PQ ANN: high recall on clustered vectors; codes compress to m cells") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val vecs = for { c <- 0 until 10; m <- 0 until 8 } yield {
+      val cRnd = new scala.util.Random(1000 + c)
+      val base = Array.fill(dim)(cRnd.nextGaussian().toFloat)
+      val noise = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 8 + m).toLong, base.zip(noise).map { case (a, b) => a + b })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val exact = VectorFunctions.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorFunctions.pqRerank(df, queries, "vec_id", "embedding", k = 5,
+      m = 4, ksub = 8, shortlist = 20, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall too low on clustered data")
+    // the compressed representation really is m cells per vector, each a
+    // valid codebook cell id
+    val books = VectorFunctions.pqCodebooks(df, "vec_id", "embedding", m = 4,
+      ksub = 8, iters = 2)
+    val cells = books.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val codes = VectorFunctions.pqEncode(df, books, "vec_id", "embedding", m = 4)
+    assert(codes.count() === vecs.length * 4L)
+    assert(codes.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(cells))
+    // determinism: retraining reproduces identical codebooks
+    val again = VectorFunctions.pqCodebooks(df, "vec_id", "embedding", m = 4,
+      ksub = 8, iters = 2).collect().map(_.toString).sorted
+    assert(books.collect().map(_.toString).sorted.sameElements(again))
+  }
+
   test("SQL facade: custom functions registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
