@@ -1444,6 +1444,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 line-level cleaning battery (Raffel et al. 2020 §2.2): per-line
+    // terminal-punctuation / min-5-words / javascript rules + doc-level
+    // lorem-ipsum / curly-brace / min-3-kept-lines rules. The synthetic
+    // corpus is single-line unpunctuated word soup, so the query first
+    // sentence-ifies it DETERMINISTICALLY (mirrored verbatim in the
+    // oracle): two literal word substitutions plant the javascript /
+    // lorem-ipsum / brace triggers, then every 10th token break becomes a
+    // ".\n" line break — after which the REAL C4 rules run and every rule
+    // fires. The operator itself (TextFunctions.c4KeptLines / c4Keep) is
+    // plain newline-line C4, additionally ScalaTested on realistic docs.
+    "q_c4_filter" -> ((s, dir) => {
+      val derived = regexp_replace(
+        replace(replace(col("text"), lit("spark"), lit("javascript")),
+          lit("vector"), lit("lorem ipsum {")),
+        "((\\S+\\s+){9}\\S+)\\s+", "$1.\n")
+      val kept = TF.c4KeptLines(col("c4text"))
+      Tables.documents(s, dir)
+        .withColumn("c4text", derived)
+        .select(
+          col("doc_id"),
+          size(TF.docLines(col("c4text"))).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept_lines"),
+          array_join(kept, "\n").as("clean_text"),
+          (!lower(col("c4text")).contains("lorem ipsum")).cast("int").as("f_lorem"),
+          (!col("c4text").contains("{")).cast("int").as("f_brace"),
+          TF.c4Keep(col("c4text")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Composite Gopher-style quality filter: every predicate is integer
     // arithmetic (ratio bounds as cross-multiplications) so keep/reason
     // flags hash-match exactly
@@ -3429,6 +3458,36 @@ object SparkEntry {
                THEN floor((n_3grams - n_uniq_3grams) * 1e6 / n_3grams) / 1e6 END
                AS dup_3gram_frac
            FROM s ORDER BY doc_id""",
+
+      // C4 cleaning battery: the same deterministic sentence-ification
+      // (literal substitutions + every-10th-token ".\n" break), then the
+      // line rules (terminal punct, >=5 words, no javascript) and doc
+      // rules (>=3 kept lines, no lorem ipsum, no brace).
+      "q_c4_filter" ->
+        """WITH d AS (
+             SELECT doc_id,
+               regexp_replace(
+                 replace(replace(text, 'spark', 'javascript'),
+                         'vector', 'lorem ipsum {'),
+                 '((\S+\s+){9}\S+)\s+', '\1.' || chr(10), 'g') AS c4text
+             FROM documents),
+           k AS (
+             SELECT doc_id, c4text,
+               str_split(c4text, chr(10)) AS lines,
+               list_filter(str_split(c4text, chr(10)), l ->
+                 len(str_split_regex(trim(l), '\s+')) >= 5
+                 AND right(trim(l), 1) IN ('.', '!', '?', '"')
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+             FROM d)
+           SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+             CAST(NOT contains(lower(c4text), 'lorem ipsum') AS INTEGER) AS f_lorem,
+             CAST(NOT contains(c4text, '{') AS INTEGER) AS f_brace,
+             CAST(len(kept) >= 3 AND NOT contains(lower(c4text), 'lorem ipsum')
+                  AND NOT contains(c4text, '{') AS INTEGER) AS keep
+           FROM k ORDER BY doc_id""",
 
       "q_quality_filter" ->
         """WITH b AS (

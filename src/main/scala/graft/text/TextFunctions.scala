@@ -110,6 +110,33 @@ object TextFunctions {
       .otherwise("es")
   }
 
+  // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2) -------------------
+
+  /** Newline-split lines of a document. */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** C4's per-line retention rules: keep a line only if it (1) ends in a
+    * terminal punctuation mark (`. ! ? "`), (2) contains at least five
+    * words, and (3) does not mention "javascript" (the cookie/JS-warning
+    * boilerplate heuristic). Pure string/integer predicates inside one
+    * higher-order `filter` — no UDF, and a SQL engine reproduces the kept
+    * set exactly.
+    */
+  def c4KeptLines(text: Column): Column =
+    filter(docLines(text), l =>
+      size(split(trim(l), "\\s+")) >= 5 &&
+        right(trim(l), lit(1)).isin(".", "!", "?", "\"") &&
+        !lower(l).contains("javascript"))
+
+  /** C4's document-level rules over the kept lines: at least three retained
+    * lines, no "lorem ipsum" placeholder text, no curly brace (code
+    * leakage). 1 = keep.
+    */
+  def c4Keep(text: Column): Column =
+    (size(c4KeptLines(text)) >= 3 &&
+      !lower(text).contains("lorem ipsum") &&
+      !text.contains("{")).cast("int")
+
   // ---- quality scoring ----------------------------------------------------
 
   def alphaCount(text: Column): Column = regexp_count(text, lit("[A-Za-z]"))

@@ -160,6 +160,28 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"trained-IVF recall $recall too low on clustered data")
   }
 
+  test("C4 line filter: terminal punct, min words, javascript lines, doc-level rules") {
+    val docs = Seq(
+      // all three lines pass every rule → keep
+      (1L, "This is a perfectly fine sentence one.\nHere is another good sentence two.\nAnd a third complete sentence three."),
+      // short line + javascript line + unpunctuated line all drop → only 2
+      // kept lines → doc dropped by the min-3-lines rule
+      (2L, "Too short line.\nEnable javascript to view this site please.\nThis line does not end in punctuation at all\nOnly two good sentences here remain ok.\nSecond good sentence is right here now."),
+      // three clean lines but the placeholder text kills the doc
+      (3L, "This document contains lorem ipsum filler text sadly.\nA second proper sentence lives right here.\nAnd a third proper sentence closes it out."),
+      // code leakage (curly brace) kills the doc
+      (4L, "function f() { return 1; }\nA second proper sentence lives right here.\nAnd a third proper sentence closes it out.")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        size(TF.c4KeptLines(col("text"))).as("nk"),
+        TF.c4Keep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((3, 1)))
+    assert(out(2L) === ((2, 0)))
+    assert(out(3L) === ((3, 0)))
+    assert(out(4L)._2 === 0)
+  }
+
   test("PQ ANN: high recall on clustered vectors; codes compress to m cells") {
     val rnd = new scala.util.Random(7)
     val dim = 32
