@@ -1444,6 +1444,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-level dedup with canonicalization (the first dedup stage of a
+    // web corpus pipeline). The corpus has no URL column, so the query
+    // derives messy-but-deterministic URLs from (source, doc_id) —
+    // mirrored verbatim in the oracle — with four casing / default-port /
+    // trailing-slash / tracking-param / fragment variants per path, so
+    // canonicalization produces genuine cross-variant collisions; the real
+    // operator (UrlOps.canonicalize + dedupByUrl) then ranks each
+    // canonical group. ScalaTested on adversarial URLs besides.
+    "q_url_dedup" -> ((s, dir) => {
+      val k = expr("doc_id div 4") % 60
+      val variant = col("doc_id") % 4
+      val url =
+        when(variant === 0, concat(lit("HTTP://WWW."), col("source"),
+          lit(".Example.COM/a/"), k.cast("string"), lit("?b=2&a=1")))
+        .when(variant === 1, concat(lit("http://"), col("source"),
+          lit(".example.com:80/a/"), k.cast("string"), lit("/?a=1&b=2")))
+        .when(variant === 2, concat(lit("http://www."), col("source"),
+          lit(".example.com/a/"), k.cast("string"), lit("?a=1&utm_source=rss&b=2")))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".Example.com/a/"), k.cast("string"), lit("?b=2&a=1#frag")))
+      graft.text.UrlOps.dedupByUrl(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"))
+            .withColumn("url", url),
+          "doc_id", "url")
+        .select("doc_id", "url", "canonical_url", "url_rank", "is_kept")
+        .orderBy("doc_id")
+    }),
+
     // C4 line-level cleaning battery (Raffel et al. 2020 §2.2): per-line
     // terminal-punctuation / min-5-words / javascript rules + doc-level
     // lorem-ipsum / curly-brace / min-3-kept-lines rules. The synthetic
@@ -3458,6 +3486,53 @@ object SparkEntry {
                THEN floor((n_3grams - n_uniq_3grams) * 1e6 / n_3grams) / 1e6 END
                AS dup_3gram_frac
            FROM s ORDER BY doc_id""",
+
+      // URL dedup: same derived URLs, same regex canonicalization chain
+      // (fragment drop, scheme/host lowercase, default-port + www. strip,
+      // trailing-slash strip, tracking-param drop, param sort), same
+      // first-id-wins ranking.
+      "q_url_dedup" ->
+        """WITH u AS (
+             SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM/a/'
+                   || CAST((doc_id // 4) % 60 AS VARCHAR) || '?b=2&a=1'
+                 WHEN 1 THEN 'http://' || source || '.example.com:80/a/'
+                   || CAST((doc_id // 4) % 60 AS VARCHAR) || '/?a=1&b=2'
+                 WHEN 2 THEN 'http://www.' || source || '.example.com/a/'
+                   || CAST((doc_id // 4) % 60 AS VARCHAR) || '?a=1&utm_source=rss&b=2'
+                 ELSE 'http://' || source || '.Example.com/a/'
+                   || CAST((doc_id // 4) % 60 AS VARCHAR) || '?b=2&a=1#frag'
+               END AS url
+             FROM documents),
+           nf AS (
+             SELECT doc_id, url, regexp_extract(url, '^([^#]*)', 1) AS nofrag
+             FROM u),
+           p AS (
+             SELECT doc_id, url, nofrag,
+               coalesce(array_to_string(list_sort(list_filter(
+                 str_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+                 pp -> pp <> ''
+                   AND NOT regexp_matches(pp, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+                 '&'), '') AS q
+             FROM nf),
+           canon AS (
+             SELECT doc_id, url,
+               lower(regexp_extract(nofrag, '^([^:/?#]+)://', 1)) || '://'
+               || regexp_replace(regexp_replace(
+                    lower(regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1)),
+                    ':(80|443)$', ''), '^www\.', '')
+               || regexp_replace(
+                    regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                    '/+$', '')
+               || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+             FROM p)
+           SELECT doc_id, url, canonical_url,
+             CAST(row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
+               AS INTEGER) AS url_rank,
+             CAST(row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
+               AS INTEGER) AS is_kept
+           FROM canon ORDER BY doc_id""",
 
       // C4 cleaning battery: the same deterministic sentence-ification
       // (literal substitutions + every-10th-token ".\n" break), then the

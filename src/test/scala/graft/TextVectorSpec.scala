@@ -160,6 +160,27 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"trained-IVF recall $recall too low on clustered data")
   }
 
+  test("URL canonicalization: case, ports, www, slashes, tracking params, fragments") {
+    import graft.text.UrlOps
+    val urls = Seq(
+      (1L, "HTTP://WWW.News.Example.COM:80/World/story/?utm_source=x&b=2&a=1#top"),
+      (2L, "http://news.example.com/World/story?a=1&b=2"),
+      (3L, "https://news.example.com:443/World/story?a=1&b=2"), // https ≠ http
+      (4L, "http://news.example.com/World/story?a=1&b=2&fbclid=abc"),
+      (5L, "http://news.example.com/other?ref=feed")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.dedupByUrl(urls, "doc_id", "url")
+      .select("doc_id", "canonical_url", "is_kept")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // 1, 2 and 4 collapse; 3 differs by scheme; 5 loses its only param
+    assert(out(1L)._1 === "http://news.example.com/World/story?a=1&b=2")
+    assert(out(2L)._1 === out(1L)._1 && out(4L)._1 === out(1L)._1)
+    assert(out(3L)._1 === "https://news.example.com/World/story?a=1&b=2")
+    assert(out(5L)._1 === "http://news.example.com/other")
+    assert(out(1L)._2 === 1 && out(2L)._2 === 0 && out(4L)._2 === 0)
+    assert(out(3L)._2 === 1 && out(5L)._2 === 1)
+  }
+
   test("C4 line filter: terminal punct, min words, javascript lines, doc-level rules") {
     val docs = Seq(
       // all three lines pass every rule → keep
