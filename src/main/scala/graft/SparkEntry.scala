@@ -1403,6 +1403,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM surprisal with add-one smoothing (one LM order above
+    // q_unigram_surprisal; see [[graft.text.CorpusOps.bigramSurprisal]]) —
+    // every log2 is the exact fixed-point form, so it hash-matches
+    "q_bigram_lm" -> ((s, dir) =>
+      graft.text.CorpusOps
+        .bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // BM25 ranking for a fixed query-term set in EXACT integer arithmetic
     // (see [[graft.text.CorpusOps.bm25]] for the k1=6/5, b=3/4 integer
     // folding and the BIGINT-range analysis)
@@ -3346,6 +3355,57 @@ object SparkEntry {
            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              CAST(sum_surprisal_e6 AS BIGINT) AS sum_surprisal_e6,
              CAST(sum_surprisal_e6 // n_tokens AS BIGINT) AS mean_surprisal_e6
+           FROM per ORDER BY doc_id""",
+
+      // Bigram LM: lead() bigrams per doc, corpus bigram/context counts,
+      // vocab scalar, then the same 20-step fixed-point-log recursive CTE
+      // over the DISTINCT (c1+V, c12+1) pairs.
+      "q_bigram_lm" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token,
+               generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+             FROM documents),
+           bg AS (
+             SELECT doc_id, w1, w2 FROM (
+               SELECT doc_id, token AS w1,
+                 lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+               FROM toks)
+             WHERE w2 IS NOT NULL),
+           c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+           vv AS (SELECT count(DISTINCT token) AS v FROM toks),
+           dv AS (
+             SELECT DISTINCT c1.c1 + vv.v AS num, c12.c12 + 1 AS den
+             FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+           it AS (
+             SELECT num, den, 0 AS i,
+               (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                 / CAST((1::BIGINT << (length(bin(num // den)) - 1)) AS DOUBLE)
+                 AS m,
+               0::BIGINT AS k
+             FROM dv
+             UNION ALL
+             SELECT num, den, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM it WHERE i < 20),
+           sv AS (
+             SELECT num, den,
+               ((CAST(length(bin(num // den)) - 1 AS BIGINT) * 1048576 + k)
+                 * 1000000) // 1048576 AS s_e6
+             FROM it WHERE i = 20),
+           per AS (
+             SELECT bg.doc_id, count(*) AS n_bigrams, sum(s_e6) AS sum_surprisal_e6
+             FROM bg
+             JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+             JOIN sv ON sv.num = c1.c1 + vv.v AND sv.den = c12.c12 + 1
+             GROUP BY bg.doc_id)
+           SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             CAST(sum_surprisal_e6 AS BIGINT) AS sum_surprisal_e6,
+             CAST(sum_surprisal_e6 // n_bigrams AS BIGINT) AS mean_surprisal_e6
            FROM per ORDER BY doc_id""",
 
       // BM25: same fixed-point-log recursive CTE as q_tfidf for idf over

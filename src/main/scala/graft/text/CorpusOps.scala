@@ -85,6 +85,48 @@ object CorpusOps {
       .agg(count(lit(1)).cast("long").as("n_terms"), sum("term_e6").as("score_e6"))
   }
 
+  /** Per-document bigram-LM surprisal with add-one smoothing — the
+    * perplexity-style quality signal one LM order above the unigram
+    * surprisal query: the corpus itself is the language model, and a doc's
+    * score is its mean negative log2 probability under the corpus's own
+    * bigram statistics (low = predictable/templated, high = unusual or
+    * noisy — the CCNet bucketing signal without an external model).
+    *
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V); surprisal of each bigram
+    * is the EXACT fixed-point log2((c1+V)/(c12+1)) ([[log2e6Sql]]), well-
+    * defined since c1 + V >= c12 + 1 always — so per-doc sums and means
+    * are pure BIGINT arithmetic that hash-match a SQL mirror.
+    *
+    * Scale: bigram and context counts partially aggregate map-side; the
+    * per-bigram join back to the token stream shuffles on the bigram key
+    * (the same class as the unigram join); V broadcasts as one scalar.
+    *
+    * @return (id, n_bigrams, sum_surprisal_e6, mean_surprisal_e6)
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val bg = toks
+      .withColumn("w2", lead(col("token"), 1).over(wdoc))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), col("token").as("w1"), col("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("token")).as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("s_e6", expr(log2e6Sql("c1 + v", "c12 + 1")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e6")).as("sum_surprisal_e6"))
+      .withColumn("mean_surprisal_e6", expr("sum_surprisal_e6 div n_bigrams"))
+  }
+
   /** Corpus-wide boilerplate removal (the CCNet/Gopher repeated-line dedup
     * shape at sub-document granularity): split each doc into
     * non-overlapping `chunkTokens`-token chunks, count each chunk's

@@ -160,6 +160,20 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"trained-IVF recall $recall too low on clustered data")
   }
 
+  test("bigram LM surprisal: templated text scores more predictable than novel text") {
+    import graft.text.CorpusOps
+    val docs = Seq(
+      (1L, "the cat sat on the mat " * 10),            // one repeated template
+      (2L, "quark nebula flux oracle zephyr granite lattice plasma ember vortex"),
+      (3L, "the cat sat on the mat " * 10)             // same template again
+    ).map { case (i, t) => (i, t.trim) }.toDF("doc_id", "text")
+    val out = CorpusOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === out(3L), "identical docs must score identically")
+    assert(out(1L) < out(2L),
+      s"templated doc must be more predictable: ${out(1L)} vs ${out(2L)}")
+  }
+
   test("URL canonicalization: case, ports, www, slashes, tracking params, fragments") {
     import graft.text.UrlOps
     val urls = Seq(
