@@ -35,14 +35,18 @@ object MultiSignalDedup {
       tables: Int = 2,
       maxIters: Int = 25
   ): DataFrame = {
+    // kind is an INT namespace (text bands at 0..bands-1, vector tables at
+    // 2^20+t): grouping keys stay integer so every fixpoint shuffle hashes
+    // fixed-width values instead of strings; group membership — and the
+    // oracle's recursive closure — is unchanged by the representation
     val textEdges = graft.text.MinHash
       .bandEdges(docs, docIdCol, textCol, shingleN, k, bands)
       .select(col("id"),
-        concat(lit("b"), col("band")).as("kind"), col("bh").as("key"))
+        col("band").cast("int").as("kind"), col("bh").as("key"))
     val vecEdges = graft.vector.VectorFunctions
       .hyperplaneEdges(embeddings, embIdCol, vecCol, nbits, tables)
       .select(col("id"),
-        concat(lit("v"), col("table")).as("kind"), col("bucket").as("key"))
+        (lit(1 << 20) + col("table")).cast("int").as("kind"), col("bucket").as("key"))
     ConnectedComponents
       .labelPropagateWithRounds(textEdges.unionByName(vecEdges),
         "id", Seq("kind", "key"), maxIters)._1
