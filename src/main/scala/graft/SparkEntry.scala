@@ -1403,6 +1403,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first 8
+    // merge rules from the corpus's own word-frequency table — pair counts,
+    // lexicographic tie-breaks, and the left-to-right greedy merge pass are
+    // all pinned semantics a SQL engine reproduces exactly (see
+    // [[graft.text.BpeTrainer]]); the DuckDB oracle replays the entire
+    // training loop with per-word recursive-CTE merge walks
+    "q_bpe_train" -> ((s, dir) =>
+      graft.text.BpeTrainer
+        .train(Tables.documents(s, dir), "doc_id", "text", numMerges = 8)
+        .orderBy("merge_rank")),
+
     // Bigram-LM surprisal with add-one smoothing (one LM order above
     // q_unigram_surprisal; see [[graft.text.CorpusOps.bigramSurprisal]]) —
     // every log2 is the exact fixed-point form, so it hash-matches
@@ -3356,6 +3367,55 @@ object SparkEntry {
              CAST(sum_surprisal_e6 AS BIGINT) AS sum_surprisal_e6,
              CAST(sum_surprisal_e6 // n_tokens AS BIGINT) AS mean_surprisal_e6
            FROM per ORDER BY doc_id""",
+
+      // BPE training: 8 unrolled rounds, each = weighted adjacent-pair
+      // counts over the current word table, top-1 with (cnt DESC, a, b)
+      // tie-break, and a per-word recursive-CTE walk applying the merge
+      // left-to-right (a merged symbol cannot immediately re-merge).
+      "q_bpe_train" -> {
+        def round(i: Int): String = {
+          val prev = s"words${i - 1}"
+          s"""pairs$i AS (
+             SELECT syms[pos] AS a, syms[pos + 1] AS b, sum(freq) AS cnt
+             FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS pos
+                   FROM $prev)
+             GROUP BY 1, 2),
+           top$i AS (
+             SELECT a, b, cnt FROM pairs$i
+             ORDER BY cnt DESC, a, b LIMIT 1),
+           walk$i AS (
+             SELECT w, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+             FROM $prev
+             UNION ALL
+             SELECT k.w, k.freq, k.syms,
+               CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = t.a
+                         AND k.syms[k.i + 1] = t.b
+                 THEN k.i + 2 ELSE k.i + 1 END,
+               CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = t.a
+                         AND k.syms[k.i + 1] = t.b
+                 THEN list_append(k.acc, t.a || t.b)
+                 ELSE list_append(k.acc, k.syms[k.i]) END
+             FROM walk$i k, top$i t WHERE k.i <= len(k.syms)),
+           words$i AS MATERIALIZED (
+             SELECT w, freq, acc AS syms FROM walk$i WHERE i = len(syms) + 1)"""
+        }
+        // each words frame is referenced twice by the next round (pair
+        // counts + merge walk); MATERIALIZED stops DuckDB from inlining the
+        // chain, which would re-run every earlier recursive walk per
+        // reference (exponential blowup over 8 rounds)
+        s"""WITH RECURSIVE words0 AS MATERIALIZED (
+             SELECT w, freq, regexp_extract_all(w, '(?s).') AS syms
+             FROM (SELECT w, count(*) AS freq
+                   FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                         FROM documents)
+                   GROUP BY w)),
+           ${(1 to 8).map(round).mkString(",\n           ")}
+           ${(1 to 8).map(i =>
+              s"""SELECT CAST($i AS INTEGER) AS merge_rank, a AS left_sym,
+                  b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM top$i""")
+             .mkString("\n           UNION ALL\n           ")}
+           ORDER BY merge_rank"""
+      },
 
       // Bigram LM: lead() bigrams per doc, corpus bigram/context counts,
       // vocab scalar, then the same 20-step fixed-point-log recursive CTE

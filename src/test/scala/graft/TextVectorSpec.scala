@@ -160,6 +160,20 @@ class TextVectorSpec extends SparkSpec {
     assert(recall >= 0.6, s"trained-IVF recall $recall too low on clustered data")
   }
 
+  test("BPE training: hand-computed merges, tie-breaks, greedy pass, early exhaustion") {
+    import graft.text.BpeTrainer
+    // words: 'aaab' freq 3, 'ab' freq 3
+    // r1: (a,a)=6 ties (a,b)=6 → lex tie-break picks (a,a); aaab → [aa,a,b]
+    // r2: (a,b)=6 beats (aa,a)=3 → ab; [aa,a,b] → [aa,ab], [a,b] → [ab]
+    // r3: (aa,ab)=3 → aaab; vocabulary exhausts at 3 of 8 requested merges
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab ab")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "doc_id", "text", numMerges = 8)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 6L), (3, "aa", "ab", 3L)))
+  }
+
   test("bigram LM surprisal: templated text scores more predictable than novel text") {
     import graft.text.CorpusOps
     val docs = Seq(
