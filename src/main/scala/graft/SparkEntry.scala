@@ -1464,6 +1464,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multi-format source/sink round-trip (S-class coverage beyond the
+    // reference's CSV+Parquet): the same slice of `orders` is written to
+    // ORC, JSON-lines, and headered CSV, read back through each format
+    // reader with the explicit schema, and aggregated — identical
+    // (n_rows, sum_key, decimal-exact sum_price) per format proves the
+    // round-trip is lossless (Spark serializes doubles as shortest
+    // round-trippable decimal in the text formats). The oracle is the
+    // same aggregate computed once from the parquet source, expected
+    // verbatim for all three formats.
+    "q_format_roundtrip" -> ((s, dir) => {
+      val src = Tables.table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      def roundtrip(fmt: String, opts: Map[String, String]): DataFrame = {
+        val p = s"$tmp/$fmt"
+        src.write.mode("overwrite").options(opts).format(fmt).save(p)
+        s.read.options(opts).schema(src.schema).format(fmt).load(p)
+      }
+      Seq(
+        "csv" -> roundtrip("csv", Map("header" -> "true")),
+        "json" -> roundtrip("json", Map.empty),
+        "orc" -> roundtrip("orc", Map.empty))
+        .map { case (name, df) =>
+          df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_key"),
+            dsum(col("o_totalprice")).as("sum_price"))
+            .withColumn("format", lit(name))
+        }
+        .reduce(_.unionByName(_))
+        .select("format", "n_rows", "sum_key", "sum_price")
+        .orderBy("format")
+    }),
+
     // URL-level dedup with canonicalization (the first dedup stage of a
     // web corpus pipeline). The corpus has no URL column, so the query
     // derives messy-but-deterministic URLs from (source, doc_id) —
@@ -3606,6 +3640,18 @@ object SparkEntry {
                THEN floor((n_3grams - n_uniq_3grams) * 1e6 / n_3grams) / 1e6 END
                AS dup_3gram_frac
            FROM s ORDER BY doc_id""",
+
+      // Format round-trip: the per-format aggregates must all equal the
+      // one parquet-source aggregate — losslessness is the assertion.
+      "q_format_roundtrip" ->
+        """WITH a AS (
+             SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+             FROM orders)
+           SELECT 'csv' AS format, n_rows, sum_key, sum_price FROM a
+           UNION ALL SELECT 'json', n_rows, sum_key, sum_price FROM a
+           UNION ALL SELECT 'orc', n_rows, sum_key, sum_price FROM a
+           ORDER BY format""",
 
       // URL dedup: same derived URLs, same regex canonicalization chain
       // (fragment drop, scheme/host lowercase, default-port + www. strip,
