@@ -297,6 +297,48 @@ object ScaleProbe {
       headToHead("random_100x", synthDocs(500000L), propIters = 25)
       headToHead("chain_600_rand_ids", chain600, propIters = 800)
     }
+    // PQ ANN at 100×: train (fixed 2 Lloyd rounds over the subvector
+    // table), then the full retrieve (train + encode + codes-only ADC +
+    // re-rank) vs exact brute force for the same 20 queries. The claim
+    // under test: ADC's scan stage is linear in codes (m small ints/doc),
+    // so retrieve wall should track data ~linearly while brute force pays
+    // the full float-vector scan — the bandwidth argument made concrete.
+    if (sec("ann")) {
+      def synthVecs(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63), j ->
+            CAST((((id * 131071 + j * 7919 + 12345) % 1000000007)
+                  * 2654435761 % 1000000007)
+                 * 2.0 / 1000000007.0 - 1.0 AS FLOAT))""").as("embedding"))
+      println(f"${"pq_ann"}%-14s ${"vecs"}%8s ${"build_s"}%8s ${"scan_s"}%8s ${"brute_s"}%8s")
+      Seq(1 -> 5000L, 100 -> 500000L).foreach { case (mult, n) =>
+        val vecs = synthVecs(n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vecs.count()
+        val q = vecs.filter(col("vec_id") < 20)
+        val t0 = System.nanoTime()
+        val idx = graft.vector.VectorFunctions
+          .pqIndex(vecs, "vec_id", "embedding", m = 8, ksub = 16, trainIters = 2)
+        val pidx = idx.copy(codes = idx.codes
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        pidx.codes.count()
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.vector.VectorFunctions
+          .pqQuery(pidx, vecs, q, "vec_id", "embedding", k = 5, shortlist = 50)
+          .count()
+        val tScan = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        graft.vector.VectorFunctions
+          .bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+          .count()
+        val tBf = (System.nanoTime() - t2) / 1e9
+        val tag = s"pq_${mult}x"
+        println(f"$tag%-14s $n%8d $tBuild%8.2f $tScan%8.2f $tBf%8.2f")
+        pidx.codes.unpersist(blocking = false)
+        vecs.unpersist(blocking = false)
+      }
+    }
     spark.stop()
   }
 }

@@ -18,8 +18,12 @@ private[functions] object TypeChecks {
     case ArrayType(LongType, _) => true
     case _ => false
   }
+  def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 }
-import TypeChecks.{isFloatArray, isLongArray}
+import TypeChecks.{isFloatArray, isLongArray, isDoubleArray}
 
 /** Custom Catalyst expressions for the engine's hot scalar kernels
   * (SURVEY.md §7.3 / builder guidance: native `Expression` with codegen
@@ -272,6 +276,30 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
   override def prettyName: String = "z_value"
 }
 
+/** PQ asymmetric distance (see [[VectorKernels.adc]]): left = dense
+  * per-subspace codes (array<bigint>, values 0..ksub-1), right = the
+  * query's flat (subspace-major) distance LUT (array<double>). One static
+  * codegen'd call per (doc, query) pair — the PQ scan's hot kernel.
+  */
+case class AdcDistance(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub >= 1, "ksub must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<double>) inputs")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.adc($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
+    copy(l, r)
+  override def prettyName: String = "adc_distance"
+}
+
 /** Column-facade for the custom expressions. */
 object exprs {
   private def ex(c: Column): Expression = bridge.expression(c)
@@ -283,6 +311,8 @@ object exprs {
   def dotProductLong(a: Column, b: Column): Column = co(DotProductLong(ex(a), ex(b)))
   def cosineSim(a: Column, b: Column): Column = co(CosineSim(ex(a), ex(b)))
   def l2Sq(a: Column, b: Column): Column = co(L2Sq(ex(a), ex(b)))
+  def adcDistance(codes: Column, lut: Column, ksub: Int): Column =
+    co(AdcDistance(ex(codes), ex(lut), ksub))
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))
   def wordShingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))

@@ -143,6 +143,24 @@ object VectorKernels {
     acc
   }
 
+  /** PQ asymmetric distance: codes are dense per-subspace centroid indices
+    * (0..ksub-1), lut is the query's flat distance table ordered by
+    * (subspace, centroid index). adc = Σ_s lut[s·ksub + codes[s]], summed
+    * sequentially over subspaces — the same value and association as the
+    * per-subspace fold a SQL mirror computes, in one tight loop over m
+    * ints instead of an m-row join+aggregate per (query, doc) pair.
+    */
+  def adc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc = acc + lut.getDouble(s * ksub + codes.getLong(s).toInt)
+      s += 1
+    }
+    acc
+  }
+
   /** Exact integer dot product over long arrays (int8 codes fit trivially:
     * 64 dims × 127² < 2^21 per pair).
     */

@@ -231,15 +231,104 @@ object VectorFunctions {
     * codebook training is the decimal-exact Lloyd loop — so shortlist AND
     * final ranking hash-match a SQL mirror, training included.
     *
-    * Scale shape: the ADC stage joins corpus CODES (m small ints per doc —
-    * no vectors) to the broadcast LUT and partially aggregates; full
-    * vectors are touched only for shortlist·|queries| re-rank rows. At
-    * 10⁹×64-dim this is a 64× scan-bandwidth reduction vs float32 brute
-    * force, with the same plan shape as [[annInt8Rerank]] (whose 4× is the
-    * lighter-compression point on the same tradeoff curve).
+    * Scale shape: the corpus is encoded ONCE into an (id, codes[m]) index
+    * (the 64× compression), and the query scan is a single codegen'd
+    * kernel pass over that index against broadcast flat LUTs
+    * ([[graft.functions.AdcDistance]]) — no per-(query, doc) row blowup,
+    * no join, no aggregate in the hot path. Full vectors are touched only
+    * for shortlist·|queries| re-rank rows. At 10⁹×64-dim this is a 64×
+    * scan-bandwidth reduction vs float32 brute force, with the same plan
+    * shape as [[annInt8Rerank]] (whose 4× is the lighter-compression
+    * point on the same tradeoff curve).
     *
     * Output: (query_id, neighbor_id, sim, rank, adc, srank) — rank 1..k by
     * true cosine within the shortlist, srank the ADC shortlist position.
+    */
+  /** A trained PQ index: dense-indexed codebooks (sub, cell, cellidx,
+    * centroid) and the per-doc compressed codes (neighbor_id, __codes[m]).
+    * Built once per corpus ([[pqIndex]]); queried many times ([[pqQuery]])
+    * — the deployment split that amortizes training/encoding across query
+    * batches. Callers persist `codes` between batches.
+    */
+  final case class PqIndex(books: DataFrame, codes: DataFrame, m: Int, ksub: Int)
+
+  /** Train codebooks and encode the corpus — the one-time index build. */
+  def pqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      ksub: Int = 8,
+      trainIters: Int = 1
+  ): PqIndex = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, trainIters)
+    // dense per-subspace centroid index 0..ksub-1 (deterministic by cell
+    // id) — the LUT subscript the ADC kernel uses
+    val wIdx = Window.partitionBy("sub").orderBy("cell")
+    val ibooks = books
+      .withColumn("cellidx", (row_number().over(wIdx) - 1).cast("long"))
+    // ONE codes array per doc (the compressed index, built once): the ADC
+    // scan then reads m small ints per doc — no per-(query,doc) row blowup
+    val codes = pqEncode(corpus, ibooks, idCol, vecCol, m)
+      .join(broadcast(ibooks.select("sub", "cell", "cellidx")), Seq("sub", "cell"))
+      .groupBy(col("id").as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cellidx")))).as("sc"))
+      .select(col("neighbor_id"), expr("transform(sc, e -> e.cellidx)").as("__codes"))
+    PqIndex(ibooks, codes, m, ksub)
+  }
+
+  /** ADC scan + exact re-rank of a query batch against a built index. */
+  def pqQuery(
+      index: PqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 20
+  ): DataFrame = {
+    val (ibooks, codes, m, ksub) = (index.books, index.codes, index.m, index.ksub)
+    // per-query FLAT distance LUT (subspace-major, m·ksub doubles)
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("query_id"), col("sub"), subCol(col("__qv"), col("sub"), m).as("__qsv"))
+      .join(ibooks, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cellidx"),
+        l2Sq(col("__qsv"), col("centroid")).as("__d"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cellidx"), col("__d")))).as("sd"))
+      .select(col("query_id"), expr("transform(sd, e -> e.__d)").as("__lut"))
+    // ADC = Σ_s lut[s·ksub + codes[s]], summed in subspace order inside
+    // the codegen'd kernel — same value and association as the per-sub
+    // fold a SQL mirror computes, one tight loop per (query, doc) pair
+    val adc = codes
+      .crossJoin(broadcast(lut))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.exprs.adcDistance(col("__codes"), col("__lut"), ksub))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val ws = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id"))
+    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val shortlisted = adc
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+    // re-rank: the ≤ shortlist·|queries| winners BROADCAST to the corpus
+    // scan (statistics can't see how small the post-window frame is, so an
+    // unhinted join would shuffle the whole corpus)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(shortlisted), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"),
+        col("adc"), col("srank").cast("int").as("srank"))
+  }
+
+  /** [[pqIndex]] + [[pqQuery]] in one call — the single-shot form the
+    * oracled queries use (training included in the hash-checked surface).
     */
   def pqRerank(
       corpus: DataFrame,
@@ -251,43 +340,9 @@ object VectorFunctions {
       ksub: Int = 8,
       shortlist: Int = 20,
       trainIters: Int = 1
-  ): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, trainIters)
-    val codes = pqEncode(corpus, books, idCol, vecCol, m)
-      .withColumnRenamed("id", "neighbor_id")
-    // per-query distance LUT: |q|·m·ksub rows, broadcast to the code scan
-    val lut = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("query_id"), col("sub"), subCol(col("__qv"), col("sub"), m).as("__qsv"))
-      .join(books, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cell"),
-        l2Sq(col("__qsv"), col("centroid")).as("__d"))
-    val adc = codes
-      .join(broadcast(lut), Seq("sub", "cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      // ADC = sequential fold over subspace order (deterministic across
-      // engines; plain sum(double) would depend on partial-agg order)
-      .agg(array_sort(collect_list(struct(col("sub"), col("__d")))).as("__ds"))
-      .withColumn("adc",
-        expr("aggregate(__ds, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.__d)"))
-      .select(col("query_id"), col("neighbor_id"), col("adc"))
-    val ws = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id"))
-    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    adc
-      .withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= shortlist)
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-        Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
-        Seq("query_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"),
-        col("adc"), col("srank").cast("int").as("srank"))
-  }
+  ): DataFrame =
+    pqQuery(pqIndex(corpus, idCol, vecCol, m, ksub, trainIters),
+      corpus, queries, idCol, vecCol, k, shortlist)
 
   /** All `tables` random-hyperplane bucket ids as an array (random
     * projection LSH, Charikar 2002), computed in one kernel pass

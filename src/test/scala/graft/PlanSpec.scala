@@ -206,21 +206,20 @@ class PlanSpec extends SparkSpec {
     assert(stages.exists(_.toString.contains("z_value")), plan.toString)
   }
 
-  test("q_ann_pq: the ADC scan joins codes to a BROADCAST distance LUT and partially aggregates") {
+  test("q_ann_pq: the ADC scan is a codegen'd kernel over broadcast flat LUTs") {
     val df = SparkEntry.queries("q_ann_pq")(spark, dir)
     val plan = finalPlan(df)
-    // the corpus-codes side must stream into a broadcast hash join against
-    // the per-query LUT (codes never shuffle for scoring), and the ADC
-    // struct-collect must have a partial (map-side) aggregation step
+    // the per-query LUTs must broadcast to the codes index (codes never
+    // shuffle for scoring), and the adc_distance kernel must run inside a
+    // whole-stage-generated stage, not interpreted
     val bcasts = plan.collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
     }
     assert(bcasts.nonEmpty, plan.toString)
-    val partialAggs = plan.collect {
-      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
-        if a.toString.contains("partial_collect_list") => a
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }
-    assert(partialAggs.nonEmpty, s"expected partial collect_list in:\n$plan")
+    assert(stages.exists(_.toString.contains("adc_distance")), plan.toString)
   }
 
   test("incremental dedup filters the bucket index with a broadcast semi join (no index-wide shuffle)") {
