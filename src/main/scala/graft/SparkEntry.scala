@@ -1314,6 +1314,64 @@ object SparkEntry {
             .as("skey"))
         .orderBy("skey", "doc_id")),
 
+    // per-row weighted Bernoulli sample: keep probability n_chars/400
+    // (capped) — quality/length-weighted downsampling as a pure exact-hash
+    // filter, no shuffle (operators.Sampling.weightedSample)
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling
+        .weightedSample(Tables.documents(s, dir), "doc_id", "n_chars", cap = 400L)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    // Count-Min sketch heavy hitters: d×w = 4×512 counter sketch over the
+    // token stream (fixed memory at ANY corpus size; cells partially
+    // aggregate map-side; the sketch broadcasts for estimation) next to
+    // exact counts — CMS guarantees est >= exact, overshoot = collision
+    // mass, both visible in the oracled output
+    "q_cms_heavy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val sketch = graft.operators.Sketches.cmsSketch(toks, "token", d = 4, w = 512)
+      val heavy = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("exact_cnt") >= 40)
+      graft.operators.Sketches.cmsEstimate(sketch, heavy, "token", d = 4, w = 512)
+        .withColumnRenamed("item", "token")
+        .join(heavy, "token")
+        .select(col("token"), col("exact_cnt"), col("est").as("cms_est"))
+        .orderBy("token")
+    }),
+
+    // deterministic HyperLogLog on the repo's 59-bit hash pair: registers
+    // and the integer-scaled harmonic sum are exact BIGINT (hash-oracled,
+    // unlike the engine-private approx_count_distinct sketch of
+    // q_hll_distinct), and the raw estimate is IEEE-deterministic — the
+    // mergeable distinct-count sketch a 100 TB pipeline ships between
+    // shards (register max is associative)
+    "q_hll_exact" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val regs = graft.operators.Sketches.hllRegisters(toks, "token", m = 256)
+      val est = graft.operators.Sketches.hllEstimate(regs, m = 256)
+      val exact = toks.agg(countDistinct(col("token")).as("n_exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("n_buckets_used"), col("z_scaled"),
+          col("hll_est"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023): importance weights that tilt
+    // the raw corpus toward a target subset (here: English docs) via
+    // hashed-unigram likelihood ratios — exact fixed-point log2 end to
+    // end, top-100 docs by weight (text.CorpusOps.dsirLogWeights)
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_target", col("lang") === "en")
+      graft.text.CorpusOps
+        .dsirLogWeights(docs, "doc_id", "text", "is_target", m = 1024)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("w_e6").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // the full dedup DECISION a trainer runs: near-dup groups (fixpoint
     // label propagation) joined with the quality score, keeping the
     // best-quality member per group (ties → min doc_id). min_by over a
@@ -3270,6 +3328,173 @@ object SparkEntry {
               * ((2654435761 + 3 * 40503) % 1000000007) + 3) % 1000000007
                AS skey
            FROM documents ORDER BY skey, doc_id""",
+
+      "q_weighted_sample" ->
+        """SELECT doc_id, n_chars FROM documents
+           WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 400 <
+             least(greatest(n_chars, 0), 400)
+           ORDER BY doc_id""",
+
+      // CMS mirror: same universal row hashes ((a_j·fp + b_j) mod P mod w)
+      // over the same seed-0 polynomial token fingerprints; sketch cells
+      // as a (j, bucket) group-by, estimate as the min over the 4 rows
+      "q_cms_heavy" ->
+        """WITH toks AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS token
+             FROM documents),
+           tf AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+                  FROM toks GROUP BY 1),
+           fp AS (
+             SELECT token, exact_cnt,
+               list_reduce(
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_transform(regexp_extract_all(token, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) AS fp
+             FROM tf),
+           cells AS (
+             SELECT j,
+               ((((2654435761 + 40503 * j) % 1000000007) * fp
+                 + (2246822519 * j) % 1000000007) % 1000000007) % 512
+                 AS bucket,
+               CAST(sum(exact_cnt) AS BIGINT) AS cnt
+             FROM fp CROSS JOIN range(4) r(j) GROUP BY 1, 2),
+           heavy AS (SELECT token, exact_cnt, fp FROM fp
+                     WHERE exact_cnt >= 40)
+           SELECT h.token, h.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_est
+           FROM heavy h CROSS JOIN range(4) r(j)
+           JOIN cells c ON c.j = r.j AND c.bucket =
+             ((((2654435761 + 40503 * r.j) % 1000000007) * h.fp
+               + (2246822519 * r.j) % 1000000007) % 1000000007) % 512
+           GROUP BY 1, 2 ORDER BY token""",
+
+      // HLL mirror: 59-bit pair hash (seedless folds 131/1e9+7 and
+      // 137/998244353) packed then re-folded over its DECIMAL DIGITS (the
+      // nonlinear avalanche step — see Sketches.hllRegisters), rho = exact
+      // trailing-zero rank via log2(v & -v) (power-of-two log2 is
+      // IEEE-exact), register max, integer-scaled harmonic sum,
+      // identically-associated float estimate
+      "q_hll_exact" ->
+        """WITH toks AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS token
+             FROM documents),
+           hs AS (
+             SELECT CAST(
+               (list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(regexp_extract_all(token, '(?s).'),
+                      c -> CAST(unicode(c) AS BIGINT))),
+                  (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+                + list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(regexp_extract_all(token, '(?s).'),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                    (a, b) -> (a * 137 + b) % 998244353)) AS VARCHAR) AS d
+             FROM toks),
+           vr AS (
+             SELECT
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(d, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) % 256 AS bucket,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(d, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 998244353) AS v
+             FROM hs),
+           rho AS (
+             SELECT bucket,
+               CASE WHEN v = 0 THEN 53
+                    ELSE CAST(log2(v & -v) AS BIGINT) + 1 END AS rho
+             FROM vr),
+           regs AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY 1),
+           agg AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+               CAST(sum(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT)
+                 AS zp
+             FROM regs),
+           ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+                  FROM toks)
+           SELECT n_exact, n_buckets_used,
+             zp + (256 - n_buckets_used) * (1::BIGINT << 53) AS z_scaled,
+             ((CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+              * CAST(65536.0 AS DOUBLE)
+              * CAST(9007199254740992.0 AS DOUBLE))
+             / CAST(zp + (256 - n_buckets_used) * (1::BIGINT << 53)
+                    AS DOUBLE) AS hll_est
+           FROM agg CROSS JOIN ex""",
+
+      // DSIR mirror: hashed-unigram buckets (seed-0 poly fingerprint mod
+      // 1024), add-one-smoothed target/raw ratios cross-multiplied to an
+      // integer rational, the 20-step fixed-point log2 as a recursive CTE
+      // over the distinct (num, den) pairs, sign from the a>=b side
+      "q_dsir_weights" ->
+        """WITH RECURSIVE toks AS (
+             SELECT doc_id, (lang = 'en') AS tgt,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS token
+             FROM documents),
+           fb AS (
+             SELECT doc_id, tgt,
+               list_reduce(
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_transform(regexp_extract_all(token, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) % 1024 AS f
+             FROM toks),
+           rawc AS (SELECT f, CAST(count(*) AS BIGINT) AS raw_f
+                    FROM fb GROUP BY 1),
+           tgtc AS (SELECT f, CAST(count(*) AS BIGINT) AS target_f
+                    FROM fb WHERE tgt GROUP BY 1),
+           tot AS (
+             SELECT CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                      AS t_target,
+                    CAST(count(*) AS BIGINT) AS t_raw
+             FROM fb),
+           ab AS (
+             SELECT r.f,
+               (COALESCE(g.target_f, 0) + 1) * (t.t_raw + 1024) AS a,
+               (t.t_target + 1024) * (r.raw_f + 1) AS b
+             FROM rawc r LEFT JOIN tgtc g USING (f) CROSS JOIN tot t),
+           gl AS (SELECT f, greatest(a, b) AS gg, least(a, b) AS ll,
+                    (a >= b) AS pos
+                  FROM ab),
+           dv AS (SELECT DISTINCT gg, ll FROM gl),
+           it AS (
+             SELECT gg, ll, 0 AS i,
+               (CAST(gg AS DOUBLE) / CAST(ll AS DOUBLE))
+                 / CAST((1::BIGINT << (length(bin(gg // ll)) - 1)) AS DOUBLE)
+                 AS m,
+               0::BIGINT AS k
+             FROM dv
+             UNION ALL
+             SELECT gg, ll, i + 1,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN m * m / CAST(2 AS DOUBLE) ELSE m * m END,
+               CASE WHEN m * m >= CAST(2 AS DOUBLE)
+                 THEN k * 2 + 1 ELSE k * 2 END
+             FROM it WHERE i < 20),
+           lg AS (
+             SELECT gg, ll,
+               ((CAST(length(bin(gg // ll)) - 1 AS BIGINT) * 1048576 + k)
+                 * 1000000) // 1048576 AS mag_e6
+             FROM it WHERE i = 20),
+           delta AS (
+             SELECT f, CASE WHEN pos THEN mag_e6 ELSE -mag_e6 END
+               AS delta_e6
+             FROM gl JOIN lg USING (gg, ll)),
+           w AS (
+             SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(d.delta_e6) AS BIGINT) AS w_e6
+             FROM fb JOIN delta d USING (f) GROUP BY 1)
+           SELECT doc_id, n_tokens, w_e6 FROM w
+           ORDER BY w_e6 DESC, doc_id LIMIT 100""",
 
       // q_dedup_groups' recursive closure composed with q_quality_filter's
       // score: per near-dup group, keep the best-quality member (ties →

@@ -93,6 +93,21 @@ object Sampling {
       lit(1000000007L))
   }
 
+  /** Per-row weighted Bernoulli sample: keep each row with probability
+    * `min(w, cap)/cap` for an integer weight column (e.g. a quality score
+    * or length) — the "keep good documents more often" downsampling step,
+    * continuous-weight counterpart of [[mixtureSample]]'s per-stratum
+    * rates. Same exact-hash selection: deterministic across layouts and
+    * re-runs, monotone in the weight (raising a row's weight can only add
+    * it, never drop others), SQL-reproducible, and a pure per-row filter —
+    * no shuffle, pushdown-friendly.
+    */
+  def weightedSample(df: DataFrame, key: String, weightCol: String, cap: Long): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    df.filter(pmod(detHash(col(key)), lit(cap)) <
+      least(greatest(col(weightCol).cast("long"), lit(0L)), lit(cap)))
+  }
+
   /** Class-balanced downsampling: every stratum is cut to the size of the
     * smallest one, choosing rows by hash order (deterministic, unbiased
     * w.r.t. the hash). One window shuffle on `stratum`; the global minimum

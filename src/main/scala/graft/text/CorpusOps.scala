@@ -170,4 +170,68 @@ object CorpusOps {
             e => e.getField("chunk")),
           " ").as("cleaned_text"))
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much more likely its hashed-unigram
+    * features are under the TARGET distribution (e.g. "wiki-like" or
+    * in-domain docs) than under the raw corpus, then resample the raw
+    * corpus by that weight. The classic recipe for tilting a 100 TB crawl
+    * toward a small high-quality target set.
+    *
+    * Features: tokens hashed into `m` buckets via the polynomial
+    * fingerprint mod m (the paper's hashed n-gram features at n=1). With
+    * add-one smoothing, `p_f = (target_f + 1)/(T_target + m)` and
+    * `q_f = (raw_f + 1)/(T_raw + m)`; the per-bucket log-ratio is the
+    * EXACT fixed-point `log2e6` of the cross-multiplied integer rational
+    * `A/B = (target_f+1)·(T_raw+m) / ((T_target+m)·(raw_f+1))`, sign-split
+    * so the magnitude log always sees num ≥ den. A document's log-weight
+    * is the sum of its tokens' bucket deltas — exact BIGINT end to end.
+    *
+    * Scale shape: two partial-aggregating groupBys onto `m` cells (the
+    * reduce side is m rows, not vocab-sized), corpus totals as a 1-row
+    * broadcast, and the m-row delta table broadcast back to the token
+    * stream; the only corpus-sized shuffle is the final per-doc sum.
+    * Precondition: per-side token totals must stay < ~2^31 so the cross
+    * products fit BIGINT; at larger scale, pre-scale both counts (divide
+    * num and den by a common power of two) before the log.
+    *
+    * @param targetCol boolean column marking the target subset
+    * @return (id, n_tokens, w_e6) — w_e6 = Σ delta_e6 over the doc's tokens
+    */
+  def dsirLogWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCol: String,
+      m: Int = 1024
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(targetCol).as("__tgt"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("f",
+        pmod(TextFunctions.polyHash(col("token"), lit(0L)), lit(m.toLong)))
+    val rawCnt = toks.groupBy("f").agg(count(lit(1)).as("raw_f"))
+    val tgtCnt = toks.filter(col("__tgt")).groupBy("f")
+      .agg(count(lit(1)).as("target_f"))
+    val totals = toks.agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_target"),
+      count(lit(1)).as("t_raw"))
+    val delta = rawCnt
+      .join(tgtCnt, Seq("f"), "left")
+      .na.fill(0L, Seq("target_f"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__a",
+        (col("target_f") + lit(1L)) * (col("t_raw") + lit(m.toLong)))
+      .withColumn("__b",
+        (col("t_target") + lit(m.toLong)) * (col("raw_f") + lit(1L)))
+      .withColumn("__mag",
+        expr(log2e6Sql("greatest(__a, __b)", "least(__a, __b)")))
+      .withColumn("delta_e6",
+        when(col("__a") >= col("__b"), col("__mag")).otherwise(-col("__mag")))
+      .select("f", "delta_e6")
+    toks
+      .join(broadcast(delta), "f")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("delta_e6")).as("w_e6"))
+  }
 }
