@@ -1372,6 +1372,25 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // weighted PageRank over the nation-level trade graph (cust-nation →
+    // supp-nation, weight = lineitem multiplicity): fixed-iteration
+    // iterative graph compute as join + partial-agg rounds with lineage
+    // cuts — the domain-authority ranking a crawl pipeline scores source
+    // hosts with, in exact e6 integer arithmetic (operators.PageRank)
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation").select(col("n_nationkey").as("cnk"),
+          col("n_name").as("src")), col("c_nationkey") === col("cnk"))
+        .join(t(s, dir, "nation").select(col("n_nationkey").as("snk"),
+          col("n_name").as("dst")), col("s_nationkey") === col("snk"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.weightedRanksE6(edges, iters = 5)
+        .orderBy(col("rank_e6").desc, col("node"))
+    }),
+
     // the full dedup DECISION a trainer runs: near-dup groups (fixpoint
     // label propagation) joined with the quality score, keeping the
     // best-quality member per group (ties → min doc_id). min_by over a
@@ -3495,6 +3514,44 @@ object SparkEntry {
              FROM fb JOIN delta d USING (f) GROUP BY 1)
            SELECT doc_id, n_tokens, w_e6 FROM w
            ORDER BY w_e6 DESC, doc_id LIMIT 100""",
+
+      // PageRank mirror: same trade-graph edges, 5 unrolled iterations of
+      // the integer update rank' = 150000 + 850000·Σ(rank·w // tw) // 1e6
+      // (floor division inside the sum, identical association)
+      "q_pagerank" -> {
+        val iter = (prev: String, cur: String) =>
+          s"""$cur AS (
+             SELECT n.node,
+               150000 + 850000 * COALESCE(s.c, 0) // 1000000 AS rank_e6
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS node,
+                 CAST(sum(r.rank_e6 * e.w // e.tw) AS BIGINT) AS c
+               FROM ew e JOIN $prev r ON e.src = r.node GROUP BY 1) s
+             USING (node))"""
+        """WITH edges AS (
+             SELECT cn.n_name AS src, sn.n_name AS dst,
+               CAST(count(*) AS BIGINT) AS w
+             FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+             JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+             GROUP BY 1, 2),
+           ew AS (
+             SELECT e.src, e.dst, e.w, t.tw
+             FROM edges e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS tw
+                                FROM edges GROUP BY 1) t USING (src)),
+           nodes AS (SELECT src AS node FROM edges
+                     UNION SELECT dst FROM edges),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6
+                  FROM nodes),
+           """ +
+          Seq("r0" -> "r1", "r1" -> "r2", "r2" -> "r3", "r3" -> "r4",
+            "r4" -> "r5").map { case (p, c) => iter(p, c) }.mkString(",\n") +
+          """
+           SELECT node, rank_e6 FROM r5 ORDER BY rank_e6 DESC, node"""
+      },
 
       // q_dedup_groups' recursive closure composed with q_quality_filter's
       // score: per near-dup group, keep the best-quality member (ties →

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration weighted PageRank in exact e6-scaled integer
+  * arithmetic — the domain/host-authority signal large-scale pretraining
+  * pipelines rank crawl sources with (CommonCrawl host ranks, the
+  * centrality prior in CCNet/RefinedWeb-style source filtering).
+  *
+  * Spark-first iterative graph compute without a graph library: each
+  * iteration is one join (edges ⋈ ranks on src) plus one
+  * partially-aggregating groupBy(dst) — the same dataflow GraphX's
+  * Pregel would run, expressed as Catalyst-optimizable relational ops.
+  * The per-iteration frame is lineage-cut
+  * ([[org.apache.spark.sql.graft.bridge.cutLineage]]) and the previous
+  * round's blocks are unpersisted, the pattern established by
+  * [[ConnectedComponents]] (stats-free cuts, constant planning cost at
+  * any iteration count, no block-manager growth).
+  *
+  * Exactness: ranks are e6-scaled BIGINTs; the per-edge contribution is
+  * `rank(u)·w(u,v) div totalw(u)` (floor division INSIDE the sum) and
+  * the damping update is `(1e6 − d_e6) + d_e6·Σcontrib div 1e6` — every
+  * step integer, so iteration order and partitioning cannot perturb the
+  * result and a SQL engine replays it bit-for-bit. Dangling-node mass is
+  * NOT redistributed (their outflow simply stops; the standard
+  * redistribution needs a global scalar per iteration — add a 1-row
+  * broadcast of the dangling sum if the textbook variant is needed).
+  * Overflow bound: `max_rank · max_w < 2^62`; with ranks ≤ n·1e6 on n
+  * nodes this holds for any graph a BIGINT edge weight can describe.
+  *
+  * @param edges (src, dst, w) — directed, `w` a positive integer weight
+  *        (edge multiplicity); pass `lit(1)` for the unweighted form
+  * @param iters fixed iteration count (PageRank converges geometrically
+  *        at rate d; 10-20 iterations are the practical regime)
+  * @param dampingE6 damping factor × 1e6 (default 0.85)
+  * @return (node, rank_e6)
+  */
+object PageRank {
+
+  def weightedRanksE6(
+      edges: DataFrame,
+      iters: Int,
+      dampingE6: Long = 850000L
+  ): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingE6 >= 0L && dampingE6 <= 1000000L,
+      "dampingE6 must be in [0, 1e6]")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // static across iterations: edges with their source's total out-weight
+    val ew = e.join(e.groupBy("src").agg(sum(col("w")).as("tw")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodesP = nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = 1000000L - dampingE6
+    var ranks = nodesP.withColumn("rank_e6", lit(1000000L))
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("rank_e6 * w div tw").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("csum"))
+      val next = nodesP.join(contrib, nodesP("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"${dampingE6}L * coalesce(csum, 0L) div 1000000L"))
+            .as("rank_e6"))
+      val (cut, rdd) =
+        org.apache.spark.sql.graft.bridge.cutLineageTracked(next)
+      cut.count() // materialize before freeing the previous round
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      ranks = cut
+    }
+    ew.unpersist(blocking = false)
+    nodesP.unpersist(blocking = false)
+    ranks
+  }
+}

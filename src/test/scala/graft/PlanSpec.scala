@@ -239,4 +239,33 @@ class PlanSpec extends SparkSpec {
     assert(bcast.nonEmpty, s"expected broadcast semi join in:\n$plan")
     assert(bcast.exists(_.joinType.toString.contains("LeftSemi")), plan.toString)
   }
+
+  test("q_cms_heavy: the bounded sketch broadcasts to the estimate lookup; cells partially aggregate") {
+    val df = SparkEntry.queries("q_cms_heavy")(spark, dir)
+    val plan = finalPlan(df)
+    // the d·w-cell sketch must reach the candidate stream via a broadcast
+    // join (never a corpus-sized shuffle of the sketch side)
+    val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, plan.toString)
+    // the cell counts must combine map-side before their one exchange
+    val partials = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.toString.contains("partial_count") => a
+    }
+    assert(partials.nonEmpty, s"expected partial cell aggregation in:\n$plan")
+  }
+
+  test("q_dsir_weights: the m-cell delta table broadcasts back to the token stream") {
+    val df = SparkEntry.queries("q_dsir_weights")(spark, dir)
+    val plan = finalPlan(df)
+    val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    // two broadcasts: the 1-row totals crossJoin and the m-row delta join
+    assert(bcasts.size >= 1, plan.toString)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // shuffles stay sketch/doc-sized: f-cell group-bys + the per-doc sum +
+    // the final top-k sort — no token-stream×token-stream joins
+    assert(exchanges.size <= 8, s"${exchanges.size} exchanges in:\n$plan")
+  }
 }
