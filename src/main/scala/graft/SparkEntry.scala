@@ -138,6 +138,23 @@ object SparkEntry {
           value = "value", tiebreak = "event_id", minutes = 1)
         .orderBy("event_type", "bar_ts")),
 
+    // A1 as an INCREMENTALLY MAINTAINED view: stored partial bars (80% of
+    // ticks) + one batch fold of the rest (ohlc.IncrementalOhlc: witness
+    // structs make open/close mergeable; touched bars via broadcast
+    // semi-join, history never re-aggregated) — must hash-equal the full
+    // recompute, which is exactly what the oracle runs
+    "q_ohlc_incremental" -> ((s, dir) => {
+      val all = ev(s, dir)
+      val isBatch = pmod(col("event_id"), lit(5)) === 0
+      val stored = graft.ohlc.IncrementalOhlc.partialBars(
+        all.filter(!isBatch), Seq("event_type"), "ts", "value", "event_id", 1)
+      val state = graft.ohlc.IncrementalOhlc.applyBatch(
+        stored, all.filter(isBatch), Seq("event_type"), "ts", "value",
+        "event_id", 1)
+      graft.ohlc.IncrementalOhlc.finalBars(state)
+        .orderBy("event_type", "bar_ts")
+    }),
+
     // A1 via the fused single-buffer custom DeclarativeAggregate (OhlcAgg):
     // same bars, one accumulator through the shuffle instead of four
     "q_ohlc_fused" -> ((s, dir) =>
@@ -2214,6 +2231,29 @@ object SparkEntry {
            ORDER BY value DESC, event_id LIMIT 20""",
 
       "q_ohlc_1m" ->
+        s"""WITH pts AS (
+              SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
+                     $evTs AS ts, event_id, value
+              FROM events),
+            o AS (
+              SELECT *,
+                first_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+                last_value(value) OVER (PARTITION BY event_type, bar_ts
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+              FROM pts)
+            SELECT event_type, bar_ts, min(open_v) AS open, max(value) AS high,
+                   min(value) AS low, min(close_v) AS close,
+                   CAST(count(*) AS BIGINT) AS tick_count
+            FROM o GROUP BY event_type, bar_ts
+            ORDER BY event_type, bar_ts""",
+
+      // the incremental view's ground truth IS the full recompute: same
+      // oracle as q_ohlc_1m over ALL events — the split/merge on the
+      // Spark side must be invisible in the result
+      "q_ohlc_incremental" ->
         s"""WITH pts AS (
               SELECT event_type, time_bucket(INTERVAL 1 MINUTE, $evTs) AS bar_ts,
                      $evTs AS ts, event_id, value
