@@ -339,6 +339,28 @@ object ScaleProbe {
         vecs.unpersist(blocking = false)
       }
     }
+    // PageRank at 10×: deterministic 2-out-degree graph (one modular edge
+    // → cycles, one halving edge → hierarchy), fixed 10 iterations. The
+    // claim: each iteration is one join + one partial agg, so wall should
+    // track edges ~linearly — no superlinear blowup from plan growth
+    // (lineage cuts) or block-manager leaks (per-round unpersist).
+    if (sec("pagerank")) {
+      println(f"${"pagerank"}%-14s ${"edges"}%9s ${"wall_s"}%8s")
+      Seq(1 -> 100000L, 10 -> 1000000L).foreach { case (mult, n) =>
+        val edges = spark.range(n).select(col("id").as("src"),
+            pmod(col("id") * 7 + 3, lit(n)).as("dst"), lit(1L).as("w"))
+          .unionByName(spark.range(1, n).select(col("id").as("src"),
+            (col("id") / 2).cast("long").as("dst"), lit(1L).as("w")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ne = edges.count()
+        val t0 = System.nanoTime()
+        graft.operators.PageRank.weightedRanksE6(edges, iters = 10).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val tag = s"pr_${mult}x"
+        println(f"$tag%-14s $ne%9d $wall%8.2f")
+        edges.unpersist(blocking = false)
+      }
+    }
     spark.stop()
   }
 }

@@ -1375,6 +1375,23 @@ object SparkEntry {
           col("hll_est"))
     }),
 
+    // per-group HLL: one 256-register sketch per language — the "distinct
+    // tokens per lang" data-card statistic in |langs|·256 state instead of
+    // a vocab-sized distinct per group, next to the exact counts
+    "q_hll_by_lang" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+      val est = graft.operators.Sketches.hllEstimateBy(
+        graft.operators.Sketches.hllRegistersBy(toks, "token", Seq("lang"), m = 256),
+        Seq("lang"), m = 256)
+      val exact = toks.groupBy("lang")
+        .agg(countDistinct(col("token")).as("n_exact"))
+      est.join(exact, "lang")
+        .select(col("lang"), col("n_exact"), col("n_buckets_used"),
+          col("z_scaled"), col("hll_est"))
+        .orderBy("lang")
+    }),
+
     // DSIR data selection (Xie et al. 2023): importance weights that tilt
     // the raw corpus toward a target subset (here: English docs) via
     // hashed-unigram likelihood ratios — exact fixed-point log2 end to
@@ -3488,6 +3505,66 @@ object SparkEntry {
              / CAST(zp + (256 - n_buckets_used) * (1::BIGINT << 53)
                     AS DOUBLE) AS hll_est
            FROM agg CROSS JOIN ex""",
+
+      // per-lang HLL mirror: q_hll_exact's pipeline with every stage
+      // keyed by lang
+      "q_hll_by_lang" ->
+        """WITH toks AS (
+             SELECT lang,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS token
+             FROM documents),
+           hs AS (
+             SELECT lang, CAST(
+               (list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(regexp_extract_all(token, '(?s).'),
+                      c -> CAST(unicode(c) AS BIGINT))),
+                  (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+                + list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(regexp_extract_all(token, '(?s).'),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                    (a, b) -> (a * 137 + b) % 998244353)) AS VARCHAR) AS d
+             FROM toks),
+           vr AS (
+             SELECT lang,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(d, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) % 256 AS bucket,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(d, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 998244353) AS v
+             FROM hs),
+           rho AS (
+             SELECT lang, bucket,
+               CASE WHEN v = 0 THEN 53
+                    ELSE CAST(log2(v & -v) AS BIGINT) + 1 END AS rho
+             FROM vr),
+           regs AS (SELECT lang, bucket, max(rho) AS reg
+                    FROM rho GROUP BY 1, 2),
+           agg AS (
+             SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets_used,
+               CAST(sum(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT)
+                 AS zp
+             FROM regs GROUP BY 1),
+           ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
+                    AS n_exact
+                  FROM toks GROUP BY 1)
+           SELECT lang, n_exact, n_buckets_used,
+             zp + (256 - n_buckets_used) * (1::BIGINT << 53) AS z_scaled,
+             ((CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+              * CAST(65536.0 AS DOUBLE)
+              * CAST(9007199254740992.0 AS DOUBLE))
+             / CAST(zp + (256 - n_buckets_used) * (1::BIGINT << 53)
+                    AS DOUBLE) AS hll_est
+           FROM agg JOIN ex USING (lang) ORDER BY lang""",
 
       // DSIR mirror: hashed-unigram buckets (seed-0 poly fingerprint mod
       // 1024), add-one-smoothed target/raw ratios cross-multiplied to an

@@ -129,6 +129,54 @@ object Sketches {
       .agg(max(col("rho")).as("reg"))
   }
 
+  /** Per-group HLL register tables: one `m`-register sketch per value of
+    * `groupCols` — the "distinct tokens per language / per source" shape
+    * of a corpus data card, in `|groups|·m` state instead of a
+    * vocab-sized distinct per group. Same partial-aggregating register
+    * max, keyed by (group, bucket).
+    */
+  def hllRegistersBy(
+      items: DataFrame,
+      itemCol: String,
+      groupCols: Seq[String],
+      m: Int
+  ): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two >= 2")
+    items
+      .select(col("*"),
+        (graft.functions.exprs.polyBase(col(itemCol)) * lit(PolyMod2) +
+          graft.functions.exprs.polyBase2(col(itemCol)))
+          .cast("string").as("__d"))
+      .select((groupCols.map(col) :+
+        pmod(graft.functions.exprs.polyBase(col("__d")), lit(m.toLong)).as("bucket") :+
+        graft.functions.exprs.polyBase2(col("__d")).as("__v")): _*)
+      .select((groupCols.map(col) :+ col("bucket") :+
+        when(col("__v") === 0L, lit(53L))
+          .otherwise(log2(expr("__v & -__v")).cast("long") + lit(1L)).as("rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Per-group estimates from [[hllRegistersBy]] output: same exact
+    * integer harmonic sum and IEEE-deterministic estimate as
+    * [[hllEstimate]], one row per group.
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 512,
+      "m must be a power of two in [2, 512] (BIGINT-exact harmonic sum)")
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(expr("shiftleft(1L, CAST(53 - reg AS INT))")).as("__zp"))
+      .select((groupCols.map(col) :+ col("n_buckets_used") :+
+        (col("__zp") +
+          (lit(m.toLong) - col("n_buckets_used")) * lit(1L << 53)).as("z_scaled")): _*)
+      .withColumn("hll_est",
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+          lit((m.toDouble * m.toDouble)) * lit(9007199254740992.0)) /
+          col("z_scaled").cast("double"))
+  }
+
   /** Raw HLL estimate from a register table, exact-deterministically.
     *
     * The harmonic sum Σ 2^-reg is kept in INTEGER arithmetic:
