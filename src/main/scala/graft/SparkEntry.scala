@@ -1392,6 +1392,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // distributed linear-probe TRAINING (fasttext-style quality
+    // classifier's linear core): 3 full-batch GD iterations on hashed
+    // token-count features, all e6 fixed-point integers — training
+    // itself is bit-reproducible and oracle-replayed
+    // (operators.LinearProbe)
+    "q_linear_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_en", col("lang") === "en")
+      graft.operators.LinearProbe
+        .trainScores(docs, "doc_id", "text", "is_en",
+          m = 32, iters = 3, lrDen = 20000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("score_e6").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // DSIR data selection (Xie et al. 2023): importance weights that tilt
     // the raw corpus toward a target subset (here: English docs) via
     // hashed-unigram likelihood ratios — exact fixed-point log2 end to
@@ -3565,6 +3581,53 @@ object SparkEntry {
              / CAST(zp + (256 - n_buckets_used) * (1::BIGINT << 53)
                     AS DOUBLE) AS hll_est
            FROM agg JOIN ex USING (lang) ORDER BY lang""",
+
+      // linear-probe mirror: the full 3-iteration GD loop unrolled —
+      // per-bucket counts, zero-init weights, pred/grad/update per round
+      // with the same signed truncating division
+      "q_linear_probe" -> {
+        val iter = (wp: String, p: String, g: String, wn: String) =>
+          s"""$p AS (
+             SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS pred
+             FROM feats f JOIN $wp w USING (j) GROUP BY 1),
+           $g AS (
+             SELECT f.j, CAST(sum(f.x * (p.pred - y.y_e6)) AS BIGINT) AS g
+             FROM feats f JOIN $p p USING (doc_id) JOIN y USING (doc_id)
+             GROUP BY 1),
+           $wn AS (
+             SELECT w.j, w.w - COALESCE(g.g, 0) // (20000 * n) AS w
+             FROM $wp w LEFT JOIN $g g USING (j) CROSS JOIN nn)"""
+        """WITH toks AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS token
+             FROM documents),
+           feats AS (
+             SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_transform(regexp_extract_all(token, '(?s).'),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) % 32 AS j,
+               CAST(count(*) AS BIGINT) AS x
+             FROM toks GROUP BY 1, 2),
+           y AS (
+             SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT)
+                 AS y_e6
+             FROM documents),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM range(32) t(j)),
+           """ +
+          Seq(("w0", "p1", "g1", "w1"), ("w1", "p2", "g2", "w2"),
+            ("w2", "p3", "g3", "w3"))
+            .map { case (a, b, c, d) => iter(a, b, c, d) }.mkString(",\n") +
+          """
+           SELECT f.doc_id, y.y_e6, CAST(sum(f.x * w.w) AS BIGINT) AS score_e6
+           FROM feats f JOIN w3 w USING (j) JOIN y USING (doc_id)
+           GROUP BY f.doc_id, y.y_e6
+           ORDER BY score_e6 DESC, doc_id LIMIT 100"""
+      },
 
       // DSIR mirror: hashed-unigram buckets (seed-0 poly fingerprint mod
       // 1024), add-one-smoothed target/raw ratios cross-multiplied to an

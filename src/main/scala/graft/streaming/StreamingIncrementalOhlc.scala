@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ohlc.IncrementalOhlc
+
+/** Streaming OHLC bar maintenance: a `foreachBatch` sink folding each
+  * tick micro-batch into the persisted partial-bar state with
+  * [[graft.ohlc.IncrementalOhlc.applyBatch]] — bars stay queryable and
+  * exact at all times (no watermark-delayed emission, no append-mode
+  * finality: a late tick in batch N+k simply re-merges its bar, which the
+  * witness-struct algebra makes order-insensitive). Complements
+  * [[StreamingOhlc]]'s watermarked append pipeline: that shape emits
+  * finalized bars for downstream streams; this one maintains a
+  * continuously-correct materialized view.
+  *
+  * State storage follows the versioned `v=N` contract of
+  * [[StreamingDedup]] (Hadoop FS, `_SUCCESS`-gated reads, compaction):
+  * batch replay after a crash reads the intact previous version and
+  * regenerates deterministically.
+  */
+object StreamingIncrementalOhlc {
+
+  /** Wire with `ticks.writeStream.foreachBatch(
+    * StreamingIncrementalOhlc.updateBatch(path, Seq("instrument"), "ts",
+    * "price", "tick_id")).start()`.
+    */
+  def updateBatch(
+      statePath: String,
+      keys: Seq[String],
+      time: String,
+      value: String,
+      tiebreak: String,
+      minutes: Int = 1,
+      keepVersions: Option[Int] = Some(3)
+  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val next = StreamingDedup.latestVersion(spark, statePath) match {
+      case Some(v) =>
+        IncrementalOhlc.applyBatch(
+          spark.read.parquet(s"$statePath/v=$v"), batch,
+          keys, time, value, tiebreak, minutes)
+      case None =>
+        IncrementalOhlc.partialBars(batch, keys, time, value, tiebreak, minutes)
+    }
+    next.write.mode(SaveMode.Overwrite).parquet(s"$statePath/v=$batchId")
+    keepVersions.foreach(k => StreamingDedup.compactIndex(spark, statePath, k))
+  }
+
+  /** Current bars ([[graft.ohlc.Ohlc.bars]] schema) from the stored state. */
+  def readBars(spark: SparkSession, statePath: String): DataFrame =
+    StreamingDedup.latestVersion(spark, statePath) match {
+      case Some(v) =>
+        IncrementalOhlc.finalBars(spark.read.parquet(s"$statePath/v=$v"))
+      case None => spark.emptyDataFrame
+    }
+}
