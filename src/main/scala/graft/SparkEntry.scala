@@ -576,6 +576,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid-retrieval fusion: exact float ranking ⊕ int8-shortlist
+    // ranking combined by reciprocal-rank fusion in exact integers
+    // (VectorFunctions.rrfFuse) — the lexical⊕semantic combiner shape,
+    // here fusing the two retrieval stages the engine already mirrors
+    "q_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val bf = VectorFunctions
+        .bruteForceTopK(emb, q, "vec_id", "embedding", k = 20)
+        .select("query_id", "neighbor_id", "rank")
+      val i8 = VectorFunctions
+        .annInt8Rerank(emb, q, "vec_id", "embedding", k = 20, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"), col("srank").as("rank"))
+      VectorFunctions.rrfFuse(Seq(i8, bf), rrfK = 60, topK = 5)
+        .orderBy("query_id", "frank")
+    }),
+
     // vector norms / dims (embedding hygiene scan)
     "q_embed_norm" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -2882,6 +2899,43 @@ object SparkEntry {
              FROM s)
            SELECT query_id, neighbor_id, sim, rank FROM r
            WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // RRF mirror: the int8 shortlist CTEs plus a brute-force cosine
+      // ranking, fused with the same integer contributions
+      "q_rrf_fusion" -> (annInt8Ctes + """,
+           i8rank AS (SELECT query_id, neighbor_id,
+                        CAST(srank AS BIGINT) AS rank FROM r),
+           bfs AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qe)+1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.embedding)+1),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS sim
+             FROM q, coded c WHERE c.vec_id != query_id),
+           bfr AS (
+             SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+                 AS BIGINT) AS rank
+             FROM bfs),
+           uni AS (
+             SELECT query_id, neighbor_id, rank FROM i8rank
+             UNION ALL
+             SELECT query_id, neighbor_id, rank FROM bfr WHERE rank <= 20),
+           fused AS (
+             SELECT query_id, neighbor_id,
+               CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6,
+               CAST(count(*) AS INTEGER) AS n_lists
+             FROM uni GROUP BY 1, 2),
+           fr AS (
+             SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_e6 DESC, neighbor_id)
+               AS INTEGER) AS frank
+             FROM fused)
+           SELECT query_id, neighbor_id, rrf_e6, n_lists, frank
+           FROM fr WHERE frank <= 5 ORDER BY query_id, frank"""),
 
       "q_embed_norm" ->
         """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

@@ -118,6 +118,40 @@ object VectorFunctions {
         col("rank"), col("int8_key"), col("srank").cast("int").as("srank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    * number of per-query rankings — the standard hybrid-retrieval
+    * combiner (lexical ⊕ semantic, or coarse ⊕ fine ANN stages), in
+    * EXACT integer arithmetic: each list contributes
+    * `1e6 div (rrfK + rank)` and the fused order is by the summed
+    * contribution (ties → neighbor id), so fusion is bit-reproducible
+    * and oracle-checkable — no float score normalization, which is
+    * precisely why RRF is preferred over score fusion in practice.
+    *
+    * Scale shape: a union of ranking frames (each already top-limited by
+    * its producer), one partially-aggregated groupBy, one per-query
+    * window over ≤ Σ list lengths rows — never corpus-sized.
+    *
+    * @param rankings frames with (query_id, neighbor_id, rank) columns
+    * @return (query_id, neighbor_id, rrf_e6, n_lists, frank), frank ≤ topK
+    */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60, topK: Int = 5): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val u = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_e6").desc, col("neighbor_id"))
+    u.withColumn("contrib", expr(s"1000000L div (${rrfK}L + rank)"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("contrib")).as("rrf_e6"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .withColumn("frank", row_number().over(w))
+      .filter(col("frank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rrf_e6"),
+        col("n_lists"), col("frank").cast("int").as("frank"))
+  }
+
   /** Squared-L2 distance (sequential double fold — the PQ metric),
     * computed by the codegen'd [[graft.functions.L2Sq]] kernel.
     */

@@ -308,4 +308,24 @@ class TextVectorSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
   }
+
+  test("rrfFuse: consensus across lists beats a single higher rank; exact contributions") {
+    // list A ranks docs 10,11,12; list B ranks 11,10,13 — doc 10 and 11
+    // appear in both (consensus), 12 and 13 in one list only
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = graft.vector.VectorFunctions.rrfFuse(Seq(a, b), rrfK = 60, topK = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    val byId = fused.map(t => t._1 -> t).toMap
+    // exact contributions: 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    assert(byId(10L)._2 === 16393L + 16129L && byId(10L)._3 === 2)
+    assert(byId(11L)._2 === 16129L + 16393L && byId(11L)._3 === 2)
+    // both consensus docs outrank the single-list doc 13 despite its rank 1
+    assert(byId(13L)._2 === 16393L && byId(13L)._4 > byId(10L)._4)
+    assert(byId(12L)._2 === 15873L)
+    // tie between 10 and 11 (same total) broken by neighbor id
+    assert(byId(10L)._4 === 1 && byId(11L)._4 === 2)
+  }
 }
