@@ -339,6 +339,28 @@ object ScaleProbe {
         vecs.unpersist(blocking = false)
       }
     }
+    // Sketches at 100×: CMS and HLL builds over a synthetic zipf-ish token
+    // stream. The claim: both are one partial-aggregating pass whose
+    // reduce side is sketch-sized (d·w cells / m registers), so wall
+    // tracks the stream ~linearly and state never grows.
+    if (sec("sketch")) {
+      def stream(n: Long): DataFrame =
+        spark.range(n).select(concat(lit("tok_"),
+          (pmod(col("id") * 2654435761L, lit(1000003L)) % 5000 + 1).cast("string"))
+          .as("token"))
+      println(f"${"sketch"}%-14s ${"rows"}%10s ${"cms_s"}%8s ${"hll_s"}%8s")
+      Seq(1 -> 1000000L, 100 -> 100000000L).foreach { case (mult, n) =>
+        val s0 = stream(n)
+        val t0 = System.nanoTime()
+        graft.operators.Sketches.cmsSketch(s0, "token", d = 4, w = 4096).count()
+        val tC = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.Sketches.hllRegisters(s0, "token", m = 256).count()
+        val tH = (System.nanoTime() - t1) / 1e9
+        val tag = s"sk_${mult}x"
+        println(f"$tag%-14s $n%10d $tC%8.2f $tH%8.2f")
+      }
+    }
     // PageRank at 10×: deterministic 2-out-degree graph (one modular edge
     // → cycles, one halving edge → hierarchy), fixed 10 iterations. The
     // claim: each iteration is one join + one partial agg, so wall should

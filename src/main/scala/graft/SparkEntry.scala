@@ -593,6 +593,36 @@ object SparkEntry {
         .orderBy("query_id", "frank")
     }),
 
+    // nearest-centroid classification + confusion matrix: decimal-exact
+    // per-label centroids (the q_centroid construction) broadcast as L
+    // rows, sequential-fold L2 distances, per-vector argmin with
+    // deterministic tie-break — label quality audit of an embedding space
+    "q_nearest_centroid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb
+        .select(col("label").as("clabel"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("clabel", "pos")
+        .agg(count(lit(1)).as("n"), dsum(col("v").cast("double")).as("sv"))
+        .select(col("clabel"), col("pos"),
+          (floor(col("sv") / col("n") * lit(1e6)) / 1e6).as("m"))
+        .groupBy("clabel")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("clabel"), expr("transform(pm, e -> e.m)").as("cvec"))
+      emb.crossJoin(broadcast(cent))
+        .withColumn("d", expr(
+          """aggregate(zip_with(embedding, cvec,
+             (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+             CAST(0.0 AS DOUBLE), (x, y) -> x + y)"""))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d"), col("clabel"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    }),
+
     // vector norms / dims (embedding hygiene scan)
     "q_embed_norm" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -2936,6 +2966,37 @@ object SparkEntry {
              FROM fused)
            SELECT query_id, neighbor_id, rrf_e6, n_lists, frank
            FROM fr WHERE frank <= 5 ORDER BY query_id, frank"""),
+
+      // nearest-centroid mirror: q_centroid's decimal-exact means packed
+      // into per-label arrays, the same sequential-fold squared distance,
+      // argmin by (d, label)
+      "q_nearest_centroid" ->
+        """WITH comp AS (
+             SELECT label AS clabel, generate_subscripts(embedding, 1) AS pos,
+                    unnest(embedding) AS v
+             FROM embeddings),
+           cm AS (
+             SELECT clabel, pos,
+               floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*) * 1e6) / 1e6 AS m
+             FROM comp GROUP BY 1, 2),
+           cv AS (SELECT clabel, list(m ORDER BY pos) AS cvec
+                  FROM cm GROUP BY 1),
+           da AS (
+             SELECT e.vec_id, e.label, c.clabel,
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))),
+                 (x, y) -> x + y) AS d
+             FROM embeddings e CROSS JOIN cv c),
+           bst AS (
+             SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel)
+                 AS rn
+             FROM da)
+           SELECT label, clabel AS assigned, CAST(count(*) AS BIGINT) AS n
+           FROM bst WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned""",
 
       "q_embed_norm" ->
         """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
