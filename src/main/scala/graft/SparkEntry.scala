@@ -2029,6 +2029,118 @@ object SparkEntry {
             floor((col("value") - col("vmin")) * lit(1e6) / (col("vmax") - col("vmin"))) / 1e6)
             .otherwise(0.0).as("scaled"))
         .orderBy("event_id")
+    }),
+
+    // ---- round 6: warehouse-maintenance + graph/search/diversity ---------
+
+    // SCD2 dimension history from the events change-log: per user, runs of
+    // identical event_type collapse into validity intervals (two window
+    // functions over ONE key shuffle — Scd.scd2FromChangeLog)
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.Scd.scd2FromChangeLog(
+        ev(s, dir), keys = Seq("user_id"), ts = "ts",
+        tiebreak = Seq("event_id"), attrs = Seq("event_type"))
+        .orderBy("user_id", "valid_from")),
+
+    // CDC merge: latest-change-wins upsert/delete batch (ts > cutoff,
+    // 'error' plays the delete op) applied to the current-state table
+    // (latest per-user state at the cutoff) — one argmax aggregation per
+    // side + one full-outer join, no window sort (Scd.applyChanges)
+    "q_cdc_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val current = e.filter(col("ts") <= cutoff)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("event_type").as("state"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__w"))
+        .select(col("user_id"), col("__w.state").as("state"),
+          col("__w.value").as("value"))
+      val changes = e.filter(col("ts") > cutoff)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type").as("state"), col("value"))
+      graft.operators.Scd.applyChanges(current, changes,
+        keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"),
+        opCol = "op", payload = Seq("state", "value"))
+        .orderBy("user_id")
+    }),
+
+    // Snapshot diff: customer vs a deterministically mutated successor
+    // (%13 removed, %7 rebalanced, %5 re-segmented, %11 cloned under new
+    // keys) — added/removed/changed classification with per-column change
+    // lists from ONE full-outer join (SnapshotDiff.diff)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val after = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("MIGRATED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.operators.SnapshotDiff.diff(cust, after, Seq("c_custkey"),
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy("change", "c_custkey")
+    }),
+
+    // Exact triangle counts on the part co-purchase graph (parts sharing
+    // an order), degree-ordered node-iterator — per-node wedge fanout
+    // bounded O(√m) (Triangles.perNodeCounts); top-100 participants
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val edges = a.join(b, "l_orderkey").filter(col("u") < col("v"))
+        .select("u", "v")
+      graft.operators.Triangles.perNodeCounts(edges, "u", "v")
+        .orderBy(col("n_tri").desc, col("node")).limit(100)
+    }),
+
+    // Edit-distance fuzzy dup pairs: LSH blocking (the q_minhash_lsh
+    // candidate set) verified by exact Levenshtein with a relative ≤20%
+    // threshold — integer dist + rel_e6 (FuzzyDedup.editDistancePairs)
+    "q_fuzzy_dedup" -> ((s, dir) =>
+      graft.text.FuzzyDedup.editDistancePairs(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // Conjunctive keyword search over the inverted index: docs containing
+    // ALL query terms, scored by summed tf (InvertedIndex)
+    "q_inverted_search" -> ((s, dir) => {
+      val p = graft.text.InvertedIndex.postings(
+        Tables.documents(s, dir), "doc_id", "text")
+      graft.text.InvertedIndex.searchAll(p, Seq("spark", "window", "merge"))
+        .orderBy(col("score").desc, col("doc"))
+    }),
+
+    // MMR diversity re-rank over the int8 shortlist: greedy
+    // λ·rel − (1−λ)·maxSim selection in one consistent exact-integer
+    // scale (Mmr.rerank; 8 queries, top-5 from a 25-candidate shortlist)
+    "q_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.vector.Mmr.rerank(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, shortlist = 25, lambdaTenths = 7)
+        .orderBy("query_id", "sel_rank")
+    }),
+
+    // Declarative data-quality audit over lineitem: the row-local battery
+    // folds into ONE scan; uniqueness adds one groupBy, referential
+    // integrity one broadcast anti-join (ConstraintAudit.audit)
+    "q_constraint_audit" -> ((s, dir) => {
+      import graft.operators.ConstraintAudit._
+      audit(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey_not_null", "l_orderkey"),
+        InRange("l_quantity_1_50", "l_quantity", 1, 50),
+        InRange("l_discount_0_01", "l_discount", 0, 0.1),
+        Check("l_ship_after_19920101",
+          col("l_shipdate") >= lit("1992-01-01").cast("timestamp")),
+        Check("l_price_positive", col("l_extendedprice") > 0),
+        Unique("l_order_line_unique", Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey_in_orders", "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")))
+        .orderBy("constraint")
     })
   )
 
@@ -4955,7 +5067,288 @@ object SparkEntry {
                THEN floor((value - vmin) * 1e6 / (vmax - vmin)) / 1e6
                ELSE 0.0 END AS scaled
            FROM events e JOIN s USING (event_type)
-           ORDER BY event_id"""
+           ORDER BY event_id""",
+
+      // ---- round 6: warehouse-maintenance + graph/search/diversity -------
+
+      "q_scd2" ->
+        s"""WITH c AS (
+              SELECT user_id, $evTs AS ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY $evTs, event_id) AS prev
+              FROM events),
+            o AS (
+              SELECT user_id, event_type, ts AS valid_from
+              FROM c WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from) AS valid_to,
+              lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from) IS NULL AS is_current
+            FROM o ORDER BY user_id, valid_from""",
+
+      "q_cdc_merge" ->
+        s"""WITH cur AS (
+              SELECT user_id, event_type AS state, value FROM (
+                SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY $evTs DESC, event_id DESC) AS rn
+                FROM events
+                WHERE $evTs <= TIMESTAMP '2024-01-15 00:00:00')
+              WHERE rn = 1),
+            chg AS (
+              SELECT user_id,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                event_type AS state, value FROM (
+                SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY $evTs DESC, event_id DESC) AS rn
+                FROM events
+                WHERE $evTs > TIMESTAMP '2024-01-15 00:00:00')
+              WHERE rn = 1)
+            SELECT COALESCE(c.user_id, l.user_id) AS user_id,
+              CASE WHEN l.op IS NOT NULL THEN l.state ELSE c.state END AS state,
+              CASE WHEN l.op IS NOT NULL THEN l.value ELSE c.value END AS value
+            FROM cur c FULL JOIN chg l ON c.user_id = l.user_id
+            WHERE COALESCE(l.op, 'U') <> 'D'
+            ORDER BY user_id""",
+
+      "q_snapshot_diff" ->
+        """WITH b AS (
+             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             FROM customer),
+           a AS (
+             SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MIGRATED'
+                    ELSE c_mktsegment END AS c_mktsegment
+             FROM customer WHERE c_custkey % 13 <> 0
+             UNION ALL
+             SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+             FROM customer WHERE c_custkey % 11 = 0),
+           j AS (
+             SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+               b.c_custkey IS NOT NULL AS inb, a.c_custkey IS NOT NULL AS ina,
+               b.c_name AS bn, a.c_name AS an,
+               b.c_nationkey AS bk, a.c_nationkey AS ak,
+               b.c_acctbal AS bb, a.c_acctbal AS ab,
+               b.c_mktsegment AS bm, a.c_mktsegment AS am
+             FROM b FULL JOIN a ON b.c_custkey = a.c_custkey),
+           d AS (
+             SELECT c_custkey,
+               CASE WHEN NOT inb THEN 'added'
+                    WHEN NOT ina THEN 'removed'
+                    ELSE 'changed' END AS change,
+               concat_ws(',',
+                 CASE WHEN bn IS DISTINCT FROM an THEN 'c_name' END,
+                 CASE WHEN bk IS DISTINCT FROM ak THEN 'c_nationkey' END,
+                 CASE WHEN bb IS DISTINCT FROM ab THEN 'c_acctbal' END,
+                 CASE WHEN bm IS DISTINCT FROM am THEN 'c_mktsegment' END)
+                 AS cc
+             FROM j)
+           SELECT c_custkey, change,
+             CASE WHEN change = 'changed' THEN cc END AS changed_cols
+           FROM d WHERE change <> 'changed' OR cc <> ''
+           ORDER BY change, c_custkey""",
+
+      "q_triangles" ->
+        """WITH e0 AS (
+             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           deg AS (
+             SELECT n, count(*) AS d FROM (
+               SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+             GROUP BY 1),
+           o AS (
+             SELECT CASE WHEN (d1.d, u) < (d2.d, v) THEN u ELSE v END AS src,
+                    CASE WHEN (d1.d, u) < (d2.d, v) THEN v ELSE u END AS dst
+             FROM e0 JOIN deg d1 ON d1.n = e0.u JOIN deg d2 ON d2.n = e0.v),
+           w AS (
+             SELECT o1.src AS c, o1.dst AS x, o2.dst AS y
+             FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+           cl AS (
+             SELECT src AS x, dst AS y FROM o
+             UNION ALL SELECT dst, src FROM o),
+           t AS (SELECT c, x, y FROM w JOIN cl USING (x, y)),
+           n AS (SELECT unnest([c, x, y]) AS node FROM t)
+           SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           FROM n GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 100""",
+
+      // the q_minhash_lsh candidate CTEs with the verifier swapped from
+      // Jaccard to Levenshtein (relative ≤ 20%, floor-division rel_e6)
+      "q_fuzzy_dedup" ->
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs),
+           banded AS (
+             SELECT doc_id,
+               unnest(list_transform(range(0, 8), j -> {'band': j, 'bh':
+                 list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
+                   (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                 * 998244353 +
+                 list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
+                   (a, v) -> (a * 137 + (v % 998244353)) % 998244353)})) AS b
+             FROM sig),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM banded a JOIN banded c
+               ON a.b.band = c.b.band AND a.b.bh = c.b.bh
+                 AND a.doc_id < c.doc_id),
+           ver AS (
+             SELECT id_a, id_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+               CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT)
+                 AS ml
+             FROM cand
+             JOIN documents ta ON ta.doc_id = id_a
+             JOIN documents tb ON tb.doc_id = id_b)
+           SELECT id_a, id_b, dist,
+             CASE WHEN ml = 0 THEN 0 ELSE dist * 1000000 // ml END AS rel_e6
+           FROM ver
+           WHERE (CASE WHEN ml = 0 THEN 0 ELSE dist * 1000000 // ml END)
+             <= 200000
+           ORDER BY id_a, id_b""",
+
+      "q_inverted_search" ->
+        """WITH toks AS (
+             SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             FROM documents),
+           p AS (
+             SELECT term, doc, CAST(count(*) AS BIGINT) AS tf
+             FROM toks WHERE term <> '' GROUP BY 1, 2),
+           m AS (
+             SELECT doc, count(*) AS nt, CAST(sum(tf) AS BIGINT) AS score
+             FROM p WHERE term IN ('spark', 'window', 'merge') GROUP BY 1)
+           SELECT doc, score FROM m WHERE nt = 3 ORDER BY score DESC, doc""",
+
+      // greedy MMR unrolled to 5 selection steps (the q_pagerank unrolling
+      // pattern): candidates are the per-query top-25 by the exact-integer
+      // key e6(q)·e6(d)·Σ(qc·dc); each step excludes selected rows,
+      // penalizes by the max pairwise key to the selected set, and picks
+      // argmax(7·rel − 3·maxSim) with id tiebreak
+      "q_mmr" -> {
+        val dotSql = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
+              (x, y) -> x + y)"""
+        val step = (prev: String, pick: String, next: String, ord: Int) =>
+          s"""p$ord AS (
+               SELECT c.query_id, c.neighbor_id, c.codes, c.e6, c.rel_key,
+                 max(c.e6 * s.e6 * ${dotSql("c.codes", "s.codes")}) AS ms
+               FROM cand c JOIN $prev s ON s.query_id = c.query_id
+               WHERE NOT EXISTS (SELECT 1 FROM $prev x
+                 WHERE x.query_id = c.query_id
+                   AND x.neighbor_id = c.neighbor_id)
+               GROUP BY 1, 2, 3, 4, 5),
+             $pick AS (
+               SELECT query_id, neighbor_id, codes, e6,
+                 $ord AS sel_rank, 7 * rel_key - 3 * ms AS score
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY 7 * rel_key - 3 * ms DESC, neighbor_id) AS rn
+                     FROM p$ord)
+               WHERE rn = 1),
+             $next AS (SELECT * FROM $prev UNION ALL SELECT * FROM $pick)"""
+        s"""WITH base AS (
+              SELECT vec_id, embedding,
+                greatest(CAST(list_max(embedding) AS DOUBLE),
+                         -CAST(list_min(embedding) AS DOUBLE), 1e-12) AS amax
+              FROM embeddings),
+            coded AS (
+              SELECT vec_id,
+                greatest(CAST(floor(amax * 1e6) AS BIGINT),
+                         CAST(1 AS BIGINT)) AS e6,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
+                    AS BIGINT)) AS codes
+              FROM base),
+            q AS (SELECT vec_id AS query_id, e6 AS qe6, codes AS qc
+                  FROM coded WHERE vec_id < 8),
+            rel AS (
+              SELECT query_id, c.vec_id AS neighbor_id,
+                c.e6 * qe6 * ${dotSql("qc", "c.codes")} AS rel_key,
+                c.codes AS codes, c.e6 AS e6
+              FROM q, coded c WHERE c.vec_id <> query_id),
+            cand AS (
+              SELECT query_id, neighbor_id, rel_key, codes, e6 FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel_key DESC, neighbor_id) AS srank
+                FROM rel)
+              WHERE srank <= 25),
+            s1 AS (
+              SELECT query_id, neighbor_id, codes, e6,
+                1 AS sel_rank, 7 * rel_key AS score
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY 7 * rel_key DESC, neighbor_id) AS rn
+                    FROM cand)
+              WHERE rn = 1),
+            ${step("s1", "n2", "s2", 2)},
+            ${step("s2", "n3", "s3", 3)},
+            ${step("s3", "n4", "s4", 4)},
+            ${step("s4", "n5", "s5", 5)}
+            SELECT query_id, sel_rank, neighbor_id, score
+            FROM s5 ORDER BY query_id, sel_rank"""
+      },
+
+      "q_constraint_audit" ->
+        """SELECT "constraint", n_violations FROM (
+             SELECT 'l_orderkey_not_null' AS "constraint",
+               CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+             FROM lineitem
+             UNION ALL
+             SELECT 'l_quantity_1_50',
+               CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             FROM lineitem
+             UNION ALL
+             SELECT 'l_discount_0_01',
+               CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             FROM lineitem
+             UNION ALL
+             SELECT 'l_ship_after_19920101',
+               CAST(coalesce(sum(CASE WHEN NOT coalesce(
+                 CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1992-01-01',
+                 true) THEN 1 ELSE 0 END), 0) AS BIGINT)
+             FROM lineitem
+             UNION ALL
+             SELECT 'l_price_positive',
+               CAST(coalesce(sum(CASE WHEN NOT coalesce(l_extendedprice > 0,
+                 true) THEN 1 ELSE 0 END), 0) AS BIGINT)
+             FROM lineitem
+             UNION ALL
+             SELECT 'l_order_line_unique',
+               CAST(coalesce((SELECT sum(c - 1) FROM (
+                 SELECT count(*) AS c FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT)
+             UNION ALL
+             SELECT 'l_orderkey_in_orders',
+               CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT))
+           ORDER BY "constraint""""
     ) ++ resampleOracles(evTs)
   }
 }

@@ -85,6 +85,33 @@ object MinHash {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
+  /** LSH candidate pairs WITHOUT verification — the blocking stage shared
+    * by [[nearDupPairs]] (exact-Jaccard verify) and
+    * [[FuzzyDedup.editDistancePairs]] (edit-distance verify). Returns
+    * (id_a, id_b), id_a < id_b, one row per candidate pair.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 8
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sh = docs.select(
+      col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    val banded = signatureDf(sh, "id", "sh", k)
+      .select(col("id"),
+        posexplode(bandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bh")))
+    banded
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def nearDupPairs(
       docs: DataFrame,
       idCol: String,
