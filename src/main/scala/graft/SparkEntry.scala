@@ -2141,7 +2141,33 @@ object SparkEntry {
         ForeignKey("l_orderkey_in_orders", "l_orderkey",
           t(s, dir, "orders"), "o_orderkey")))
         .orderBy("constraint")
-    })
+    }),
+
+    // Funnel depth view→click→purchase anchored at each user's first view,
+    // chain within a 3-day window — k chained filter→per-user-min
+    // aggregations, no event-log self-join (EventSeq.anchoredFunnel)
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.EventSeq.anchoredFunnel(ev(s, dir), "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), windowSec = 259200L)
+        .orderBy("uid")),
+
+    // Cohort retention by epoch-week of first activity: (cohort, offset,
+    // distinct active users) — two aggregations + one key join
+    // (EventSeq.cohortRetention)
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.operators.EventSeq.cohortRetention(ev(s, dir), "user_id", "ts",
+        c => floor(floor(c.cast("double")) / lit(604800.0)).cast("long"))
+        .orderBy("cohort", "period_offset")),
+
+    // Ordered-pattern match over per-user event-symbol strings (first
+    // letters are distinct across the 5 event types): did the user ever
+    // view, then later sign up, then later purchase?
+    // (EventSeq.sequenceMatch; deterministic sort_array ordering)
+    "q_seq_match" -> ((s, dir) =>
+      graft.operators.EventSeq.sequenceMatch(ev(s, dir), "user_id", "ts",
+        "event_id", substring(col("event_type"), 1, 1), "v.*s.*p")
+        .orderBy("uid"))
   )
 
   /** A2 closure: the API supports 7 resample timeframes
@@ -5348,7 +5374,55 @@ object SparkEntry {
                  WHERE l.l_orderkey IS NOT NULL
                    AND NOT EXISTS (SELECT 1 FROM orders o
                      WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT))
-           ORDER BY "constraint""""
+           ORDER BY "constraint"""",
+
+      "q_funnel" ->
+        s"""WITH u1 AS (
+              SELECT user_id AS uid, min($evTs) AS t_1
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            u2 AS (
+              SELECT e.user_id AS uid, min($evTs) AS t_2
+              FROM events e JOIN u1 ON u1.uid = e.user_id
+              WHERE event_type = 'click' AND $evTs > u1.t_1
+                AND $evTs <= u1.t_1 + INTERVAL 259200 SECOND
+              GROUP BY 1),
+            u3 AS (
+              SELECT e.user_id AS uid, min($evTs) AS t_3
+              FROM events e
+              JOIN u1 ON u1.uid = e.user_id
+              JOIN u2 ON u2.uid = e.user_id
+              WHERE event_type = 'purchase' AND $evTs > u2.t_2
+                AND $evTs <= u1.t_1 + INTERVAL 259200 SECOND
+              GROUP BY 1)
+            SELECT u1.uid,
+              CASE WHEN t_3 IS NOT NULL THEN 3
+                   WHEN t_2 IS NOT NULL THEN 2
+                   ELSE 1 END AS level,
+              t_1, t_2, t_3
+            FROM u1
+            LEFT JOIN u2 ON u1.uid = u2.uid
+            LEFT JOIN u3 ON u1.uid = u3.uid
+            ORDER BY u1.uid""",
+
+      "q_cohort_retention" ->
+        s"""WITH wp AS (
+              SELECT user_id AS uid,
+                CAST(floor(floor(epoch($evTs)) / 604800) AS BIGINT) AS p
+              FROM events),
+            f AS (SELECT uid, min(p) AS cohort FROM wp GROUP BY 1),
+            act AS (SELECT DISTINCT uid, p FROM wp)
+            SELECT cohort, p - cohort AS period_offset,
+              CAST(count(DISTINCT a.uid) AS BIGINT) AS n_active
+            FROM act a JOIN f USING (uid)
+            GROUP BY 1, 2 ORDER BY cohort, period_offset""",
+
+      "q_seq_match" ->
+        s"""SELECT user_id AS uid,
+              string_agg(substr(event_type, 1, 1), ''
+                ORDER BY $evTs, event_id) AS seq,
+              regexp_matches(string_agg(substr(event_type, 1, 1), ''
+                ORDER BY $evTs, event_id), 'v.*s.*p') AS matched
+            FROM events GROUP BY 1 ORDER BY uid"""
     ) ++ resampleOracles(evTs)
   }
 }
