@@ -361,6 +361,40 @@ object ScaleProbe {
         println(f"$tag%-14s $n%10d $tC%8.2f $tH%8.2f")
       }
     }
+    // Triangles at 10×: deterministic 3-out-degree graph (two affine
+    // modular edges + one halving edge → plentiful triangles) plus a hub
+    // wired to 1% of nodes — the degenerate case degree orientation must
+    // absorb (a raw node-iterator pays Θ(hub²) wedges at the hub). The
+    // claim: adjacency intersection carries O(m) state, so wall tracks
+    // edges ~linearly.
+    if (sec("triangles")) {
+      println(f"${"triangles"}%-14s ${"edges"}%9s ${"tris"}%9s ${"wall_s"}%8s")
+      Seq(1 -> 333333L, 10 -> 3333333L).foreach { case (mult, n) =>
+        val core = spark.range(n).select(col("id").as("a"),
+            pmod(col("id") * 7 + 3, lit(n)).as("b"))
+          .unionByName(spark.range(n).select(col("id").as("a"),
+            pmod(col("id") * 13 + 5, lit(n)).as("b")))
+          // the closing edge: (7i+3, 13i+5) completes a triangle with i,
+          // so the graph carries ~n real triangles, not just load
+          .unionByName(spark.range(n).select(
+            pmod(col("id") * 7 + 3, lit(n)).as("a"),
+            pmod(col("id") * 13 + 5, lit(n)).as("b")))
+          .unionByName(spark.range(1, n).select(col("id").as("a"),
+            (col("id") / 2).cast("long").as("b")))
+        val hub = spark.range(n / 100).select(lit(0L).as("a"),
+          (col("id") * 100 + 7).as("b"))
+        val edges = core.unionByName(hub)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ne = edges.count()
+        val t0 = System.nanoTime()
+        val counts = graft.operators.Triangles.perNodeCounts(edges, "a", "b")
+        val tris = counts.agg(sum(col("n_tri"))).head().getLong(0) / 3
+        val wall = (System.nanoTime() - t0) / 1e9
+        val tag = s"tri_${mult}x"
+        println(f"$tag%-14s $ne%9d $tris%9d $wall%8.2f")
+        edges.unpersist(blocking = false)
+      }
+    }
     // PageRank at 10×: deterministic 2-out-degree graph (one modular edge
     // → cycles, one halving edge → hierarchy), fixed 10 iterations. The
     // claim: each iteration is one join + one partial agg, so wall should

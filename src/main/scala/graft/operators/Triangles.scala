@@ -59,6 +59,10 @@ object Triangles {
           col("u")).otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      // consumed by three plan branches under DIFFERENT key distributions
+      // (adj build + both intersection joins) — persist, or the edge
+      // dedup/degree pipeline recomputes per branch (measured 3× wall)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // no sort: array_intersect hashes, and the result only feeds size() +
     // an order-free explode→groupBy
     val adj = oriented.groupBy(col("src").as("n"))
@@ -81,6 +85,12 @@ object Triangles {
       .select(col("e.node"), col("e.c"))
       .unionByName(withCommon
         .select(explode(col("__w")).as("node"), lit(1L).as("c")))
-    credits.groupBy("node").agg(sum(col("c")).as("n_tri"))
+    val out = credits.groupBy("node").agg(sum(col("c")).as("n_tri"))
+    // per-node counts are small (≤ node count); cut + materialize so the
+    // cached oriented frame can be freed without the caller recomputing it
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
+    cut.count()
+    oriented.unpersist(blocking = false)
+    cut
   }
 }

@@ -268,4 +268,61 @@ class PlanSpec extends SparkSpec {
     // the final top-k sort — no token-stream×token-stream joins
     assert(exchanges.size <= 8, s"${exchanges.size} exchanges in:\n$plan")
   }
+
+  test("q_scd2: both SCD2 windows share one key shuffle") {
+    val df = SparkEntry.queries("q_scd2")(spark, dir)
+    val plan = finalPlan(df)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the change-detect window and the valid_to window partition on the
+    // same key with a compatible ordering prefix → ONE user-hash exchange
+    // (the second is the output ORDER BY)
+    assert(exchanges.size <= 2, s"${exchanges.size} exchanges in:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"${windows.size} windows in:\n$plan")
+  }
+
+  test("q_constraint_audit: row-local battery folds into one lineitem scan; FK side broadcasts") {
+    val df = SparkEntry.queries("q_constraint_audit")(spark, dir)
+    val plan = finalPlan(df)
+    val liScans = plan.collect {
+      case s: FileSourceScanExec
+        if s.metadata("Location").contains("lineitem") => s
+    }
+    // one scan for the 5 row-local constraints folded into a single agg,
+    // one for Unique's groupBy, one for the FK anti-join probe — NOT one
+    // scan per registered constraint
+    assert(liScans.size == 3, s"${liScans.size} lineitem scans in:\n$plan")
+    val anti = plan.collect {
+      case b: BroadcastHashJoinExec
+        if b.joinType.toString.contains("LeftAnti") => b
+    }
+    assert(anti.nonEmpty, s"expected broadcast anti join in:\n$plan")
+  }
+
+  test("q_triangles: adjacency intersection joins broadcast (no wedge materialization)") {
+    val df = SparkEntry.queries("q_triangles")(spark, dir)
+    val plan = finalPlan(df)
+    // the O(m)-total adjacency frame reaches the edge stream via broadcast
+    // hash joins at dimension-table sizes; the plan must contain NO
+    // oriented⋈oriented wedge join (which would key two edge-sized sides
+    // on the center vertex)
+    val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, plan.toString)
+    assert(plan.toString.contains("array_intersect"), plan.toString)
+  }
+
+  test("sequenceMatch builds per-user strings in one exchange") {
+    val df = graft.operators.EventSeq.sequenceMatch(
+      graft.catalog.Tables.events(spark, dir), "user_id", "ts", "event_id",
+      substring(col("event_type"), 1, 1), "v.*p")
+    val plan = finalPlan(df)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"${exchanges.size} exchanges in:\n$plan")
+  }
 }
