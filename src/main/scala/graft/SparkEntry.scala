@@ -2167,7 +2167,40 @@ object SparkEntry {
     "q_seq_match" -> ((s, dir) =>
       graft.operators.EventSeq.sequenceMatch(ev(s, dir), "user_id", "ts",
         "event_id", substring(col("event_type"), 1, 1), "v.*s.*p")
-        .orderBy("uid"))
+        .orderBy("uid")),
+
+    // First-order Markov transition matrix of event types (per-user lag
+    // window + one pair aggregation; probabilities exact e6 integers)
+    "q_markov" -> ((s, dir) =>
+      graft.operators.EventSeq.transitionMatrix(ev(s, dir), "user_id",
+        "ts", "event_id", "event_type")
+        .orderBy("from_state", "to_state")),
+
+    // Robust outlier fences: per-type median/MAD with |x−med| > 3·MAD
+    // counts — two exact percentile aggs, medians broadcast back
+    // (Stats.madOutliers)
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.operators.Stats.madOutliers(
+        ev(s, dir).select("event_type", "value"), Seq("event_type"), "value")
+        .orderBy("event_type")),
+
+    // Per-type OLS trend of value over time (hours since 2024-01-01,
+    // centi-units) — one pass of exact BIGINT moments, closed-form
+    // slope/intercept via signed truncating division (Stats.groupOls)
+    "q_group_ols" -> ((s, dir) =>
+      graft.operators.Stats.groupOls(ev(s, dir), Seq("event_type"),
+        xCol = expr("(CAST(ts AS LONG) - 1704067200L) div 3600"),
+        yCol = floor(col("value") * 100))
+        .orderBy("event_type")),
+
+    // Market-basket pair lift over order baskets (support ≥ 2, exact e6
+    // lift, top-100) — basket-bounded pair explosion + broadcast singles
+    // (Itemsets.pairLift)
+    "q_itemset_lift" -> ((s, dir) =>
+      graft.operators.Itemsets.pairLift(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("lift_e6").desc, col("item_a"), col("item_b"))
+        .limit(100))
   )
 
   /** A2 closure: the API supports 7 resample timeframes
@@ -5422,7 +5455,80 @@ object SparkEntry {
                 ORDER BY $evTs, event_id) AS seq,
               regexp_matches(string_agg(substr(event_type, 1, 1), ''
                 ORDER BY $evTs, event_id), 'v.*s.*p') AS matched
-            FROM events GROUP BY 1 ORDER BY uid"""
+            FROM events GROUP BY 1 ORDER BY uid""",
+
+      "q_markov" ->
+        s"""WITH p AS (
+              SELECT user_id, event_type AS from_state,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY $evTs, event_id) AS to_state
+              FROM events),
+            c AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tt
+                  FROM c GROUP BY 1)
+            SELECT from_state, to_state, n, n * 1000000 // tt AS p_e6
+            FROM c JOIN t USING (from_state)
+            ORDER BY from_state, to_state""",
+
+      "q_mad_outliers" ->
+        """WITH m AS (
+             SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+           d AS (
+             SELECT e.event_type, med, abs(value - med) AS ad
+             FROM events e JOIN m USING (event_type)),
+           md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                  FROM d GROUP BY 1)
+           SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             min(med) AS med, min(mad) AS mad,
+             CAST(sum(CASE WHEN ad > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+           FROM d JOIN md USING (event_type)
+           GROUP BY 1 ORDER BY 1""",
+
+      "q_group_ols" ->
+        s"""WITH b AS (
+              SELECT event_type,
+                (CAST(floor(epoch($evTs)) AS BIGINT) - 1704067200) // 3600
+                  AS x,
+                CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events),
+            m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM b GROUP BY 1)
+            SELECT event_type, n,
+              CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000000
+                // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT) AS slope_e6,
+              CAST(CAST(sy * sxx - sx * sxy AS HUGEINT) * 1000000
+                // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+                AS intercept_e6
+            FROM m WHERE n * sxx - sx * sx <> 0
+            ORDER BY event_type""",
+
+      "q_itemset_lift" ->
+        """WITH b AS (
+             SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+             FROM lineitem),
+           nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nn FROM b),
+           s AS (SELECT it, CAST(count(*) AS BIGINT) AS ns
+                 FROM b GROUP BY 1),
+           p AS (
+             SELECT a.it AS item_a, c.it AS item_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+             FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+           SELECT item_a, item_b, n_pair,
+             n_pair * (SELECT nn FROM nb) * 1000000 // (sa.ns * sb.ns)
+               AS lift_e6
+           FROM p
+           JOIN s sa ON sa.it = item_a
+           JOIN s sb ON sb.it = item_b
+           ORDER BY lift_e6 DESC, item_a, item_b LIMIT 100"""
     ) ++ resampleOracles(evTs)
   }
 }

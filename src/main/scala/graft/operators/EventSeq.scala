@@ -88,6 +88,35 @@ object EventSeq {
       .agg(countDistinct(col("uid")).as("n_active"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * one lag window per user (the ordering IS the semantics) + one
+    * pairwise count aggregation; probabilities are exact integers
+    * (`n·1e6 div row_total`) so the matrix is oracle-checkable.
+    *
+    * @return (from_state, to_state, n, p_e6) — p_e6 sums to ≤ 1e6 per
+    *         from_state (floor division)
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tiebreak: String,
+      stateCol: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreak))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tiebreak),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_state").agg(sum(col("n")).as("__t"))
+    pairs.join(broadcast(totals), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000L div __t").as("p_e6"))
+  }
+
   /** Ordered-pattern match over each user's event-symbol sequence: events
     * map to single-character symbols via `symExpr`, the per-user string
     * is built in (ts, tiebreak) order (sort_array over collected structs —

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset pairs with association lift — the market-basket
+  * signal (which items co-occur beyond chance) and, for corpus curation,
+  * the co-occurrence prior behind tag/topic co-selection. A-priori
+  * restricted to pairs: supports above a minimum, lift in exact e6
+  * integers so the ranking is oracle-checkable.
+  *
+  * lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), emitted as
+  * `n_ab·N·1e6 div (n_a·n_b)` — all BIGINT (worst product n_ab·N·1e6 ≤
+  * |baskets|²·1e6, inside 2^62 up to ~3e6 baskets; shard to DECIMAL
+  * above that). Dataflow: one per-basket pair explosion bounded by the
+  * max basket size (TPC-H orders: ≤ 7 lines ⇒ ≤ 21 pairs), two
+  * aggregations, two broadcast joins of the (small) single-item support
+  * table back onto the pair frame.
+  *
+  * @param baskets (basketCol, itemCol) rows; duplicates of an item
+  *                within a basket collapse
+  * @return (item_a, item_b, n_pair, lift_e6), item_a < item_b, pair
+  *         support ≥ minSupport
+  */
+object Itemsets {
+
+  def pairLift(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 2L
+  ): DataFrame = {
+    val b = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = b.select(col("bk")).distinct().count()
+    val singles = b.groupBy(col("it")).agg(count(lit(1)).as("n_single"))
+    val pairs = b.select(col("bk"), col("it").as("item_a"))
+      .join(b.select(col("bk"), col("it").as("item_b")), "bk")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    val out = pairs
+      .join(broadcast(singles.select(col("it").as("item_a"),
+        col("n_single").as("__na"))), "item_a")
+      .join(broadcast(singles.select(col("it").as("item_b"),
+        col("n_single").as("__nb"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        expr(s"n_pair * ${nBaskets}L * 1000000L div (__na * __nb)")
+          .as("lift_e6"))
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
+    cut.count()
+    b.unpersist(blocking = false)
+    cut
+  }
+}
