@@ -1,19 +1,25 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver-provided Parquet dirs (TESTDATA.md) and any
   * engine-managed warehouse dir.
   *
   * Mirrors the role of the reference's schema bootstrap
   * (`clickhouse_manager.py:110-143`): a single place that knows where tables
-  * live and with which normalized schema. Here that's schema-on-read Parquet
-  * plus one normalization: nanosecond Parquet timestamps (which Spark's
-  * µs-precision TimestampType cannot read natively) are read as raw longs via
-  * `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs — the same
-  * truncation DuckDB applies in `CAST(ts_ns AS TIMESTAMP)`, so oracle
-  * comparisons line up exactly.
+  * live and with which normalized schema. The one normalization is the
+  * `events.ts` column, which is SCHEMA-ADAPTIVE: different producers write
+  * the same logical instant as TIMESTAMP(NANOS) (which Spark's µs-precision
+  * TimestampType cannot read natively — surfaced as a raw ns long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs, the same
+  * truncation DuckDB applies in `CAST(ts_ns AS TIMESTAMP)`), as TIMESTAMP_NTZ
+  * µs (read natively, reinterpreted in the UTC session zone), or as
+  * instant-adjusted TIMESTAMP µs (read as-is). All three converge on the
+  * same µs TimestampType column, so every downstream operator and every
+  * DuckDB oracle (`CAST(ts AS TIMESTAMP)`) sees identical values regardless
+  * of the file's physical layout.
   */
 object Tables {
 
@@ -23,16 +29,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` normalized to a µs TimestampType (UTC session TZ).
-    * The raw file stores TIMESTAMP(NANOS) which Spark rejects; we read it as
-    * long and truncate ns → µs (floor division; all values are post-epoch).
+  /** `events` with `ts` normalized to a µs TimestampType (UTC session TZ),
+    * whatever the file physically stores (ns long / TIMESTAMP_NTZ µs /
+    * TIMESTAMP µs) — the branch is on the READ schema, not an assumption.
     *
-    * Optional bounds are applied in the raw ns-long domain BEFORE the
-    * conversion: a predicate on the converted column cannot push through
-    * the (monotone) conversion expression, but the equivalent ns bound on
-    * the stored column reaches the Parquet scan (PushedFilters + row-group
+    * Optional bounds are applied in the STORED domain BEFORE any
+    * conversion: a predicate on a converted column cannot push through the
+    * (monotone) conversion expression, but the equivalent bound on the
+    * stored column reaches the Parquet scan (PushedFilters + row-group
     * stats pruning) — the same manual monotone-predicate injection the
-    * yyyymm partition columns get (SURVEY.md §4 row 1).
+    * yyyymm partition columns get (SURVEY.md §4 row 1). For native µs
+    * storage the stored domain IS the query domain, so the bound pushes
+    * with no translation at all. End bounds are inclusive at µs precision
+    * in every branch.
     */
   def events(
       spark: SparkSession,
@@ -40,18 +49,38 @@ object Tables {
       start: Option[String] = None,
       end: Option[String] = None
   ): DataFrame = {
+    // Legacy TIMESTAMP(NANOS) files surface ts as a raw ns long under this
+    // flag; µs-precision files are unaffected by it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var raw = table(spark, dir, "events")
     // parse as UTC (matching the session TZ), not the JVM default zone
-    def ns(s: String): Long = {
-      val inst = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC)
-      inst.getEpochSecond * 1000000000L + inst.getNano
+    def ldt(s: String): java.time.LocalDateTime =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    raw.schema("ts").dataType match {
+      case LongType => // ns-long storage: bound in ns, then truncate ns → µs
+        def ns(s: String): Long = {
+          val inst = ldt(s).toInstant(java.time.ZoneOffset.UTC)
+          inst.getEpochSecond * 1000000000L + inst.getNano
+        }
+        start.foreach(s => raw = raw.filter(col("ts") >= ns(s)))
+        end.foreach(e => raw = raw.filter(col("ts") < ns(e) + 1000)) // inclusive at µs
+        raw = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case tsType @ (TimestampNTZType | TimestampType) =>
+        // native µs storage: bound with a literal of the STORED type so the
+        // comparison is a bare-column predicate the parquet reader prunes on
+        def bound(s: String): Column =
+          if (tsType == TimestampNTZType) lit(ldt(s))
+          else lit(java.sql.Timestamp.from(ldt(s).toInstant(java.time.ZoneOffset.UTC)))
+        start.foreach(s => raw = raw.filter(col("ts") >= bound(s)))
+        end.foreach(e => raw = raw.filter(col("ts") <= bound(e)))
+        // NTZ → session-TZ (UTC) timestamp is an exact reinterpretation of
+        // the same µs count; on TimestampType this cast is a no-op
+        raw = raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other (expected ns BIGINT, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
-    start.foreach(s => raw = raw.filter(col("ts") >= ns(s)))
-    end.foreach(e => raw = raw.filter(col("ts") < ns(e) + 1000)) // inclusive at µs
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

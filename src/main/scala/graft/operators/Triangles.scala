@@ -42,6 +42,25 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   def perNodeCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // consumed by three plan branches under DIFFERENT key distributions
+    // (adj build + both intersection joins) — persist, or the edge
+    // dedup/degree pipeline recomputes per branch (measured 3× wall)
+    val o = orient(edges, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-node counts are small (≤ node count); cut + materialize so the
+    // cached oriented frame can be freed without the caller recomputing it
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(countsFrom(o))
+    cut.count()
+    o.unpersist(blocking = false)
+    cut
+  }
+
+  /** Dedup + degree-orient: src = endpoint with (smaller degree, smaller
+    * id). Split out (with [[countsFrom]]) so PlanSpec can assert the join
+    * shape on the UNCUT plan — `perNodeCounts` returns a lineage-cut frame
+    * whose executed plan is just an RDD scan.
+    */
+  private[graft] def orient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
@@ -50,19 +69,17 @@ object Triangles {
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // orient: src = endpoint with (smaller degree, smaller id)
-    val oriented = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+    e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("u")).otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("dst"))
-      // consumed by three plan branches under DIFFERENT key distributions
-      // (adj build + both intersection joins) — persist, or the edge
-      // dedup/degree pipeline recomputes per branch (measured 3× wall)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Adjacency-intersection triangle credits over an oriented edge frame. */
+  private[graft] def countsFrom(oriented: DataFrame): DataFrame = {
     // no sort: array_intersect hashes, and the result only feeds size() +
     // an order-free explode→groupBy
     val adj = oriented.groupBy(col("src").as("n"))
@@ -85,12 +102,6 @@ object Triangles {
       .select(col("e.node"), col("e.c"))
       .unionByName(withCommon
         .select(explode(col("__w")).as("node"), lit(1L).as("c")))
-    val out = credits.groupBy("node").agg(sum(col("c")).as("n_tri"))
-    // per-node counts are small (≤ node count); cut + materialize so the
-    // cached oriented frame can be freed without the caller recomputing it
-    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
-    cut.count()
-    oriented.unpersist(blocking = false)
-    cut
+    credits.groupBy("node").agg(sum(col("c")).as("n_tri"))
   }
 }

@@ -1,66 +1,111 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-/** Push comparison predicates through the ns→µs timestamp normalization.
+/** Push comparison predicates through the events-table timestamp
+  * normalization, whichever physical layout the file has.
   *
-  * The events table stores TIMESTAMP(NANOS), which the engine reads as a
-  * raw long and converts with `timestamp_micros(ts div 1000)`
-  * (`catalog.Tables.events`). A user filter on the CONVERTED column cannot
-  * cross that Project, so without help the parquet scan reads everything
-  * and Spark filters post-conversion. The conversion is monotone
-  * non-decreasing, so every comparison against a timestamp literal has an
-  * exact raw-domain equivalent:
+  * `catalog.Tables.events` normalizes `ts` to a µs session-TZ TimestampType
+  * from one of two stored domains:
+  *
+  *   - TIMESTAMP(NANOS) read as a raw long, converted with
+  *     `timestamp_micros(ts div 1000)`;
+  *   - native µs TIMESTAMP_NTZ, converted with `cast(ts as timestamp)`
+  *     (an exact micros reinterpretation when the session zone is UTC).
+  *
+  * A user filter on the CONVERTED column cannot cross either conversion,
+  * so without help the parquet scan reads everything and Spark filters
+  * post-conversion. Both conversions are monotone, so every comparison
+  * against a timestamp literal has an exact stored-domain equivalent. For
+  * the ns long domain the bounds shift to account for the non-injective
+  * floor truncation:
   *
   *   ts >= L  ⟺  raw >= µs(L)·1000          ts > L  ⟺  raw >= (µs(L)+1)·1000
   *   ts <= L  ⟺  raw <  (µs(L)+1)·1000      ts < L  ⟺  raw <  µs(L)·1000
   *   ts = L   ⟺  both bounds
   *
+  * For the NTZ µs domain the conversion is an injective reinterpretation
+  * (UTC session zone only — checked), so each comparison maps verbatim with
+  * the literal re-typed to TIMESTAMP_NTZ at the same micros count.
+  *
   * By the time user rules run, Spark's own predicate pushdown has already
   * substituted the alias through the Project, leaving
-  * `Filter(cmp(timestamp_micros(raw div 1000), lit))` directly above the
-  * relation — stuck there, because the comparison wraps the scan column in
-  * an expression the parquet reader can't evaluate. This rule appends the
-  * equivalent BARE-COLUMN conjunct (`cmp'(raw, lit')`), which
-  * FileSourceStrategy then turns into a pushed parquet filter (row-group
-  * pruning via min/max stats). The original predicate stays — the derived
-  * one is an exact implication, so results are unchanged.
+  * `Filter(cmp(convert(raw), lit))` directly above the relation — stuck
+  * there, because the comparison wraps the scan column in an expression the
+  * parquet reader can't evaluate. This rule appends the equivalent
+  * BARE-COLUMN conjunct (`cmp'(raw, lit')`), which FileSourceStrategy then
+  * turns into a pushed parquet filter (row-group pruning via min/max
+  * stats). The original predicate stays — the derived one is an exact
+  * implication, so results are unchanged.
   *
   * `Tables.events(start, end)` does this translation by hand for the
   * engine's own query paths; the rule extends the same guarantee to every
-  * ad-hoc DataFrame/SQL filter once `GraftExtensions` is installed.
+  * ad-hoc DataFrame/SQL filter once `GraftExtensions` is installed. On
+  * plans with neither conversion shape the rule matches nothing and is a
+  * no-op.
   */
 object NsTimestampPushdown extends Rule[LogicalPlan] {
 
-  /** Matches `timestamp_micros(raw div 1000)` and yields `raw`. */
-  private object NsToMicros {
-    def unapply(e: Expression): Option[Expression] = e match {
+  private sealed trait Domain
+  private case object NsLong extends Domain // raw ns long, floor-truncated to µs
+  private case object MicrosNtz extends Domain // native µs NTZ, reinterpreted in UTC
+
+  private def isUtc(tz: Option[String]): Boolean =
+    tz.exists(id =>
+      try java.time.ZoneId.of(id).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false })
+
+  /** Matches the session-timestamp conversion and yields the stored column. */
+  private object SessionTs {
+    def unapply(e: Expression): Option[(Expression, Domain)] = e match {
       case MicrosToTimestamp(d: IntegralDivide)
           if d.right.semanticEquals(Literal(1000L, LongType)) =>
-        Some(d.left)
+        Some((d.left, NsLong))
+      case c: Cast
+          if c.dataType == TimestampType && c.child.dataType == TimestampNTZType &&
+            isUtc(c.timeZoneId) =>
+        Some((c.child, MicrosNtz))
       case _ => None
     }
   }
 
   private def micros(l: Literal): Long = l.value.asInstanceOf[Long]
 
-  /** Raw-domain implication of one conjunct, if derivable. */
+  private def ntz(l: Literal): Literal = Literal(micros(l), TimestampNTZType)
+
+  /** Stored-domain implication of one conjunct, if derivable. */
   private def derive(e: Expression): Option[Expression] = e match {
-    case GreaterThanOrEqual(NsToMicros(r), l @ Literal(_, TimestampType)) =>
-      Some(GreaterThanOrEqual(r, Literal(micros(l) * 1000L)))
-    case GreaterThan(NsToMicros(r), l @ Literal(_, TimestampType)) =>
-      Some(GreaterThanOrEqual(r, Literal((micros(l) + 1) * 1000L)))
-    case LessThanOrEqual(NsToMicros(r), l @ Literal(_, TimestampType)) =>
-      Some(LessThan(r, Literal((micros(l) + 1) * 1000L)))
-    case LessThan(NsToMicros(r), l @ Literal(_, TimestampType)) =>
-      Some(LessThan(r, Literal(micros(l) * 1000L)))
-    case EqualTo(NsToMicros(r), l @ Literal(_, TimestampType)) =>
-      Some(And(
-        GreaterThanOrEqual(r, Literal(micros(l) * 1000L)),
-        LessThan(r, Literal((micros(l) + 1) * 1000L))))
+    case GreaterThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      Some(dom match {
+        case NsLong => GreaterThanOrEqual(r, Literal(micros(l) * 1000L))
+        case MicrosNtz => GreaterThanOrEqual(r, ntz(l))
+      })
+    case GreaterThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      Some(dom match {
+        case NsLong => GreaterThanOrEqual(r, Literal((micros(l) + 1) * 1000L))
+        case MicrosNtz => GreaterThan(r, ntz(l))
+      })
+    case LessThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      Some(dom match {
+        case NsLong => LessThan(r, Literal((micros(l) + 1) * 1000L))
+        case MicrosNtz => LessThanOrEqual(r, ntz(l))
+      })
+    case LessThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      Some(dom match {
+        case NsLong => LessThan(r, Literal(micros(l) * 1000L))
+        case MicrosNtz => LessThan(r, ntz(l))
+      })
+    case EqualTo(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      Some(dom match {
+        case NsLong =>
+          And(
+            GreaterThanOrEqual(r, Literal(micros(l) * 1000L)),
+            LessThan(r, Literal((micros(l) + 1) * 1000L)))
+        case MicrosNtz => EqualTo(r, ntz(l))
+      })
     // mirrored literal-first forms
     case GreaterThanOrEqual(l @ Literal(_, TimestampType), a) =>
       derive(LessThanOrEqual(a, l))

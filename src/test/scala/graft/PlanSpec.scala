@@ -67,10 +67,36 @@ class PlanSpec extends SparkSpec {
     assert(selected.map(_.files.size).sum < 12, "expected pruned file listing")
   }
 
-  test("NsTimestampPushdown derives raw-ns scan predicates from post-conversion filters") {
+  test("legacy ns-long events layout: reads, converts, and pushes raw-ns bounds") {
+    GraftExtensions.register(spark)
+    // emulate the TIMESTAMP(NANOS) layout (surfaced as a raw ns long):
+    // 2024-01-01T00:00Z + id minutes, in nanoseconds
+    val base = java.nio.file.Files.createTempDirectory("nsevents").toString
+    spark.range(1000).select(
+      col("id").as("event_id"),
+      (lit(1704067200000000000L) + col("id") * 60000000000L).as("ts"),
+      (col("id") % 7).as("user_id"),
+      when(col("id") % 2 === 0, "purchase").otherwise("click").as("event_type"),
+      (col("id") * 1.5).as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    // ad-hoc filter above the ns→µs conversion; only the rule can push it
+    val df = graft.catalog.Tables.events(spark, base)
+      .filter(col("ts") >= lit("2024-01-01 01:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+    val pushed = scans(df).head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(df.count() == 940) // ids 60..999, bound inclusive
+    // and the manual-bound path agrees
+    assert(graft.catalog.Tables.events(spark, base,
+      start = Some("2024-01-01 01:00:00")).count() == 940)
+  }
+
+  test("NsTimestampPushdown derives stored-domain scan predicates from post-conversion filters") {
     GraftExtensions.register(spark) // installs the optimizer rule
     // NO manual bounds to Tables.events — the ad-hoc filter sits above the
-    // ns→µs conversion, and only the rule can carry it to the scan
+    // stored→session-timestamp conversion; only the rule can carry it to
+    // the scan (current testdata: native µs TIMESTAMP_NTZ storage)
     val df = graft.catalog.Tables.events(spark, dir)
       .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
@@ -304,7 +330,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_triangles: adjacency intersection joins broadcast (no wedge materialization)") {
-    val df = SparkEntry.queries("q_triangles")(spark, dir)
+    // perNodeCounts lineage-cuts its result (so the cached oriented frame
+    // can be freed), which leaves only an RDD scan in the executed plan —
+    // assert the shape on the UNCUT computation, same plan as the query runs
+    val li = graft.catalog.Tables.table(spark, dir, "lineitem")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val edges = a.join(b, "l_orderkey").filter(col("u") < col("v")).select("u", "v")
+    val df = graft.operators.Triangles.countsFrom(
+      graft.operators.Triangles.orient(edges, "u", "v"))
     val plan = finalPlan(df)
     // the O(m)-total adjacency frame reaches the edge stream via broadcast
     // hash joins at dimension-table sizes; the plan must contain NO
