@@ -31,13 +31,22 @@ object Bench {
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val best = (1 to iters).map { _ =>
+    // A query that throws is a FAILURE, never a timing: recording its
+    // time-to-exception would make broken queries look like fast ones (the
+    // r7 bench artifact did exactly that). Failures are excluded from the
+    // per-query map, listed in an explicit "errors" field, and force a
+    // nonzero exit so the calling harness can't mistake the run for valid.
+    var errors = Vector.empty[String]
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val runs = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors :+= s"$name: ${e.getClass.getSimpleName}"
+          None
+        }
+      }
+      if (runs.isEmpty) None else Some(name -> runs.min)
     }
     def fmt(v: Double): String = f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]): String =
@@ -59,11 +68,12 @@ object Bench {
     val resultMap = results.toMap
     val headlineRs = headline.flatMap(k => resultMap.get(k).map(k -> _))
     val shown = if (headlineRs.nonEmpty) headlineRs else results
+    val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"nq":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"nq":${results.size},"nerr":${errors.distinct.size},"errors":$errJson,"sf":"$sfDir"}"""
     try {
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"nq":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
@@ -71,5 +81,6 @@ object Bench {
     spark.stop() // stop BEFORE the final line so shutdown logs can't trail it
     println(line)
     System.out.flush()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -935,20 +935,41 @@ object SparkEntry {
     // sketch: HyperLogLog++ approximate distinct next to the exact count
     // (engine-specific sketch -> rows-only check; error bound asserted in
     // ScalaTest)
+    // sketch: HyperLogLog++ distinct next to exact. The estimate itself has
+    // no cross-engine twin, so the COMPARED columns are the exact count
+    // (DuckDB-recomputed) and a deterministic relative-error-bound boolean
+    // — the sketch is still executed and still gated (a broken HLL flips
+    // hll_ok to false and fails the hash), but the hash never depends on
+    // engine-specific sketch internals.
     "q_hll_distinct" -> ((s, dir) =>
       ev(s, dir).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.15) * col("exact_users") + 10).as("hll_ok"))),
 
-    // sketch: approximate percentiles (Greenwald-Khanna) next to exact
-    // (rows-only; bounds asserted in ScalaTest)
-    "q_approx_quantile" -> ((s, dir) =>
-      ev(s, dir).groupBy("event_type")
+    // sketch: approximate percentiles (Greenwald-Khanna). Same contract
+    // shape as q_hll_distinct: the estimate feeds an exact rank check
+    // (count of values <= estimate vs the target rank, within the GK
+    // accuracy bound + tie/discretization slack) and only (n, ok-bits)
+    // are compared — n exactly, the bounds as pinned booleans.
+    "q_approx_quantile" -> ((s, dir) => {
+      val e = ev(s, dir).select("event_type", "value")
+      val approx = e.groupBy("event_type").agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
+      e.join(broadcast(approx), "event_type")
+        .groupBy("event_type")
         .agg(
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")),
+          count(lit(1)).as("n"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+        .select(col("event_type"), col("n"),
+          (abs(col("r50") - lit(0.5) * col("n")) <= col("n") / lit(1000.0) + 1).as("p50_ok"),
+          (abs(col("r90") - lit(0.9) * col("n")) <= col("n") / lit(1000.0) + 1).as("p90_ok"))
+        .orderBy("event_type")
+    }),
 
     // ---- round 2 batch 2: JSON / semi-structured, more agg & window forms --
 
@@ -3311,6 +3332,53 @@ object SparkEntry {
              CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_seg
            FROM customer ORDER BY c_custkey""",
 
+      // Calendar fixture dumps: generated from rules (not from tables), so
+      // DuckDB cannot recompute them — instead the oracle reads the dump
+      // back and gates it on a PINNED GOLDEN (row count + md5 of the
+      // canonical row rendering). The goldens come from the CalendarSpec-
+      // verified implementation (DST transitions, lunch splits, holiday
+      // shifts, the Tokyo 2024-11-05 close change) and are SF-independent:
+      // the calendar covers a fixed 2020-2030 range. Any drift in the
+      // generated calendar empties the oracle result and fails rows+hash.
+      "q_calendar_intervals" ->
+        """WITH d AS (SELECT * FROM
+             read_parquet('__VERIFY_OUT__/q_calendar_intervals/*.parquet')),
+           chk AS (SELECT count(*) AS n,
+             md5(string_agg(exchange || '|' || CAST(utc_date AS VARCHAR)
+               || '|' || CAST(open_ts AS VARCHAR)
+               || '|' || CAST(close_ts AS VARCHAR), ';'
+               ORDER BY exchange, utc_date, open_ts, close_ts)) AS h FROM d)
+           SELECT exchange, utc_date, open_ts, close_ts FROM d
+           WHERE (SELECT n FROM chk) = 41421
+             AND (SELECT h FROM chk) = 'f736495a77b62a60ec214f7df00fcdf5'
+           ORDER BY exchange, utc_date, open_ts""",
+
+      "q_calendar_holidays" ->
+        """WITH d AS (SELECT * FROM
+             read_parquet('__VERIFY_OUT__/q_calendar_holidays/*.parquet')),
+           chk AS (SELECT count(*) AS n,
+             md5(string_agg(exchange || '|' || CAST(date AS VARCHAR)
+               || '|' || holiday_name, ';'
+               ORDER BY exchange, date, holiday_name)) AS h FROM d)
+           SELECT date, exchange, holiday_name FROM d
+           WHERE (SELECT n FROM chk) = 194
+             AND (SELECT h FROM chk) = '0c6b618d4a4fcd4be8bcdeb5e464d196'
+           ORDER BY exchange, date, holiday_name""",
+
+      // Sketch contracts: the DuckDB side recomputes the EXACT halves
+      // (count distinct, group counts) and pins the error-bound booleans
+      // true — the Spark side computes the actual sketches and derives the
+      // booleans from measured error, so a broken sketch fails the hash.
+      "q_hll_distinct" ->
+        """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             true AS hll_ok
+           FROM events""",
+
+      "q_approx_quantile" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             true AS p50_ok, true AS p90_ok
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
       "q_json_funcs" ->
         """SELECT event_type,
              CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
@@ -4393,7 +4461,8 @@ object SparkEntry {
       // one parquet-source aggregate — losslessness is the assertion.
       "q_format_roundtrip" ->
         """WITH a AS (
-             SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+             SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
              FROM orders)
            SELECT 'csv' AS format, n_rows, sum_key, sum_price FROM a

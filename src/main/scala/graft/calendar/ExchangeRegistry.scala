@@ -50,4 +50,36 @@ object ExchangeRegistry {
     byKey.getOrElse(key,
       throw new IllegalArgumentException(
         s"Unknown exchange: $key. Available: ${all.map(_.key).mkString(", ")}"))
+
+  /** Effective-dated session-hour override: on days in [from, until]
+    * (until=None → open-ended) the exchange trades openHour:openMinute –
+    * closeHour:closeMinute instead of its registry defaults. Lunch breaks
+    * are unaffected.
+    */
+  final case class SessionOverride(
+      exchange: String,
+      from: java.time.LocalDate,
+      until: Option[java.time.LocalDate],
+      openHour: Int,
+      openMinute: Int,
+      closeHour: Int,
+      closeMinute: Int)
+
+  /** Seeded with the reference's flagship validation case: Tokyo's close
+    * moved 15:00 → 15:30 effective 2024-11-05
+    * (`docs/validation/E2E_VALIDATION_RESULTS_v1.6.0.md:205-232`). Later
+    * overrides win when ranges overlap.
+    */
+  val overrides: Seq[SessionOverride] = Seq(
+    SessionOverride("xtks", java.time.LocalDate.of(2024, 11, 5), None, 9, 0, 15, 30))
+
+  /** (openHour, openMinute, closeHour, closeMinute) in force for `ex` on
+    * day `d` — the last matching override, else the registry defaults.
+    */
+  def effectiveHours(ex: Exchange, d: java.time.LocalDate): (Int, Int, Int, Int) =
+    overrides.reverseIterator
+      .find(o => o.exchange == ex.key && !d.isBefore(o.from) &&
+        o.until.forall(u => !d.isAfter(u)))
+      .map(o => (o.openHour, o.openMinute, o.closeHour, o.closeMinute))
+      .getOrElse((ex.openHour, ex.openMinute, ex.closeHour, ex.closeMinute))
 }

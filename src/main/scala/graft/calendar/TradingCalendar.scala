@@ -51,8 +51,11 @@ object TradingCalendar {
         .takeWhile(!_.isAfter(end))
         .filter(d => d.getDayOfWeek.getValue <= 5 && !holidays.contains(d))
         .flatMap { d =>
-          val open = toUtcTs(d, ex.openHour, ex.openMinute, zone)
-          val close = toUtcTs(d, ex.closeHour, ex.closeMinute, zone)
+          // per-day hours: registry defaults unless an effective-dated
+          // override applies (e.g. Tokyo close 15:30 from 2024-11-05)
+          val (oh, om, ch, cm) = ExchangeRegistry.effectiveHours(ex, d)
+          val open = toUtcTs(d, oh, om, zone)
+          val close = toUtcTs(d, ch, cm, zone)
           val ivs = ex.lunch match {
             case Some((lh, lm, eh, em)) =>
               Seq(

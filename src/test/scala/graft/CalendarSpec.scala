@@ -59,6 +59,30 @@ class CalendarSpec extends SparkSpec {
     assert(ivs(1).closeTs.toString === "2024-01-10 06:00:00.0")
   }
 
+  test("Tokyo close moves 15:00 -> 15:30 JST effective 2024-11-05 (E2E_VALIDATION 205-232)") {
+    // Mon 2024-11-04: old hours still in force — close 15:00 JST = 06:00 UTC
+    val before = TradingCalendar.sessionIntervals(
+      Seq(ExchangeRegistry("xtks")),
+      LocalDate.of(2024, 11, 4), LocalDate.of(2024, 11, 4))
+    assert(before.size === 2)
+    assert(before(1).closeTs.toString === "2024-11-04 06:00:00.0")
+    // Tue 2024-11-05: override effective — close 15:30 JST = 06:30 UTC;
+    // open and lunch split unchanged
+    val after = TradingCalendar.sessionIntervals(
+      Seq(ExchangeRegistry("xtks")),
+      LocalDate.of(2024, 11, 5), LocalDate.of(2024, 11, 5))
+    assert(after.size === 2)
+    assert(after(0).openTs.toString === "2024-11-05 00:00:00.0")
+    assert(after(0).closeTs.toString === "2024-11-05 02:30:00.0")
+    assert(after(1).openTs.toString === "2024-11-05 03:30:00.0")
+    assert(after(1).closeTs.toString === "2024-11-05 06:30:00.0")
+    // and it persists (open-ended): a later day also closes 06:30 UTC
+    val later = TradingCalendar.sessionIntervals(
+      Seq(ExchangeRegistry("xtks")),
+      LocalDate.of(2025, 3, 10), LocalDate.of(2025, 3, 10))
+    assert(later(1).closeTs.toString === "2025-03-10 06:30:00.0")
+  }
+
   test("weekends and holidays have no sessions") {
     val sat = TradingCalendar.sessionIntervals(Seq(ExchangeRegistry("nyse")),
       LocalDate.of(2024, 1, 6), LocalDate.of(2024, 1, 7))
