@@ -32,6 +32,54 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = graft.functions.exprs.cosineSim(a, b)
 
+  /** The centroid table (cell, vector) as a single array<struct> literal.
+    * Centroid sets are nlist-sized (dimension-table scale, k-means k) —
+    * collecting them to the driver is bounded and is what makes the
+    * per-row assignment NARROW: the alternative crossJoin+window argmax
+    * shuffles corpus×nlist rows through a row_number exchange per
+    * assignment, a 16-billion-row exchange at 10⁹ vectors.
+    */
+  private def centroidArray(cents: DataFrame): Column = {
+    val rows = cents.collect()
+    array(rows.toIndexedSeq.map { r =>
+      struct(
+        lit(r.getLong(0)).as("cell"),
+        typedLit(r.getSeq[Float](1).toSeq).as("cent"))
+    }: _*)
+  }
+
+  /** Ordered top-`keep` nearest cells of `vec` against the centroid-array
+    * literal, as array<long> — a pure per-row expression (transform +
+    * array_sort + slice): zero joins, zero shuffles, codegen-friendly.
+    * Ordering matches the window formulation it replaces exactly:
+    * sim DESC, then cell ASC as the deterministic tiebreak.
+    */
+  private def nearestCells(vec: Column, centArr: Column, keep: Int): Column = {
+    val sims = transform(centArr, c =>
+      struct(cosine(vec, c.getField("cent")).as("sim"), c.getField("cell").as("cell")))
+    val sorted = array_sort(sims, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(l.getField("sim") < r.getField("sim"), lit(1))
+        .when(l.getField("cell") < r.getField("cell"), lit(-1))
+        .when(l.getField("cell") > r.getField("cell"), lit(1))
+        .otherwise(lit(0)))
+    transform(slice(sorted, 1, keep), t => t.getField("cell"))
+  }
+
+  /** (id, vector, cell) with one row per (row, assigned cell), cells =
+    * the `keep` nearest centroids. Narrow: the only non-map operation is
+    * the generator explode.
+    */
+  private def assignCells(
+      df: DataFrame, id: String, outId: String, vec: String,
+      cents: DataFrame, keep: Int): DataFrame = {
+    val centArr = centroidArray(cents)
+    df.select(
+      col(id).as(outId),
+      col(vec).as(s"__v_$outId"),
+      explode(nearestCells(col(vec), centArr, keep)).as("cell"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     * Output: (query_id, neighbor_id, sim, rank), rank 1..k, self excluded,
     * ties broken by neighbor id for determinism.
@@ -408,24 +456,14 @@ object VectorFunctions {
       nprobe: Int = 4
   ): DataFrame = {
     // Cells are keyed by the seed centroid's own id — no dense renumbering
-    // needed (that would take an unpartitioned window; cell ids only need to
-    // be distinct + deterministic, not 1..nlist).
-    val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cell"), col(vecCol).as("__cent")))
+    // needed (cell ids only need to be distinct + deterministic, not
+    // 1..nlist). Assignment is the narrow per-row argmax (see
+    // assignCells) — the corpus never shuffles to learn its cell.
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cell"), col(vecCol).as("__cent"))
 
-    def assign(df: DataFrame, id: String, outId: String, vec: String, keep: Int) = {
-      val w = Window.partitionBy(outId).orderBy(col("__csim").desc, col("cell"))
-      df.select(col(id).as(outId), col(vec).as(s"__v_$outId"))
-        .crossJoin(cents)
-        .withColumn("__csim", cosine(col(s"__v_$outId"), col("__cent")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .select(col(outId), col(s"__v_$outId"), col("cell"))
-    }
-
-    val cAssigned = assign(corpus, idCol, "neighbor_id", vecCol, keep = 1)
-    val qProbes = assign(queries, idCol, "query_id", vecCol, keep = nprobe)
+    val cAssigned = assignCells(corpus, idCol, "neighbor_id", vecCol, cents, keep = 1)
+    val qProbes = assignCells(queries, idCol, "query_id", vecCol, cents, keep = nprobe)
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cAssigned
@@ -441,8 +479,9 @@ object VectorFunctions {
     * [[ivfTopK]]'s deterministic stub. Each iteration is two shuffle-sound
     * steps expressed in the same shapes the oracled queries use:
     *
-    *  1. ASSIGN: broadcast the k centroids, per-vector argmax cosine via a
-    *     window rank over (sim desc, cell) — corpus never shuffles.
+    *  1. ASSIGN: per-vector argmax cosine as a pure row expression over
+    *     the k-row centroid-array literal (sim desc, cell-asc tiebreak) —
+    *     corpus never shuffles, and there is no per-iteration exchange.
     *  2. UPDATE: posexplode members to (cell, pos) cells and mean them —
     *     partially-aggregatable (map-side combine), no per-vector state,
     *     the exact q_centroid shape. The mean is decimal-exact (each
@@ -480,13 +519,12 @@ object VectorFunctions {
     var cents = vecs.orderBy(seedHash, col("__id")).limit(k)
       .select(col("__id").as("cell"), col("__v").as("__cent"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("__id").orderBy(col("__csim").desc, col("cell"))
-      val assigned = vecs
-        .crossJoin(broadcast(cents))
-        .withColumn("__csim", cosine(col("__v"), col("__cent")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") === 1)
-        .select(col("cell"), col("__v"))
+      // narrow per-row argmax against the k-row centroid literal — no
+      // crossJoin, no per-iteration row_number shuffle of corpus×k rows
+      val centArr = centroidArray(cents)
+      val assigned = vecs.select(
+        element_at(nearestCells(col("__v"), centArr, 1), 1).as("cell"),
+        col("__v"))
       val updated = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -522,22 +560,11 @@ object VectorFunctions {
       nprobe: Int = 4,
       trainIters: Int = 5
   ): DataFrame = {
-    val cents = broadcast(
-      kmeans(corpus, idCol, vecCol, nlist, trainIters)
-        .select(col("cell"), col("centroid").as("__cent")))
+    val cents = kmeans(corpus, idCol, vecCol, nlist, trainIters)
+      .select(col("cell"), col("centroid").as("__cent"))
 
-    def assign(df: DataFrame, id: String, outId: String, vec: String, keep: Int) = {
-      val w = Window.partitionBy(outId).orderBy(col("__csim").desc, col("cell"))
-      df.select(col(id).as(outId), col(vec).as(s"__v_$outId"))
-        .crossJoin(cents)
-        .withColumn("__csim", cosine(col(s"__v_$outId"), col("__cent")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .select(col(outId), col(s"__v_$outId"), col("cell"))
-    }
-
-    val cAssigned = assign(corpus, idCol, "neighbor_id", vecCol, keep = 1)
-    val qProbes = assign(queries, idCol, "query_id", vecCol, keep = nprobe)
+    val cAssigned = assignCells(corpus, idCol, "neighbor_id", vecCol, cents, keep = 1)
+    val qProbes = assignCells(queries, idCol, "query_id", vecCol, cents, keep = nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cAssigned
       .join(broadcast(qProbes), Seq("cell"))

@@ -349,6 +349,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("array_intersect"), plan.toString)
   }
 
+  test("q_ann_ivf: cell assignment is narrow (single final window, no corpus-side assignment exchange)") {
+    val df = SparkEntry.queries("q_ann_ivf")(spark, dir)
+    val plan = finalPlan(df)
+    // assignment must be a per-row expression over the centroid literal:
+    // the ONLY window is the final per-query top-k rank (the old
+    // formulation had three — corpus assign, query assign, final rank —
+    // each shuffling rows×nlist through a row_number exchange)
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wins.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.size == 1,
+      s"expected 1 WindowExec in:\n$plan")
+    // shuffles: the final window's hash partitioning (+ at most a sort for
+    // the ORDER BY) — nothing below the probe join may exchange
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles in:\n$plan")
+  }
+
   test("sequenceMatch builds per-user strings in one exchange") {
     val df = graft.operators.EventSeq.sequenceMatch(
       graft.catalog.Tables.events(spark, dir), "user_id", "ts", "event_id",
