@@ -232,6 +232,76 @@ final class Processor(spark: SparkSession, warehouse: String) {
       .select("instrument").distinct().orderBy("instrument")
       .collect().map(_.getString(0)).toSeq
 
+  /** Earliest/latest dates with actual data, as ISO strings
+    * (`get_available_dates`, `processor.py:550-563`): (None, None) when
+    * the pair has no stored ticks.
+    */
+  def availableDates(pair: String): (Option[String], Option[String]) = {
+    val c = getCoverage(pair)
+    (c.earliest.map(_.toLocalDateTime.toLocalDate.toString),
+      c.latest.map(_.toLocalDateTime.toLocalDate.toString))
+  }
+
+  /** Non-throwing range validation (`validate_date_range`,
+    * `processor.py:565-594`): (isValid, error message).
+    */
+  def validateDateRange(start: String, end: String): (Boolean, Option[String]) =
+    try { validateRange(Some(start), Some(end)); (true, None) }
+    catch { case e: IllegalArgumentException => (false, Some(e.getMessage)) }
+
+  /** Estimated download size in MB for a date range — the reference's
+    * flat months × 11 MB heuristic (`estimate_download_size`,
+    * `processor.py:596-618`).
+    */
+  def estimateDownloadSize(pair: String, start: String, end: String): Double = {
+    validatePair(pair); validateDate(start); validateDate(end)
+    val s = java.time.LocalDate.parse(start)
+    val e = java.time.LocalDate.parse(end)
+    val months = (e.getYear - s.getYear) * 12 + (e.getMonthValue - s.getMonthValue) + 1
+    months * 11.0
+  }
+
+  /** Keyset pagination over TICKS (`query_ticks_paginated`,
+    * `clickhouse_query_engine.py:390-472`): timestamp cursor (strictly
+    * after), optional inclusive date bounds, reference default page size.
+    */
+  def queryTicksPage(
+      pair: String,
+      variant: String = "raw_spread",
+      cursor: Option[Timestamp] = None,
+      pageSize: Int = 100000,
+      start: Option[String] = None,
+      end: Option[String] = None
+  ): QueryEngine.CursorPage = {
+    val p = validatePair(pair)
+    require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
+    validateRange(start, end)
+    val df = TickIngest.readTicks(spark, warehouse, variant, Some(p),
+        start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
+      .select("timestamp", "bid", "ask")
+    QueryEngine.cursorPage(df, "timestamp", Nil, cursor, pageSize)
+  }
+
+  /** Tick batch iterator (`query_ticks_batches`,
+    * `clickhouse_query_engine.py:474-534`).
+    */
+  def queryTicksBatches(
+      pair: String,
+      variant: String = "raw_spread",
+      pageSize: Int = 100000,
+      maxBatches: Option[Int] = None,
+      start: Option[String] = None,
+      end: Option[String] = None
+  ): Iterator[DataFrame] = {
+    val p = validatePair(pair)
+    require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
+    validateRange(start, end)
+    val df = TickIngest.readTicks(spark, warehouse, variant, Some(p),
+        start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
+      .select("timestamp", "bid", "ask")
+    QueryEngine.batches(df, "timestamp", Nil, pageSize, maxBatches)
+  }
+
   /** Keyset pagination over OHLC (`query_ohlc_paginated`,
     * `clickhouse_query_engine.py:390-472`).
     */

@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   * struct accumulators cross-contaminate rows in DuckDB 1.0 — the same
   * workaround as the fixed-point log).
   *
-  * Scale shape: pair counting partially aggregates map-side over the
-  * (distinct-word, freq) table — corpus size only enters through the ONE
-  * initial word count; each round is one tiny top-1 collect (the k-row
-  * driver pin of the kmeans/centroid pattern) plus a narrow map. Rounds =
-  * `numMerges` by construction, not data-dependent. The word table is
-  * re-persisted per round and the previous round unpersisted, so plan
-  * depth and block usage stay constant.
+  * Scale shape — HYBRID. The corpus-sized work is exactly one job: the
+  * initial distinct-word frequency count. After that aggregation the
+  * word-freq table is typically tiny relative to the corpus (natural-
+  * language vocabulary grows ~ Heaps' law, not linearly), so when it fits
+  * under `localWordLimit` the merge loop runs DRIVER-LOCAL over the
+  * collected table with bit-identical semantics (same overlapping
+  * frequency-weighted pair counts, same (cnt desc, pair asc-by-UTF-8)
+  * tie-break, same greedy pass) — a realistic 30k-merge vocabulary is a
+  * tight in-memory loop instead of 30k Spark jobs. Above the limit the
+  * distributed loop still applies: pair counting partially aggregates
+  * map-side, each round is one top-1 collect plus a narrow map, and the
+  * word table is re-persisted per round with the parent unpersisted so
+  * plan depth and block usage stay constant.
   *
   * @return (merge_rank, left_sym, right_sym, pair_count) — `numMerges`
   *         rows (fewer if the vocabulary exhausts), rank 1 first.
@@ -53,11 +59,74 @@ object BpeTrainer {
               named_struct('acc', array_append(st.acc, syms[i-1]), 'skip', false))),
           st -> st.acc))"""
 
+  /** UTF-8 byte-order string comparison — the collation Spark's orderBy
+    * uses on StringType (UTF8String binary compare), so the local loop's
+    * tie-break is bit-identical to the distributed one beyond ASCII too.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The greedy left-to-right merge pass, local twin of [[mergeExpr]]. */
+  private def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge loop over the collected word-freq table — same
+    * semantics as the distributed rounds, O(numMerges × Σ|word|) with no
+    * job launches.
+    */
+  private def localMergeLoop(
+      words0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var ws = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to numMerges if merges.size == r - 1) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
+        merges += ((r, a, b, cnt))
+        ws = ws.map { case (syms, f) =>
+          (if (syms.length < 2) syms else mergePass(syms, a, b), f)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private val utf8Ordering: Ordering[String] =
+    (x: String, y: String) => if (utf8Lt(x, y)) -1 else if (utf8Lt(y, x)) 1 else 0
+
   def train(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numMerges: Int = 8
+      numMerges: Int = 8,
+      localWordLimit: Long = 2000000L
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -67,6 +136,18 @@ object BpeTrainer {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("syms", expr("regexp_extract_all(w, '(?s).', 0)"))
       .persist(lvl)
+    val nWords = words.count()
+    if (nWords <= localWordLimit) {
+      // hybrid fast path: the post-aggregation vocabulary fits — run the
+      // merge loop in memory (identical semantics, zero jobs per round)
+      val collected = words.select(col("syms"), col("freq")).collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      words.unpersist(blocking = false)
+      return localMergeLoop(collected, numMerges)
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .select(col("merge_rank").cast("int"), col("left_sym"),
+          col("right_sym"), col("pair_count"))
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to numMerges) {
       val top = words

@@ -142,6 +142,29 @@ class ForexPipelineSpec extends SparkSpec {
     assert(batches.map(_.count()).sum === 5)
   }
 
+  test("tick-level pagination, available dates, size estimate (reference facade parity)") {
+    val (p, _) = env
+    // ticks paginate on the timestamp keyset exactly like OHLC: 8 raw ticks
+    // in pages of 3 -> 3,3,2 with a strictly-after cursor between pages
+    val pg1 = p.queryTicksPage("EURUSD", pageSize = 3)
+    assert(pg1.pageSize === 3 && pg1.hasMore)
+    val pg2 = p.queryTicksPage("EURUSD", cursor = pg1.nextCursor, pageSize = 3)
+    assert(pg2.pageSize === 3 && pg2.hasMore)
+    val pg3 = p.queryTicksPage("EURUSD", cursor = pg2.nextCursor, pageSize = 3)
+    assert(pg3.pageSize === 2 && !pg3.hasMore)
+    assert(p.queryTicksBatches("EURUSD", pageSize = 3).map(_.count()).sum === 8)
+    // date-bounded page sees only that day's ticks
+    val day = p.queryTicksPage("EURUSD",
+      start = Some("2024-01-10"), end = Some("2024-01-10"))
+    assert(day.pageSize === 5 && !day.hasMore)
+
+    assert(p.availableDates("EURUSD") === (Some("2024-01-01"), Some("2024-02-05")))
+    assert(p.validateDateRange("2024-01-01", "2024-01-31") === (true, None))
+    assert(p.validateDateRange("2024-02-01", "2024-01-01")._1 === false)
+    // reference heuristic: months in range x 11 MB (processor.py:596-618)
+    assert(p.estimateDownloadSize("EURUSD", "2024-01-05", "2024-03-02") === 33.0)
+  }
+
   test("gap detection spans stored range to current month") {
     val (p, _) = env
     val missing = p.missingMonths("EURUSD")

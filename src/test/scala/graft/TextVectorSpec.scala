@@ -174,6 +174,27 @@ class TextVectorSpec extends SparkSpec {
       (1, "a", "a", 6L), (2, "a", "b", 6L), (3, "aa", "ab", 3L)))
   }
 
+  test("BPE hybrid: local merge loop equals the distributed loop; 64 merges run in seconds") {
+    import graft.text.BpeTrainer
+    val docs = graft.catalog.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200).select(col("doc_id"), col("text"))
+    // localWordLimit=0 forces the distributed rounds; default takes the
+    // collected fast path — same merges, bit for bit
+    val dist = BpeTrainer.train(docs, "doc_id", "text", numMerges = 6, localWordLimit = 0L)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val local = BpeTrainer.train(docs, "doc_id", "text", numMerges = 6)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(local === dist)
+    // a realistic-vocabulary-scale merge count must not launch a job per
+    // round: 64 local merges should complete in seconds, not minutes
+    val t0 = System.nanoTime()
+    val m64 = BpeTrainer.train(docs, "doc_id", "text", numMerges = 64)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m64.length == 64, s"expected 64 merges, got ${m64.length}")
+    assert(secs < 30, f"64 merges took $secs%.1f s — local path not engaged?")
+  }
+
   test("bigram LM surprisal: templated text scores more predictable than novel text") {
     import graft.text.CorpusOps
     val docs = Seq(
