@@ -92,6 +92,35 @@ class PlanSpec extends SparkSpec {
       start = Some("2024-01-01 01:00:00")).count() == 940)
   }
 
+  test("instant-adjusted TIMESTAMP us events layout: reads as-is with pushed bounds") {
+    // third physical layout: isAdjustedToUTC=true micros (what Spark itself
+    // writes under outputTimestampType=TIMESTAMP_MICROS) — no conversion
+    // needed, bounds push natively
+    val base = java.nio.file.Files.createTempDirectory("usevents").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.range(500).select(
+        col("id").as("event_id"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+          + col("id") * 60).cast("timestamp").as("ts"),
+        (col("id") % 7).as("user_id"),
+        lit("click").as("event_type"),
+        (col("id") * 0.5).as("value"),
+        lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$base/events.parquet")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+        spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    }
+    val df = graft.catalog.Tables.events(spark, base,
+      start = Some("2024-01-01 01:00:00"))
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(df.count() == 440) // ids 60..499
+    val pushed = scans(df).head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+  }
+
   test("NsTimestampPushdown derives stored-domain scan predicates from post-conversion filters") {
     GraftExtensions.register(spark) // installs the optimizer rule
     // NO manual bounds to Tables.events — the ad-hoc filter sits above the
