@@ -339,6 +339,45 @@ object ScaleProbe {
         vecs.unpersist(blocking = false)
       }
     }
+    // IVF assignment at 100×: the round-8 narrow per-row argmax
+    // (transform over the centroid literal) vs the crossJoin+row_number
+    // window it replaced. The claim: assignment wall tracks the corpus
+    // ~linearly with NO exchange, while the window form shuffles
+    // corpus×nlist rows — the gap should widen with scale.
+    if (sec("ivf")) {
+      def synthVecs(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63), j ->
+            CAST((((id * 131071 + j * 7919 + 12345) % 1000000007)
+                  * 2654435761 % 1000000007)
+                 * 2.0 / 1000000007.0 - 1.0 AS FLOAT))""").as("embedding"))
+      println(f"${"ivf_assign"}%-14s ${"vecs"}%8s ${"narrow_s"}%9s ${"window_s"}%9s")
+      Seq(1 -> 10000L, 100 -> 1000000L, 1000 -> 10000000L).foreach { case (mult, n) =>
+        val vecs = synthVecs(n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vecs.count()
+        val cents = vecs.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cell"), col("embedding").as("__cent"))
+        val tNarrow = time {
+          graft.vector.VectorFunctions
+            .assignCells(vecs, "vec_id", "vec_id", "embedding", cents, keep = 1)
+            .count()
+        }
+        val centsB = broadcast(cents)
+        val tWindow = time {
+          vecs.crossJoin(centsB)
+            .withColumn("__csim",
+              graft.vector.VectorFunctions.cosine(col("embedding"), col("__cent")))
+            .withColumn("__r", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("vec_id").orderBy(col("__csim").desc, col("cell"))))
+            .filter(col("__r") === 1).select("vec_id", "cell").count()
+        }
+        val tag = s"ivf_${mult}x"
+        println(f"$tag%-14s $n%8d $tNarrow%9.2f $tWindow%9.2f")
+        vecs.unpersist(blocking = false)
+      }
+    }
     // Sketches at 100×: CMS and HLL builds over a synthetic zipf-ish token
     // stream. The claim: both are one partial-aggregating pass whose
     // reduce side is sketch-sized (d·w cells / m registers), so wall

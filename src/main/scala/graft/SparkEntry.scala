@@ -2110,11 +2110,19 @@ object SparkEntry {
     // an order), degree-ordered node-iterator — per-node wedge fanout
     // bounded O(√m) (Triangles.perNodeCounts); top-100 participants
     "q_triangles" -> ((s, dir) => {
+      // co-purchase edges WITHOUT a lineitem self-join: one partial-agg
+      // groupBy to the per-order part set, then a narrow in-row pair
+      // explosion — same edge set as join-on-orderkey + u<v (Triangles
+      // dedups), but the fact table shuffles once as (order, parts)
+      // instead of twice through a join
       val li = t(s, dir, "lineitem")
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-      val edges = a.join(b, "l_orderkey").filter(col("u") < col("v"))
-        .select("u", "v")
+      val edges = li.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y ->
+                 named_struct('u', x, 'v', y))))""")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
       graft.operators.Triangles.perNodeCounts(edges, "u", "v")
         .orderBy(col("n_tri").desc, col("node")).limit(100)
     }),

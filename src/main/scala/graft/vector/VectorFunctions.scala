@@ -70,7 +70,7 @@ object VectorFunctions {
     * the `keep` nearest centroids. Narrow: the only non-map operation is
     * the generator explode.
     */
-  private def assignCells(
+  private[graft] def assignCells(
       df: DataFrame, id: String, outId: String, vec: String,
       cents: DataFrame, keep: Int): DataFrame = {
     val centArr = centroidArray(cents)

@@ -363,9 +363,13 @@ class PlanSpec extends SparkSpec {
     // can be freed), which leaves only an RDD scan in the executed plan —
     // assert the shape on the UNCUT computation, same plan as the query runs
     val li = graft.catalog.Tables.table(spark, dir, "lineitem")
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-    val edges = a.join(b, "l_orderkey").filter(col("u") < col("v")).select("u", "v")
+    val edges = li.groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y ->
+               named_struct('u', x, 'v', y))))""")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val df = graft.operators.Triangles.countsFrom(
       graft.operators.Triangles.orient(edges, "u", "v"))
     val plan = finalPlan(df)

@@ -28,6 +28,13 @@ for p in glob.glob(f"{SFDIR}/*.parquet"):
 
 oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
 
+# graft.Verify records per-query execution failures here (self-describing
+# artifact): surface them verbatim next to the missing-output FAILs
+try:
+    verify_errors = json.load(open(f"{OUTDIR}/_errors.json"))
+except Exception:
+    verify_errors = {}
+
 import datetime
 
 
@@ -54,7 +61,8 @@ fail = ok = noracle = 0
 for name in sorted(oracle):
     qdir = f"{OUTDIR}/{name}"
     if not os.path.isdir(qdir):
-        print(f"FAIL {name}: no spark output")
+        why = verify_errors.get(name, "no spark output")
+        print(f"FAIL {name}: {why}")
         fail += 1
         continue
     spark_tbl = pq.read_table(qdir)
