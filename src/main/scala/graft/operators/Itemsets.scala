@@ -35,10 +35,17 @@ object Itemsets {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = b.select(col("bk")).distinct().count()
     val singles = b.groupBy(col("it")).agg(count(lit(1)).as("n_single"))
-    val pairs = b.select(col("bk"), col("it").as("item_a"))
-      .join(b.select(col("bk"), col("it").as("item_b")), "bk")
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pair"))
+    // per-basket pair explosion (not a basket self-join): one partial-agg
+    // groupBy to the sorted item set, then an in-row (x, later-y) expansion
+    // — identical pair multiset to join-on-bk + a<b, one exchange fewer
+    val pairs = b.groupBy("bk")
+      .agg(array_sort(collect_set(col("it"))).as("its"))
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+             transform(slice(its, i + 2, size(its)), y ->
+               named_struct('a', x, 'b', y))))""")).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
     val out = pairs
       .join(broadcast(singles.select(col("it").as("item_a"),

