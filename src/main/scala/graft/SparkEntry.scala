@@ -554,6 +554,22 @@ object SparkEntry {
           shingleN = 3, k = 16, bands = 8, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Cross-corpus decontamination: training docs (doc_id % 3 != 0) that
+    // near-duplicate any "benchmark" doc (doc_id % 3 == 0) — the GPT-3-
+    // style eval-overlap removal at near-dup level. Per contaminated doc:
+    // how many benchmark docs it hits and the strongest overlap.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val bench = docs.filter(col("doc_id") % 3 === 0)
+      MinHash.crossNearDupPairs(corpus, bench, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 8, threshold = 0.8)
+        .groupBy(col("left_id").as("corpus_id"))
+        .agg(count(lit(1)).as("n_bench_matches"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy("corpus_id")
+    }),
+
     // n-gram Jaccard similarity on a deterministic candidate set
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -3023,6 +3039,57 @@ object SparkEntry {
              JOIN shs sb ON sb.doc_id = id_b)
            SELECT id_a, id_b, jaccard FROM verified
            WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+      // Same LSH/verify construction, inter-corpus candidates only
+      // (corpus % 3 != 0 side × benchmark % 3 == 0 side), rolled up per
+      // contaminated training doc.
+      "q_decontaminate" ->
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           shs AS (
+             SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [] END AS sh
+             FROM toks),
+           sig AS (
+             SELECT doc_id, sh,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, g ->
+                   list_reduce(
+                     list_prepend(CAST(s + 1 AS BIGINT),
+                       list_transform(regexp_extract_all(g, '(?s).'),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)))) AS sig
+             FROM shs),
+           banded AS (
+             SELECT doc_id, sh,
+               unnest(list_transform(range(0, 8), j -> {'band': j, 'bh':
+                 list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
+                   (a, v) -> (a * 131 + (v % 1000000007)) % 1000000007)
+                 * 998244353 +
+                 list_reduce(list_prepend(CAST(17 AS BIGINT), sig[j*2+1:j*2+2]),
+                   (a, v) -> (a * 137 + (v % 998244353)) % 998244353)})) AS b
+             FROM sig),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS cid, c.doc_id AS bid
+             FROM banded a JOIN banded c
+               ON a.b.band = c.b.band AND a.b.bh = c.b.bh
+             WHERE a.doc_id % 3 != 0 AND c.doc_id % 3 = 0),
+           verified AS (
+             SELECT cid, bid,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+             FROM cand
+             JOIN shs sa ON sa.doc_id = cid
+             JOIN shs sb ON sb.doc_id = bid)
+           SELECT cid AS corpus_id,
+             CAST(count(*) AS BIGINT) AS n_bench_matches,
+             max(jaccard) AS max_jaccard
+           FROM verified WHERE jaccard >= 0.8
+           GROUP BY cid ORDER BY corpus_id""",
 
       "q_ngram_jaccard" ->
         """WITH shs AS (

@@ -155,6 +155,82 @@ object MinHash {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate pairs — the DECONTAMINATION primitive
+    * (Brown et al. 2020 appendix C posture, at near-dup rather than exact
+    * n-gram level): find training docs that near-duplicate any benchmark
+    * doc, so they can be dropped before training. Same LSH blocking and
+    * exact-Jaccard verification as [[nearDupPairs]], but candidates come
+    * from an INTER-corpus bucket join (left×right only — no intra-corpus
+    * pairs, no id ordering constraint), so the benchmark side, which is
+    * typically orders of magnitude smaller, behaves like a dimension
+    * table: its banded rows broadcast and the training corpus never
+    * shuffles for candidate generation.
+    *
+    * @return (left_id, right_id, jaccard), jaccard >= threshold
+    */
+  def crossNearDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    def shingled(df: DataFrame) = df.select(
+      col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    def banded(sh: DataFrame) = signatureDf(sh, "id", "sh", k)
+      .select(col("id"),
+        posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val shL = shingled(left)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shR = shingled(right)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // benchmark-side banded rows ride broadcast; candidate rows are
+    // narrow (band, bh, id) pairs, shingles re-attach post-dedup
+    val cand = banded(shL)
+      .join(broadcast(banded(shR).select(
+        col("band"), col("bh"), col("id").as("right_id"))), Seq("band", "bh"))
+      .select(col("id").as("left_id"), col("right_id"))
+      .dropDuplicates("left_id", "right_id")
+    val out = cand
+      .join(shL.select(col("id").as("left_id"), col("sh").as("sh_a")), Seq("left_id"))
+      .join(shR.select(col("id").as("right_id"), col("sh").as("sh_b")), Seq("right_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
+    cut.count()
+    shL.unpersist(blocking = false)
+    shR.unpersist(blocking = false)
+    cut
+  }
+
+  /** `corpus` minus every doc that near-duplicates a `benchmark` doc —
+    * one anti-join on the [[crossNearDupPairs]] hit list. The hit list is
+    * bounded by the benchmark's collision footprint, not the corpus.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val hits = crossNearDupPairs(corpus, benchmark, idCol, textCol,
+      shingleN, k, bands, threshold)
+      .select(col("left_id").as(idCol)).distinct()
+    corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate CLUSTERS without pair enumeration.
     *
     * [[nearDupPairs]] returns every matching pair, which is the right

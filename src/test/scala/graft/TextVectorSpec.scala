@@ -174,6 +174,25 @@ class TextVectorSpec extends SparkSpec {
       (1, "a", "a", 6L), (2, "a", "b", 6L), (3, "aa", "ab", 3L)))
   }
 
+  test("cross-corpus decontamination: near-dup training docs removed, clean docs kept") {
+    import graft.text.MinHash
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely unrelated benchmark question about thermodynamics and entropy laws"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // near-dup of bench 100 (one word changed)
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // clean docs
+      (2L, "a totally different document about cooking pasta with garlic and olive oil"),
+      (3L, "spark structured streaming maintains state across micro batches with watermarks"))
+      .toDF("doc_id", "text")
+    val hits = MinHash.crossNearDupPairs(corpus, bench, "doc_id", "text", threshold = 0.5)
+    assert(hits.select("left_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    val clean = MinHash.decontaminate(corpus, bench, "doc_id", "text", threshold = 0.5)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("BPE hybrid: local merge loop equals the distributed loop; 64 merges run in seconds") {
     import graft.text.BpeTrainer
     val docs = graft.catalog.Tables.documents(spark, "/root/testdata/sf0.001")
