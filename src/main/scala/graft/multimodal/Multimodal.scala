@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   * decode/feature-extract/resize/frame-sample as partition-local operators.
   *
   * Image decode/resize are REAL (`javax.imageio` is part of the JDK —
-  * [[decodeImages]]/[[resizeImages]] handle PNG/BMP/GIF/JPEG). The
-  * container has no audio/video codecs, so those decode kernels are
-  * STUBS — deterministic fakes over the raw bytes, clearly marked below.
+  * [[decodeImages]]/[[resizeImages]] handle PNG/BMP/GIF/JPEG), and so are
+  * WAV PCM audio decode ([[decodeWavPcm]] — RIFF is plain byte-level
+  * parsing) and MP4 container probing ([[probeMp4]] — the ISO-BMFF box
+  * tree needs no codec). Only COMPRESSED audio (mp3/aac) and video FRAME
+  * decode remain STUBS — deterministic fakes over the raw bytes, clearly
+  * marked below — because those genuinely need codec libraries this
+  * container doesn't ship.
   * Everything around them is the real Spark shape a production decoder
   * plugs into: explicit schema, `Dataset.mapPartitions` (one JVM decoder
   * instance per partition, amortized init — the same batch shape a Pandas
@@ -176,6 +180,152 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decoded audio record: true PCM header fields + signal statistics. */
+  final case class AudioInfo(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      rms: Double,
+      zero_crossings: Long)
+
+  /** REAL audio decode for RIFF/WAVE PCM payloads — WAV is a plain
+    * byte-level container (no codec needed): parse the chunk list, read
+    * `fmt ` (PCM format 1, channels, sample rate, bit depth), then stream
+    * the `data` chunk computing RMS amplitude and zero-crossing count over
+    * the first channel (8-bit unsigned and 16-bit signed little-endian
+    * supported). Partition-local, no shuffle; non-WAV / compressed
+    * payloads yield None and stay with [[stubFeatures]] (mp3/aac need
+    * codecs this container doesn't ship).
+    */
+  private[multimodal] def parseWavPcm(mediaId: Long, data: Array[Byte]): Option[AudioInfo] = {
+    if (data == null || data.length < 44) return None
+    def u8(i: Int): Int = data(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var out: Option[AudioInfo] = None
+    while (pos + 8 <= data.length && out.isEmpty) {
+      val id = tag(pos)
+      val size = u32(pos + 4).toInt
+      val body = pos + 8
+      if (id == "fmt " && body + 16 <= data.length) {
+        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+      } else if (id == "data") {
+        fmt.foreach { case (audioFormat, channels, rate, bits) =>
+          if (audioFormat == 1 && (bits == 8 || bits == 16) &&
+              channels >= 1 && rate > 0) {
+            val end = math.min(body + size, data.length)
+            val bytesPerSample = bits / 8
+            val stride = bytesPerSample * channels // first channel only
+            var i = body
+            var n = 0L
+            var sumSq = 0.0
+            var crossings = 0L
+            var prev = 0.0
+            var first = true
+            while (i + bytesPerSample <= end) {
+              val s =
+                if (bits == 8) (u8(i) - 128) / 128.0
+                else u16(i).toShort / 32768.0
+              sumSq += s * s
+              if (!first && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
+                crossings += 1
+              prev = s; first = false; n += 1
+              i += stride
+            }
+            if (n > 0) out = Some(AudioInfo(mediaId, rate, channels, bits, n,
+              n * 1000L / rate, math.sqrt(sumSq / n), crossings))
+          }
+        }
+      }
+      pos = body + size + (size & 1) // chunks are word-aligned
+    }
+    out
+  }
+
+  def decodeWavPcm(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(r => parseWavPcm(r.media_id, r.data)))
+  }
+
+  /** Probed video-container record (ISO BMFF / MP4 box structure). */
+  final case class VideoProbe(
+      media_id: Long,
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      n_tracks: Int)
+
+  /** REAL MP4/ISO-BMFF structure probe — the container format is a plain
+    * big-endian box tree (no codec needed to read it): walk the top-level
+    * boxes, read the major brand from `ftyp`, then `moov`→`mvhd` for
+    * timescale + duration and count `trak` children. FRAME decode stays a
+    * stub (that genuinely needs codecs); this gives the pipeline true
+    * duration/track metadata from raw bytes, which is what drives
+    * [[sampleFrames]] offsets.
+    */
+  private[multimodal] def parseMp4(mediaId: Long, data: Array[Byte]): Option[VideoProbe] = {
+    if (data == null || data.length < 16) return None
+    def u32(i: Int): Long =
+      ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) |
+        ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+    // walk boxes in [from, until); returns (type, bodyStart, bodyEnd) triples
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var pos = from
+        def hasNext: Boolean = pos + 8 <= until
+        def next(): (String, Int, Int) = {
+          val size0 = u32(pos)
+          val t = tag(pos + 4)
+          val (body, size) =
+            if (size0 == 1 && pos + 16 <= until) (pos + 16, u64(pos + 8))
+            else (pos + 8, if (size0 == 0) (until - pos).toLong else size0)
+          val end = math.min(pos + math.max(size, 8L), until.toLong).toInt
+          val r = (t, body, end)
+          pos = end
+          r
+        }
+      }
+    var brand = ""
+    var probe: Option[VideoProbe] = None
+    boxes(0, data.length).foreach {
+      case ("ftyp", b, e) if e - b >= 4 => brand = tag(b)
+      case ("moov", mb, me) =>
+        var timescale = 0L
+        var durationUnits = 0L
+        var tracks = 0
+        boxes(mb, me).foreach {
+          case ("mvhd", b, e) if e - b >= 20 =>
+            val version = data(b) & 0xff
+            if (version == 1 && e - b >= 28) {
+              timescale = u32(b + 20); durationUnits = u64(b + 24)
+            } else {
+              timescale = u32(b + 12); durationUnits = u32(b + 16)
+            }
+          case ("trak", _, _) => tracks += 1
+          case _ =>
+        }
+        if (timescale > 0)
+          probe = Some(VideoProbe(mediaId, brand, timescale,
+            durationUnits * 1000L / timescale, tracks))
+      case _ =>
+    }
+    probe
+  }
+
+  def probeMp4(media: Dataset[MediaRow]): Dataset[VideoProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(r => parseMp4(r.media_id, r.data)))
   }
 
   /** Deterministic fake media generator for tests/benchmarks. */

@@ -89,6 +89,70 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(resized(2).data.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("multimodal: real WAV PCM decode (RIFF parse, RMS, zero crossings)") {
+    import spark.implicits._
+    // synthesize a genuine 16-bit mono PCM WAV: 440 Hz square wave,
+    // 8000 Hz sample rate, 0.5 s -> 4000 samples, amplitude 16384 (=0.5)
+    val rate = 8000; val n = 4000; val amp = 16384
+    val dataBytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(dataBytes)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    out.writeBytes("RIFF"); le32(36 + n * 2); out.writeBytes("WAVE")
+    out.writeBytes("fmt "); le32(16); le16(1); le16(1) // PCM, mono
+    le32(rate); le32(rate * 2); le16(2); le16(16)
+    out.writeBytes("data"); le32(n * 2)
+    // square wave: period 8000/440 ~ 18.18 samples; use exact period 20
+    // (400 Hz) so crossings are exactly 2 per period * 200 periods
+    (0 until n).foreach(i => le16(if ((i / 10) % 2 == 0) amp else -amp))
+    val wav = dataBytes.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", "wav", None, None, None, wav),
+      Multimodal.MediaRow(2L, "audio", "bin", None, None, None,
+        Array[Byte](9, 9, 9))).toDS()
+    val decoded = Multimodal.decodeWavPcm(media).collect()
+    assert(decoded.length == 1) // non-WAV payload dropped
+    val a = decoded.head
+    assert(a.sample_rate == rate && a.channels == 1 && a.bits == 16)
+    assert(a.n_samples == n && a.duration_ms == 500)
+    assert(math.abs(a.rms - 0.5) < 1e-3) // square wave at half amplitude
+    // 400 Hz square over 0.5 s: a sign flip every 10 samples (399 interior
+    // flips across 4000 samples)
+    assert(a.zero_crossings == 399, s"got ${a.zero_crossings}")
+  }
+
+  test("multimodal: real MP4 box probe (ftyp brand, mvhd duration, trak count)") {
+    import spark.implicits._
+    // synthesize a minimal ISO-BMFF tree: ftyp(isom) + moov{mvhd v0, trak, trak}
+    val bb = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bb)
+    def be32(v: Int): Unit = o.writeInt(v)
+    // ftyp: size 16, brand isom, minor 0
+    be32(16); o.writeBytes("ftyp"); o.writeBytes("isom"); be32(0)
+    // mvhd v0 body: ver/flags, ctime, mtime, timescale=1000, duration=7250
+    val mvhdBody = 4 + 4 + 4 + 4 + 4
+    val mvhd = 8 + mvhdBody
+    val trak = 8 // empty trak boxes
+    val moov = 8 + mvhd + trak + trak
+    be32(moov); o.writeBytes("moov")
+    be32(mvhd); o.writeBytes("mvhd")
+    be32(0); be32(0); be32(0); be32(1000); be32(7250)
+    be32(trak); o.writeBytes("trak")
+    be32(trak); o.writeBytes("trak")
+    val mp4 = bb.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(7L, "video", "mp4", None, None, None, mp4),
+      Multimodal.MediaRow(8L, "video", "bin", None, None, None,
+        Array[Byte](1, 2, 3, 4))).toDS()
+    val probes = Multimodal.probeMp4(media).collect()
+    assert(probes.length == 1)
+    val p = probes.head
+    assert(p.brand == "isom" && p.timescale == 1000L)
+    assert(p.duration_ms == 7250L && p.n_tracks == 2)
+  }
+
   test("multimodal: stub feature extraction preserves batch shape") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media).collect()
