@@ -214,7 +214,9 @@ object Multimodal {
     var out: Option[AudioInfo] = None
     while (pos + 8 <= data.length && out.isEmpty) {
       val id = tag(pos)
-      val size = u32(pos + 4).toInt
+      // clamp malformed/huge declared sizes: a negative or
+      // past-the-buffer size must still advance the cursor monotonically
+      val size = math.min(math.max(u32(pos + 4), 0L), (data.length - pos - 8).toLong).toInt
       val body = pos + 8
       if (id == "fmt " && body + 16 <= data.length) {
         fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))

@@ -198,7 +198,8 @@ object MinHash {
       .dropDuplicates("left_id", "right_id")
     val out = cand
       .join(shL.select(col("id").as("left_id"), col("sh").as("sh_a")), Seq("left_id"))
-      .join(shR.select(col("id").as("right_id"), col("sh").as("sh_b")), Seq("right_id"))
+      .join(broadcast(shR.select(col("id").as("right_id"), col("sh").as("sh_b"))),
+        Seq("right_id"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
