@@ -19,9 +19,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Failures must be self-describing in the artifact, not just stderr:
-    // a query that raises gets an entry in _errors.json (and the run exits
-    // nonzero) so a missing output dir can never read as "skipped on
-    // purpose" downstream.
+    // a query that raises gets an entry in _errors.json so a missing
+    // output dir can never read as "skipped on purpose" downstream (the
+    // process still exits 0 — see the note at the end of main).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -254,7 +254,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
     * `processor.py:596-618`).
     */
   def estimateDownloadSize(pair: String, start: String, end: String): Double = {
-    validatePair(pair); validateDate(start); validateDate(end)
+    validatePair(pair); validateRange(Some(start), Some(end))
     val s = java.time.LocalDate.parse(start)
     val e = java.time.LocalDate.parse(end)
     val months = (e.getYear - s.getYear) * 12 + (e.getMonthValue - s.getMonthValue) + 1

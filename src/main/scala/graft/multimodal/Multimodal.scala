@@ -218,7 +218,7 @@ object Multimodal {
       // past-the-buffer size must still advance the cursor monotonically
       val size = math.min(math.max(u32(pos + 4), 0L), (data.length - pos - 8).toLong).toInt
       val body = pos + 8
-      if (id == "fmt " && body + 16 <= data.length) {
+      if (id == "fmt " && size >= 16 && body + 16 <= data.length) {
         fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
       } else if (id == "data") {
         fmt.foreach { case (audioFormat, channels, rate, bits) =>
@@ -309,7 +309,7 @@ object Multimodal {
         boxes(mb, me).foreach {
           case ("mvhd", b, e) if e - b >= 20 =>
             val version = data(b) & 0xff
-            if (version == 1 && e - b >= 28) {
+            if (version == 1 && e - b >= 32) { // u64 at b+24 reads 8 bytes
               timescale = u32(b + 20); durationUnits = u64(b + 24)
             } else {
               timescale = u32(b + 12); durationUnits = u32(b + 16)

@@ -73,9 +73,14 @@ object StreamingDecontaminate {
       textCol: String,
       threshold: Double = 0.8
   ): DataFrame = {
+    // the batch's shingle frame feeds TWO plan branches (banding + the
+    // verify join) — persist it so each micro-batch shingles once, then
+    // materialize the (bounded-by-batch) hit-id set with a lineage cut so
+    // the cache can be released before this function returns
     val shL = batch.select(
-      col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), prep.shingleN).as("sh"))
+        col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), prep.shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandedL = MinHash.signatureDf(shL, "id", "sh", prep.k)
       .select(col("id"),
         posexplode(MinHash.bandHashes(col("sig"), prep.bands, prep.k / prep.bands))
@@ -92,7 +97,10 @@ object StreamingDecontaminate {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
       .select(col("left_id").as(idCol)).distinct()
-    batch.join(broadcast(hits), Seq(idCol), "left_anti")
+    val cutHits = org.apache.spark.sql.graft.bridge.cutLineage(hits)
+    cutHits.count()
+    shL.unpersist(blocking = false)
+    batch.join(broadcast(cutHits), Seq(idCol), "left_anti")
   }
 
   /** The foreachBatch function: wire with

@@ -137,7 +137,14 @@ object BpeTrainer {
       .withColumn("syms", expr("regexp_extract_all(w, '(?s).', 0)"))
       .persist(lvl)
     val nWords = words.count()
-    if (nWords <= localWordLimit) {
+    // the fast-path gate is BYTE-aware, not just row-aware: 2M rows of
+    // long words would be gigabytes on the driver, so the collect also
+    // requires the total character volume to stay driver-sized
+    val totalChars =
+      if (nWords <= localWordLimit)
+        words.agg(sum(length(col("w")))).head().getLong(0)
+      else Long.MaxValue
+    if (nWords <= localWordLimit && totalChars <= 64000000L) {
       // hybrid fast path: the post-aggregation vocabulary fits — run the
       // merge loop in memory (identical semantics, zero jobs per round)
       val collected = words.select(col("syms"), col("freq")).collect()

@@ -40,12 +40,28 @@ object VectorFunctions {
     * assignment, a 16-billion-row exchange at 10⁹ vectors.
     */
   private def centroidArray(cents: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    val schema = cents.schema
     val rows = cents.collect()
-    array(rows.toIndexedSeq.map { r =>
-      struct(
-        lit(r.getLong(0)).as("cell"),
-        typedLit(r.getSeq[Float](1).toSeq).as("cent"))
-    }: _*)
+    // literal types follow the frame's own schema (primitive cell ids,
+    // float OR double vectors) — the crossJoin formulation this replaces
+    // was type-agnostic and the narrow path must accept the same inputs
+    def centLit(r: org.apache.spark.sql.Row): Column = schema(1).dataType match {
+      case ArrayType(FloatType, _) => typedLit(r.getSeq[Float](1).toSeq)
+      case ArrayType(DoubleType, _) => typedLit(r.getSeq[Double](1).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"unsupported centroid vector type $other (expected array<float|double>)")
+    }
+    if (rows.isEmpty)
+      // empty centroid set ⇒ empty assignment (the crossJoin yielded no
+      // rows); keep the element type honest so downstream analysis holds
+      array().cast(ArrayType(StructType(Seq(
+        StructField("cell", schema(0).dataType),
+        StructField("cent", schema(1).dataType)))))
+    else
+      array(rows.toIndexedSeq.map { r =>
+        struct(lit(r.get(0)).as("cell"), centLit(r).as("cent"))
+      }: _*)
   }
 
   /** Ordered top-`keep` nearest cells of `vec` against the centroid-array
@@ -57,14 +73,35 @@ object VectorFunctions {
   private def nearestCells(vec: Column, centArr: Column, keep: Int): Column = {
     val sims = transform(centArr, c =>
       struct(cosine(vec, c.getField("cent")).as("sim"), c.getField("cell").as("cell")))
-    val sorted = array_sort(sims, (l, r) =>
-      when(l.getField("sim") > r.getField("sim"), lit(-1))
-        .when(l.getField("sim") < r.getField("sim"), lit(1))
+    // ordering must equal the window formulation bit for bit, including
+    // degenerate sims: Spark's desc sort places NaN ABOVE every number,
+    // so NaN ranks first here too (and NaN-vs-NaN falls to the cell
+    // tiebreak) — without the explicit isnan arms both comparisons are
+    // false for NaN and the comparator would interleave by cell id
+    val sorted = array_sort(sims, (l, r) => {
+      val (ls, rs) = (l.getField("sim"), r.getField("sim"))
+      when(isnan(ls) && !isnan(rs), lit(-1))
+        .when(!isnan(ls) && isnan(rs), lit(1))
+        .when(ls > rs, lit(-1))
+        .when(ls < rs, lit(1))
         .when(l.getField("cell") < r.getField("cell"), lit(-1))
         .when(l.getField("cell") > r.getField("cell"), lit(1))
-        .otherwise(lit(0)))
+        .otherwise(lit(0))
+    })
     transform(slice(sorted, 1, keep), t => t.getField("cell"))
   }
+
+  /** [[assignCells]] with the centroid literal precomputed — collect the
+    * centroid frame ONCE per operator call even when both the corpus and
+    * the query side assign against it.
+    */
+  private def assignCellsWith(
+      df: DataFrame, id: String, outId: String, vec: String,
+      centArr: Column, keep: Int): DataFrame =
+    df.select(
+      col(id).as(outId),
+      col(vec).as(s"__v_$outId"),
+      explode(nearestCells(col(vec), centArr, keep)).as("cell"))
 
   /** (id, vector, cell) with one row per (row, assigned cell), cells =
     * the `keep` nearest centroids. Narrow: the only non-map operation is
@@ -72,13 +109,8 @@ object VectorFunctions {
     */
   private[graft] def assignCells(
       df: DataFrame, id: String, outId: String, vec: String,
-      cents: DataFrame, keep: Int): DataFrame = {
-    val centArr = centroidArray(cents)
-    df.select(
-      col(id).as(outId),
-      col(vec).as(s"__v_$outId"),
-      explode(nearestCells(col(vec), centArr, keep)).as("cell"))
-  }
+      cents: DataFrame, keep: Int): DataFrame =
+    assignCellsWith(df, id, outId, vec, centroidArray(cents), keep)
 
   /** Exact top-k cosine neighbors of each query vector.
     * Output: (query_id, neighbor_id, sim, rank), rank 1..k, self excluded,
@@ -461,9 +493,10 @@ object VectorFunctions {
     // assignCells) — the corpus never shuffles to learn its cell.
     val cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cell"), col(vecCol).as("__cent"))
+    val centArr = centroidArray(cents) // one collect for both sides
 
-    val cAssigned = assignCells(corpus, idCol, "neighbor_id", vecCol, cents, keep = 1)
-    val qProbes = assignCells(queries, idCol, "query_id", vecCol, cents, keep = nprobe)
+    val cAssigned = assignCellsWith(corpus, idCol, "neighbor_id", vecCol, centArr, keep = 1)
+    val qProbes = assignCellsWith(queries, idCol, "query_id", vecCol, centArr, keep = nprobe)
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cAssigned
@@ -562,9 +595,10 @@ object VectorFunctions {
   ): DataFrame = {
     val cents = kmeans(corpus, idCol, vecCol, nlist, trainIters)
       .select(col("cell"), col("centroid").as("__cent"))
+    val centArr = centroidArray(cents) // one collect for both sides
 
-    val cAssigned = assignCells(corpus, idCol, "neighbor_id", vecCol, cents, keep = 1)
-    val qProbes = assignCells(queries, idCol, "query_id", vecCol, cents, keep = nprobe)
+    val cAssigned = assignCellsWith(corpus, idCol, "neighbor_id", vecCol, centArr, keep = 1)
+    val qProbes = assignCellsWith(queries, idCol, "query_id", vecCol, centArr, keep = nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cAssigned
       .join(broadcast(qProbes), Seq("cell"))
