@@ -548,6 +548,24 @@ object SparkEntry {
       Dedup.exactText(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("content_hash")),
 
+    // Duplicate-token fraction (Lee et al. 2022's headline dedup metric):
+    // what share of the corpus's tokens live in exact-duplicate documents
+    // — the number that motivates running dedup at all. One groupBy on
+    // the content hash carrying pre-aggregated token counts; exact
+    // integer fraction (e6 fixed point).
+    "q_dup_token_fraction" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        md5(col("text")).as("h"),
+        TF.tokenCount(col("text")).cast("long").as("nt"))
+      d.groupBy("h")
+        .agg(sum(col("nt")).as("g_tokens"), count(lit(1)).as("n"))
+        .agg(
+          sum(col("g_tokens")).as("total_tokens"),
+          sum(when(col("n") > 1, col("g_tokens")).otherwise(0L)).as("dup_tokens"))
+        .select(col("total_tokens"), col("dup_tokens"),
+          expr("dup_tokens * 1000000L div total_tokens").as("dup_frac_e6"))
+    }),
+
     // dedup (near): MinHash + LSH candidate pairs, exact-Jaccard verified
     "q_minhash_lsh" -> ((s, dir) =>
       MinHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -2995,6 +3013,18 @@ object SparkEntry {
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                   CAST(count(*) AS BIGINT) AS dup_count
            FROM documents GROUP BY content_hash ORDER BY content_hash""",
+
+      "q_dup_token_fraction" ->
+        """WITH g AS (
+             SELECT md5(text) AS h,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS g_tokens,
+               count(*) AS n
+             FROM documents GROUP BY h)
+           SELECT CAST(sum(g_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN n > 1 THEN g_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+             CAST(sum(CASE WHEN n > 1 THEN g_tokens ELSE 0 END) * 1000000
+               // sum(g_tokens) AS BIGINT) AS dup_frac_e6
+           FROM g""",
 
       "q_minhash_lsh" ->
         """WITH toks AS (
