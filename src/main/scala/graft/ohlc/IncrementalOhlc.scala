@@ -85,7 +85,12 @@ object IncrementalOhlc {
       tiebreak: String,
       minutes: Int = 1
   ): DataFrame = {
+    // the batch aggregation feeds three plan branches (touched-key set,
+    // the merge input, and via both joins the stored scan) — persist it so
+    // the micro-batch source is scanned and aggregated once per trigger,
+    // not once per branch
     val newBars = partialBars(batch, keys, time, value, tiebreak, minutes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val barKeys = (keys :+ "bar_ts").map(col)
     val touchedKeys = newBars.select(barKeys: _*).distinct()
     val touched = stored.join(broadcast(touchedKeys), keys :+ "bar_ts", "left_semi")

@@ -84,8 +84,9 @@ object Ohlc {
   /** Resample 1m bars to an N-minute timeframe: open = earliest open,
     * close = latest close, extrema of extrema, counts summed
     * (reference CTE at `clickhouse_query_engine.py:218-252`).
-    * `sumCols` are summed, `avgWeightCol` optionally carries a
-    * tick-count-weighted average of spread-like columns.
+    * `sumCols` are summed as BIGINT counts — they must be integral
+    * (counts); averaged spread-like columns go through
+    * `Processor.resampleOhlc`'s avg() aggregates, not this list.
     */
   def resample(
       bars1m: DataFrame,

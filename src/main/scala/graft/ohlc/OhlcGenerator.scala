@@ -58,6 +58,15 @@ object OhlcGenerator {
   /** Regenerate OHLC months into the warehouse. `months` empty = full
     * regeneration; non-empty = only those yyyymm partitions are rebuilt
     * (append / incremental-range modes), others untouched.
+    *
+    * Equivalence between the modes: the ASOF join carries the LAST
+    * standard tick at-or-before each raw tick, so an incremental rebuild
+    * must see the standard ticks of the month BEFORE each rebuilt month —
+    * otherwise the first bars of a rebuilt month lose their carry-in
+    * standard quote and diverge from a full rebuild of the same data. The
+    * raw side stays month-filtered (it alone decides which bars exist);
+    * only the standard side widens, and only by the immediately preceding
+    * months.
     */
   def regenerate(
       spark: SparkSession,
@@ -65,19 +74,51 @@ object OhlcGenerator {
       instrument: String,
       months: Seq[String] = Nil
   ): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    def monthFiltered(variant: String): DataFrame = {
+    def prevMonth(m: String): String =
+      java.time.YearMonth.parse(m.take(4) + "-" + m.drop(4)).minusMonths(1)
+        .toString.replace("-", "")
+    def monthFiltered(variant: String, keep: Seq[String]): DataFrame = {
       var df = TickIngest.readTicks(spark, warehouse, variant, Some(instrument))
-      if (months.nonEmpty) df = df.filter(col("yyyymm").isin(months: _*))
+      if (keep.nonEmpty) df = df.filter(col("yyyymm").isin(keep: _*))
       df
     }
-    val out = generate(monthFiltered("raw_spread"), monthFiltered("standard"))
+    val stdMonths =
+      if (months.isEmpty) Nil else (months ++ months.map(prevMonth)).distinct
+    val out = generate(
+        monthFiltered("raw_spread", months), monthFiltered("standard", stdMonths))
       .withColumn("yyyymm", date_format(col("timestamp"), "yyyyMM"))
-    out.write
-      .mode("overwrite")
-      .option("compression", "zstd")
-      .partitionBy("instrument", "yyyymm")
-      .parquet(s"$warehouse/ohlc_1m")
+    // the carry-in widening can produce bars for the lookback months too —
+    // they are NOT part of this rebuild; only the requested partitions move
+    val scoped =
+      if (months.isEmpty) out else out.filter(col("yyyymm").isin(months: _*))
+    // dynamic overwrite for month-scoped rebuilds; a FULL rebuild must
+    // also clear months that no longer have ticks (static overwrite of
+    // the instrument's whole subtree does that). The session conf is
+    // restored afterwards — regenerate must not silently change overwrite
+    // semantics for unrelated writes on the shared session.
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      if (months.isEmpty) "static" else "dynamic")
+    try {
+      if (months.isEmpty) {
+        // static mode truncates only the partitions we target: write via
+        // the instrument subtree path so other instruments are untouched
+        scoped.drop("instrument").write
+          .mode("overwrite")
+          .option("compression", "zstd")
+          .partitionBy("yyyymm")
+          .parquet(s"$warehouse/ohlc_1m/instrument=${instrument.toUpperCase}")
+      } else {
+        scoped.write
+          .mode("overwrite")
+          .option("compression", "zstd")
+          .partitionBy("instrument", "yyyymm")
+          .parquet(s"$warehouse/ohlc_1m")
+      }
+    } finally {
+      prevMode.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
     spark.read.parquet(s"$warehouse/ohlc_1m")
       .filter(col("instrument") === instrument.toUpperCase)
       .count()

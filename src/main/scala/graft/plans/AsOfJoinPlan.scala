@@ -30,6 +30,17 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     payload: Seq[Attribute] // right-side attributes to attach (nullable out)
 ) extends BinaryNode {
+  // The exec's comparators are built from the LEFT side's data types and
+  // applied to both sides' projected rows — mismatched types would read
+  // the right rows' storage with the wrong accessor and produce garbage
+  // matches instead of an error. Fail at plan construction instead.
+  require(leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

@@ -76,34 +76,46 @@ object NsTimestampPushdown extends Rule[LogicalPlan] {
 
   private def ntz(l: Literal): Literal = Literal(micros(l), TimestampNTZType)
 
-  /** Stored-domain implication of one conjunct, if derivable. */
+  /** Smallest raw ns value whose `div 1000` (TRUNCATE toward zero, not
+    * floor) is >= m. For m > 0 that is m·1000, but for m <= 0 truncation
+    * rounds negative raws UP, so the threshold extends 999 ns lower —
+    * without this, pre-epoch rows would be wrongly excluded by the
+    * derived bounds.
+    */
+  private def minRawNs(m: Long): Long =
+    if (m > 0) m * 1000L else m * 1000L - 999L
+
+  /** Stored-domain implication of one conjunct, if derivable. All ns
+    * bounds are expressed through [[minRawNs]] thresholds (trunc is
+    * monotone, so each comparison has a single exact raw threshold).
+    */
   private def derive(e: Expression): Option[Expression] = e match {
     case GreaterThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
       Some(dom match {
-        case NsLong => GreaterThanOrEqual(r, Literal(micros(l) * 1000L))
+        case NsLong => GreaterThanOrEqual(r, Literal(minRawNs(micros(l))))
         case MicrosNtz => GreaterThanOrEqual(r, ntz(l))
       })
     case GreaterThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
       Some(dom match {
-        case NsLong => GreaterThanOrEqual(r, Literal((micros(l) + 1) * 1000L))
+        case NsLong => GreaterThanOrEqual(r, Literal(minRawNs(micros(l) + 1)))
         case MicrosNtz => GreaterThan(r, ntz(l))
       })
     case LessThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
       Some(dom match {
-        case NsLong => LessThan(r, Literal((micros(l) + 1) * 1000L))
+        case NsLong => LessThan(r, Literal(minRawNs(micros(l) + 1)))
         case MicrosNtz => LessThanOrEqual(r, ntz(l))
       })
     case LessThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
       Some(dom match {
-        case NsLong => LessThan(r, Literal(micros(l) * 1000L))
+        case NsLong => LessThan(r, Literal(minRawNs(micros(l))))
         case MicrosNtz => LessThan(r, ntz(l))
       })
     case EqualTo(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
       Some(dom match {
         case NsLong =>
           And(
-            GreaterThanOrEqual(r, Literal(micros(l) * 1000L)),
-            LessThan(r, Literal((micros(l) + 1) * 1000L)))
+            GreaterThanOrEqual(r, Literal(minRawNs(micros(l)))),
+            LessThan(r, Literal(minRawNs(micros(l) + 1))))
         case MicrosNtz => EqualTo(r, ntz(l))
       })
     // mirrored literal-first forms

@@ -54,6 +54,19 @@ object QueryEngine {
     * compute has_more, trim driver-side (`clickhouse_query_engine.py:
     * 390-472`). The scan itself never sorts more than pageSize+1 rows
     * globally (Spark's ordered-limit is a per-partition top-k + merge).
+    *
+    * The cursor is a plain timestamp (reference parity, models.py
+    * CursorResult) with a strictly-greater next-page filter, so a page may
+    * never END in the middle of a timestamp tie-group — rows sharing the
+    * boundary timestamp would be skipped by the next page. When the
+    * over-fetch shows a straddling tie, the page is CUT before the tied
+    * group (still lossless, ≤ pageSize rows); in the degenerate case
+    * where one timestamp's tie-group fills the whole page, the complete
+    * group is fetched instead (page may exceed pageSize — completeness
+    * wins over the size bound, and the group is bounded by the data's
+    * max ties per timestamp). The returned rows are materialized from
+    * the SAME collect that computed the cursor, so page content and
+    * metadata can never diverge (and the scan runs once, not twice).
     */
   def cursorPage(
       df: DataFrame,
@@ -62,19 +75,41 @@ object QueryEngine {
       cursor: Option[Timestamp],
       pageSize: Int
   ): CursorPage = {
+    val spark = df.sparkSession
     val filtered = cursor match {
       case Some(c) => df.filter(col(time) > lit(c))
       case None    => df
     }
-    val fetched = filtered.orderBy((time +: tiebreak).map(col): _*).limit(pageSize + 1)
-    val collected = fetched.collect()
-    val hasMore = collected.length > pageSize
-    val page = collected.take(pageSize)
-    val next =
-      if (page.isEmpty) None
-      else Some(page.last.getAs[Timestamp](time))
-    val trimmed = fetched.limit(pageSize)
-    CursorPage(trimmed, next.filter(_ => hasMore), hasMore, page.length)
+    val ordered = filtered.orderBy((time +: tiebreak).map(col): _*)
+    val collected = ordered.limit(pageSize + 1).collect()
+    def frame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        df.schema)
+    def ts(r: org.apache.spark.sql.Row): Timestamp = r.getAs[Timestamp](time)
+
+    if (collected.length <= pageSize) {
+      // final page
+      val next = None
+      return CursorPage(frame(collected.toSeq), next, hasMore = false, collected.length)
+    }
+    val boundary = ts(collected(pageSize - 1))
+    if (ts(collected(pageSize)) != boundary) {
+      // clean break: the boundary timestamp's group is complete in-page
+      val page = collected.take(pageSize).toSeq
+      return CursorPage(frame(page), Some(boundary), hasMore = true, page.length)
+    }
+    val head = collected.take(pageSize).takeWhile(r => ts(r) != boundary).toSeq
+    if (head.nonEmpty) {
+      // cut before the straddling tie-group
+      CursorPage(frame(head), Some(ts(head.last)), hasMore = true, head.length)
+    } else {
+      // the tie-group alone fills the page: fetch it whole (lossless)
+      val group = filtered.filter(col(time) === lit(boundary))
+        .orderBy(tiebreak.map(col): _*).collect().toSeq
+      val more = filtered.filter(col(time) > lit(boundary)).limit(1).count() > 0
+      CursorPage(frame(group), Some(boundary).filter(_ => more), more, group.length)
+    }
   }
 
   /** Batch iterator driving [[cursorPage]] until exhaustion
@@ -128,13 +163,17 @@ object QueryEngine {
       seriesEnd: String
   ): DataFrame = {
     val spark = df.sparkSession
+    // truncate the series endpoints to month starts: the existing side is
+    // month-truncated, so a mid-month seriesStart would otherwise generate
+    // mid-month series values that match nothing and report every month
+    // missing (it also keeps the month stepping drift-free for day > 28)
     val expected = spark
       .range(1)
       .select(
         explode(
           sequence(
-            lit(seriesStart).cast("date"),
-            lit(seriesEnd).cast("date"),
+            trunc(lit(seriesStart).cast("date"), "MM"),
+            trunc(lit(seriesEnd).cast("date"), "MM"),
             expr("interval 1 month")
           )
         ).as("month")

@@ -165,6 +165,31 @@ class ForexPipelineSpec extends SparkSpec {
     assert(p.estimateDownloadSize("EURUSD", "2024-01-05", "2024-03-02") === 33.0)
   }
 
+  test("keyset pagination is lossless across timestamp tie-groups") {
+    import spark.implicits._
+    import graft.query.QueryEngine
+    // 7 rows at ts A (> pageSize) then 5 at B then 1 at C — exercises the
+    // degenerate whole-page tie-group, the cut-before-group break, and
+    // the clean break, all with a timestamp-only cursor
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows =
+      (1 to 7).map(i => (t("2024-01-01 00:00:00"), i.toLong)) ++
+        (8 to 12).map(i => (t("2024-01-01 00:01:00"), i.toLong)) ++
+        Seq((t("2024-01-01 00:02:00"), 13L))
+    val df = rows.toDF("ts", "id")
+    val all = QueryEngine.batches(df, "ts", Seq("id"), pageSize = 4)
+      .flatMap(_.collect().map(_.getLong(1))).toSeq
+    // union of pages = exactly the table, no row lost or duplicated
+    assert(all.sorted == (1L to 13L), s"got $all")
+    // and each page is internally ordered with a lossless boundary
+    val p1 = QueryEngine.cursorPage(df, "ts", Seq("id"), None, 4)
+    assert(p1.pageSize == 7, "whole tie-group page expected") // A-group fetched whole
+    val p2 = QueryEngine.cursorPage(df, "ts", Seq("id"), p1.nextCursor, 4)
+    assert(p2.pageSize == 5, "B tie-group fetched whole") // 5 B rows straddle again
+    val p3 = QueryEngine.cursorPage(df, "ts", Seq("id"), p2.nextCursor, 4)
+    assert(p3.pageSize == 1 && !p3.hasMore)
+  }
+
   test("gap detection spans stored range to current month") {
     val (p, _) = env
     val missing = p.missingMonths("EURUSD")
