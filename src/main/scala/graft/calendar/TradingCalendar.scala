@@ -36,6 +36,15 @@ object TradingCalendar {
   private def toUtcTs(d: LocalDate, h: Int, m: Int, zone: ZoneId): Timestamp =
     Timestamp.from(LocalDateTime.of(d, java.time.LocalTime.of(h, m)).atZone(zone).toInstant)
 
+  /** The UTC calendar date of an instant — pinned to UTC explicitly.
+    * `Timestamp.toLocalDateTime` uses the JVM DEFAULT zone, which silently
+    * diverges from the Spark-side `to_date` (session zone, UTC here)
+    * whenever the JVM default isn't UTC — the date-equi-join between bars
+    * and intervals then misses in-session bars.
+    */
+  private def utcDate(ts: Timestamp): LocalDate =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+
   /** All session intervals for `exchanges` over [start, end] (inclusive). */
   def sessionIntervals(
       exchanges: Seq[Exchange],
@@ -64,7 +73,7 @@ object TradingCalendar {
             case None => Seq((open, close))
           }
           ivs.map { case (o, c) =>
-            SessionInterval(ex.key, SqlDate.valueOf(o.toLocalDateTime.toLocalDate), o, c)
+            SessionInterval(ex.key, SqlDate.valueOf(utcDate(o)), o, c)
           }
         }
         .toSeq
@@ -85,8 +94,8 @@ object TradingCalendar {
     import spark.implicits._
     val ivs = sessionIntervals(exchanges, start, end)
     val expanded = ivs.flatMap { iv =>
-      val startDay = iv.openTs.toLocalDateTime.toLocalDate
-      val endDay = iv.closeTs.toLocalDateTime.toLocalDate
+      val startDay = utcDate(iv.openTs)
+      val endDay = utcDate(iv.closeTs)
       Iterator
         .iterate(startDay)(_.plusDays(1))
         .takeWhile(!_.isAfter(endDay))
@@ -135,8 +144,8 @@ object TradingCalendar {
       if (r.isNullAt(0)) return addZeroFlags(bars)
       (r.getTimestamp(0), r.getTimestamp(1))
     }
-    val start = minTs.toLocalDateTime.toLocalDate.minusDays(2)
-    val end = maxTs.toLocalDateTime.toLocalDate.plusDays(2)
+    val start = utcDate(minTs).minusDays(2)
+    val end = utcDate(maxTs).plusDays(2)
 
     val ivs = sessionIntervalsDf(spark, ExchangeRegistry.all, start, end)
     val years = start.getYear to end.getYear
@@ -148,7 +157,12 @@ object TradingCalendar {
       .withColumn("is_major_holiday",
         (col("is_us_holiday") === 1 && col("is_uk_holiday") === 1).cast("int"))
 
-    val withDate = bars.withColumn("__d", to_date(col(tsCol)))
+    // a surrogate row id keeps the pivot-back groupBy from collapsing
+    // duplicate bar rows (enrich adds columns, it must not dedup) and
+    // keeps the groupBy legal for any input column types
+    val withDate = bars
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__d", to_date(col(tsCol)))
 
     // session flags: date-equi-join to intervals, in-interval check, pivot
     val flagAgg = ExchangeRegistry.all.map { e =>
@@ -171,7 +185,7 @@ object TradingCalendar {
       .withColumn("is_us_holiday", coalesce(col("is_us_holiday"), lit(0)))
       .withColumn("is_uk_holiday", coalesce(col("is_uk_holiday"), lit(0)))
       .withColumn("is_major_holiday", coalesce(col("is_major_holiday"), lit(0)))
-      .drop("__d")
+      .drop("__d").drop("__rid")
 
     // reference column order: holidays before session flags
     val sessionCols = ExchangeRegistry.all.map(e => s"is_${e.key}_session")

@@ -49,7 +49,7 @@ object TickIngest {
       .binaryFiles(path)
       .flatMap { case (_, stream) =>
         val zis = new ZipInputStream(stream.open())
-        Iterator
+        val entryLines = Iterator
           .continually(zis.getNextEntry)
           .takeWhile(_ != null)
           .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
@@ -58,6 +58,21 @@ object TickIngest {
               new InputStreamReader(zis, StandardCharsets.UTF_8))
             Iterator.continually(r.readLine()).takeWhile(_ != null)
           }
+        // close the archive when the iterator exhausts — relying on GC
+        // leaks one descriptor per archive per task ("too many open
+        // files" on long-lived executors); also guard against tasks that
+        // stop early (e.g. the CSV header probe's take(1))
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try zis.close() catch { case _: java.io.IOException => () }))
+        new Iterator[String] {
+          def hasNext: Boolean = {
+            val h = entryLines.hasNext
+            if (!h) try zis.close() catch { case _: java.io.IOException => () }
+            h
+          }
+          def next(): String = entryLines.next()
+        }
       }
       .toDS()
     val parsed = spark.read
@@ -89,6 +104,10 @@ object TickIngest {
       variant: String
   ): Long = {
     val spark = ticks.sparkSession
+    // dynamic overwrite scoped to THIS write: leaking it into the shared
+    // session would silently change later overwrite-mode partitioned
+    // writes from truncate-table to touched-partitions-only semantics
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val keyed = ticks
       .withColumn("instrument", lit(instrument.toUpperCase))
@@ -107,11 +126,14 @@ object TickIngest {
       .select("instrument", "timestamp", "bid", "ask", "yyyymm")
       .repartition(col("instrument"), col("yyyymm"))
       .sortWithinPartitions("instrument", "yyyymm", "timestamp")
-    out.write
+    try out.write
       .mode("overwrite")
       .option("compression", "zstd") // ≙ reference codec choice (ZSTD cols)
       .partitionBy("instrument", "yyyymm")
       .parquet(s"$warehouse/${variant}_ticks")
+    finally prevMode.fold(
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     spark.read.parquet(s"$warehouse/${variant}_ticks")
       .filter(col("instrument") === instrument.toUpperCase)
       .count()

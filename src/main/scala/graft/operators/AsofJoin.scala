@@ -54,7 +54,10 @@ object AsofJoin {
     val payloadCols = (rightTime +: rightPayload.filterNot(_ == rightTime))
     val payloadStruct = struct(payloadCols.map(col): _*)
 
-    val r = right.select(
+    // a NULL right time can never satisfy leftTime >= rightTime, but the
+    // window's default nulls-first ordering would sort such a row before
+    // everything and let its payload fill early left rows — drop them
+    val r = right.filter(col(rightTime).isNotNull).select(
       (on.map(col) :+ col(rightTime).cast("timestamp").as("__t")) :+
         payloadStruct.as("__p"): _*
     ).withColumn("__src", lit(0))

@@ -54,14 +54,18 @@ object BloomJoin {
       rightKey: String,
       expectedItems: Long = 1000000L,
       numBits: Long = 8388608L
-  ): DataFrame =
+  ): DataFrame = {
+    // qualify both sides of the condition: with leftKey == rightKey (the
+    // natural call) an unqualified col(name) is ambiguous, and on shared
+    // lineage it can resolve both sides to the SAME attribute — a
+    // trivially-true condition that would void the exact semi join
+    val r = right.select(col(rightKey).as("__bloom_rk")).distinct()
+    def semi(l: DataFrame) = l.join(r, col(leftKey) === col("__bloom_rk"), "left_semi")
     keyBloom(right, rightKey, expectedItems, numBits) match {
-      case Some(bf) =>
-        left
-          .filter(mightContain(bf, col(leftKey)))
-          .join(right, col(leftKey) === col(rightKey), "left_semi")
+      case Some(bf) => semi(left.filter(mightContain(bf, col(leftKey))))
       case None =>
         // empty build side: semi join is empty; keep the plan shape
-        left.join(right, col(leftKey) === col(rightKey), "left_semi")
+        semi(left)
     }
+  }
 }

@@ -30,11 +30,23 @@ object Sampling {
     pmod(pmod(key.cast("long"), lit(1000000007L)) * lit(2654435761L),
       lit(1000000007L))
 
+  /** The hash needs an integral key: a non-numeric column would cast to
+    * NULL and silently EMPTY every sample / mislabel every split. The
+    * DataFrame entry points validate loudly instead; hash string keys
+    * first (e.g. `xxhash64(col)`) and sample on that.
+    */
+  private def requireNumericKey(df: DataFrame, key: String, op: String): Unit = {
+    val dt = df.schema(key).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op key '$key' must be numeric, got $dt — hash non-numeric keys first (xxhash64)")
+  }
+
   /** Keep rows whose hash lands in `[0, num)` of `denom` residue classes —
     * a deterministic `num/denom` sample.
     */
   def hashSample(df: DataFrame, key: String, num: Int, denom: Int): DataFrame = {
     require(num >= 1 && denom > num, "need 1 <= num < denom")
+    requireNumericKey(df, key, "hashSample")
     df.filter(pmod(detHash(col(key)), lit(denom.toLong)) < num)
   }
 
@@ -67,6 +79,7 @@ object Sampling {
       ratesPm: Map[String, Int],
       defaultPm: Int = 0
   ): DataFrame = {
+    requireNumericKey(df, key, "mixtureSample")
     val rate = ratesPm.toSeq.sortBy(_._1).foldLeft(lit(defaultPm): Column) {
       case (acc, (s, pm)) => when(col(stratum) === s, lit(pm)).otherwise(acc)
     }
@@ -104,6 +117,7 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, key: String, weightCol: String, cap: Long): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
+    requireNumericKey(df, key, "weightedSample")
     df.filter(pmod(detHash(col(key)), lit(cap)) <
       least(greatest(col(weightCol).cast("long"), lit(0L)), lit(cap)))
   }
@@ -114,6 +128,7 @@ object Sampling {
     * broadcasts.
     */
   def stratifiedEqualize(df: DataFrame, stratum: String, key: String): DataFrame = {
+    requireNumericKey(df, key, "stratifiedEqualize")
     val w = Window.partitionBy(stratum).orderBy(detHash(col(key)), col(key))
     val ranked = df.withColumn("__rk", row_number().over(w))
     val minN = ranked.groupBy(stratum).agg(count(lit(1)).as("__n"))

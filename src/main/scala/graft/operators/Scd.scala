@@ -53,8 +53,12 @@ object Scd {
       .filter(!(col("__prev") <=> tup))
       .withColumnRenamed(ts, "valid_from")
     // second window: same partition keys, compatible ordering prefix →
-    // reuses the first window's Exchange (one shuffle for the whole build)
-    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("valid_from"))
+    // reuses the first window's Exchange (one shuffle for the whole build).
+    // The tiebreak MUST ride along: two opens sharing valid_from would
+    // otherwise chain in partition-dependent order (nondeterministic SCD2
+    // history for same-timestamp changes)
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col("valid_from") +: tiebreak.map(col)): _*)
     opens
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)

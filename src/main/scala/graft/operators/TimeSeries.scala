@@ -39,7 +39,10 @@ object TimeSeries {
       alpha: Double
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    val outSchema = df.schema.add("ewma", DoubleType, nullable = false)
+    // nullable output: a NULL input value yields a NULL ewma for that row
+    // and is skipped by the recursion (it neither seeds nor decays the
+    // state) — a single NULL must not NPE a full-table pass
+    val outSchema = df.schema.add("ewma", DoubleType, nullable = true)
     val enc = Encoders.row(outSchema)
     val keyIdx = df.schema.fieldIndex(key)
     val valIdx = df.schema.fieldIndex(value)
@@ -51,10 +54,15 @@ object TimeSeries {
         var open = false
         it.map { r =>
           val k = r.get(keyIdx)
-          val x = r.getAs[Number](valIdx).doubleValue()
-          if (!open || k != curKey) { state = x; curKey = k; open = true }
-          else state = alpha * x + (1.0 - alpha) * state
-          Row.fromSeq(r.toSeq :+ state)
+          if (k != curKey) { curKey = k; open = false }
+          val n = r.getAs[Number](valIdx)
+          if (n == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val x = n.doubleValue()
+            if (!open) { state = x; open = true }
+            else state = alpha * x + (1.0 - alpha) * state
+            Row.fromSeq(r.toSeq :+ state)
+          }
         }
       }(enc)
   }
@@ -69,7 +77,7 @@ object TimeSeries {
       tiebreak: String,
       value: String
   ): DataFrame = {
-    val outSchema = df.schema.add("cumprod", DoubleType, nullable = false)
+    val outSchema = df.schema.add("cumprod", DoubleType, nullable = true)
     val enc = Encoders.row(outSchema)
     val keyIdx = df.schema.fieldIndex(key)
     val valIdx = df.schema.fieldIndex(value)
@@ -81,10 +89,15 @@ object TimeSeries {
         var open = false
         it.map { r =>
           val k = r.get(keyIdx)
-          val x = r.getAs[Number](valIdx).doubleValue()
-          if (!open || k != curKey) { state = x; curKey = k; open = true }
-          else state = state * x
-          Row.fromSeq(r.toSeq :+ state)
+          if (k != curKey) { curKey = k; open = false }
+          val n = r.getAs[Number](valIdx)
+          if (n == null) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val x = n.doubleValue()
+            if (!open) { state = x; open = true }
+            else state = state * x
+            Row.fromSeq(r.toSeq :+ state)
+          }
         }
       }(enc)
   }

@@ -41,9 +41,22 @@ object TopKPerGroup {
     val ordIdx = schema.fieldIndex(ord)
     val tieIdx = schema.fieldIndex(tiebreak)
     // (ord DESC, tiebreak ASC) priority: the heap keeps the k BEST rows,
-    // so its ordering puts the worst survivor at the head for eviction
-    val worstFirst: Ordering[Row] = Ordering.by { r: Row =>
-      (r.getAs[Number](ordIdx).doubleValue(), -r.getAs[Number](tieIdx).doubleValue())
+    // so its ordering puts the worst survivor at the head for eviction.
+    // Comparison is EXACT per type (same-class Comparable), never via a
+    // double round-trip — doubleValue() collapses distinct longs above
+    // 2^53, which could evict the true top-k row before the exact final
+    // window ever sees it (and ClassCastExceptions on timestamp ords).
+    def cmpVal(a: Any, b: Any): Int = (a, b) match {
+      case (x: Comparable[_], y) if x.getClass == y.getClass =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      case (x: Number, y: Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case _ => throw new IllegalArgumentException(
+        s"non-comparable ord/tiebreak values: $a / $b")
+    }
+    val worstFirst: Ordering[Row] = (r1: Row, r2: Row) => {
+      val c = cmpVal(r1.get(ordIdx), r2.get(ordIdx)) // asc: smallest ord = worst
+      if (c != 0) c else -cmpVal(r1.get(tieIdx), r2.get(tieIdx)) // larger tiebreak = worse
     }
     val enc = Encoders.row(schema)
     val pruned = df.mapPartitions { rows =>
