@@ -993,15 +993,24 @@ object SparkEntry {
       val approx = e.groupBy("event_type").agg(
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
+      // two-sided rank check: GK guarantees the estimate's RANK is within
+      // eps*n of the target, but with heavy ties the inclusive count of a
+      // tied value can exceed any one-sided slack. The target rank need
+      // only fall in [count(value < est) - slack, count(value <= est) +
+      // slack] — tie-robust and still fails on a genuinely wrong sketch.
       e.join(broadcast(approx), "event_type")
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
-          sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+          sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lo50"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("hi50"),
+          sum(when(col("value") < col("p90"), 1L).otherwise(0L)).as("lo90"),
+          sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("hi90"))
         .select(col("event_type"), col("n"),
-          (abs(col("r50") - lit(0.5) * col("n")) <= col("n") / lit(1000.0) + 1).as("p50_ok"),
-          (abs(col("r90") - lit(0.9) * col("n")) <= col("n") / lit(1000.0) + 1).as("p90_ok"))
+          (lit(0.5) * col("n") >= col("lo50") - col("n") / lit(1000.0) - 1 &&
+            lit(0.5) * col("n") <= col("hi50") + col("n") / lit(1000.0) + 1).as("p50_ok"),
+          (lit(0.9) * col("n") >= col("lo90") - col("n") / lit(1000.0) - 1 &&
+            lit(0.9) * col("n") <= col("hi90") + col("n") / lit(1000.0) + 1).as("p90_ok"))
         .orderBy("event_type")
     }),
 

@@ -238,8 +238,12 @@ final class Processor(spark: SparkSession, warehouse: String) {
     */
   def availableDates(pair: String): (Option[String], Option[String]) = {
     val c = getCoverage(pair)
-    (c.earliest.map(_.toLocalDateTime.toLocalDate.toString),
-      c.latest.map(_.toLocalDateTime.toLocalDate.toString))
+    // UTC-pin the date extraction: Timestamp.toLocalDateTime renders in the
+    // JVM default zone, which can shift the date ±1 day on non-UTC JVMs even
+    // though every Spark-side date in the engine is session-zone (UTC).
+    def utcDate(ts: java.sql.Timestamp): String =
+      ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    (c.earliest.map(utcDate), c.latest.map(utcDate))
   }
 
   /** Non-throwing range validation (`validate_date_range`,

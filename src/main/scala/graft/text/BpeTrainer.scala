@@ -140,10 +140,14 @@ object BpeTrainer {
     // the fast-path gate is BYTE-aware, not just row-aware: 2M rows of
     // long words would be gigabytes on the driver, so the collect also
     // requires the total character volume to stay driver-sized
+    // sum() over zero rows is NULL — an empty corpus must return an empty
+    // merge table, not NPE inside getLong
     val totalChars =
-      if (nWords <= localWordLimit)
-        words.agg(sum(length(col("w")))).head().getLong(0)
-      else Long.MaxValue
+      if (nWords == 0L) 0L
+      else if (nWords <= localWordLimit) {
+        val r = words.agg(sum(length(col("w")))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      } else Long.MaxValue
     if (nWords <= localWordLimit && totalChars <= 64000000L) {
       // hybrid fast path: the post-aggregation vocabulary fits — run the
       // merge loop in memory (identical semantics, zero jobs per round)

@@ -210,15 +210,18 @@ object CorpusOps {
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .withColumn("f",
         pmod(TextFunctions.polyHash(col("token"), lit(0L)), lit(m.toLong)))
-    val rawCnt = toks.groupBy("f").agg(count(lit(1)).as("raw_f"))
-    val tgtCnt = toks.filter(col("__tgt")).groupBy("f")
-      .agg(count(lit(1)).as("target_f"))
-    val totals = toks.agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_target"),
-      count(lit(1)).as("t_raw"))
-    val delta = rawCnt
-      .join(tgtCnt, Seq("f"), "left")
-      .na.fill(0L, Seq("target_f"))
+    // ONE tokenization pass yields both per-cell counts (raw + target as a
+    // conditional sum), and the corpus-wide totals are a sum over the
+    // resulting m-row frame — not two more corpus scans. The only other
+    // corpus pass is the final per-doc join below: 2 passes total, down
+    // from 4.
+    val byF = toks.groupBy("f").agg(
+      count(lit(1)).as("raw_f"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("target_f"))
+    val totals = byF.agg(
+      sum(col("target_f")).as("t_target"),
+      sum(col("raw_f")).as("t_raw"))
+    val delta = byF
       .crossJoin(broadcast(totals))
       .withColumn("__a",
         (col("target_f") + lit(1L)) * (col("t_raw") + lit(m.toLong)))

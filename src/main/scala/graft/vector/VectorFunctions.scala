@@ -80,7 +80,17 @@ object VectorFunctions {
     // false for NaN and the comparator would interleave by cell id
     val sorted = array_sort(sims, (l, r) => {
       val (ls, rs) = (l.getField("sim"), r.getField("sim"))
-      when(isnan(ls) && !isnan(rs), lit(-1))
+      // NULL sims (NULL embedding ⇒ NULL cosine) must sort AFTER every
+      // real sim, mirroring desc-nulls-last in the window form — without
+      // these arms every comparison on NULL is false and NULL-sim entries
+      // interleave by cell id, assigning cell 0 instead of ranking last
+      when(isnull(ls) && isnull(rs),
+          when(l.getField("cell") < r.getField("cell"), lit(-1))
+            .when(l.getField("cell") > r.getField("cell"), lit(1))
+            .otherwise(lit(0)))
+        .when(isnull(ls), lit(1))
+        .when(isnull(rs), lit(-1))
+        .when(isnan(ls) && !isnan(rs), lit(-1))
         .when(!isnan(ls) && isnan(rs), lit(1))
         .when(ls > rs, lit(-1))
         .when(ls < rs, lit(1))
