@@ -537,6 +537,19 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
         .limit(50)),
 
+    // text analysis: Unicode-aware tokenization (letter/digit runs via
+    // \p{L}\p{N} — the class syntax Java regex and RE2 share) next to the
+    // whitespace tokenizer, per doc — the opt-in `tokenMode = "unicode"`
+    // path threaded through bm25/DSIR/near-dup shingling
+    "q_unicode_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_ws"),
+          size(TF.tokensUnicode(col("text"))).cast("long").as("n_uni"),
+          array_join(slice(TF.tokensUnicode(col("text")), 1, 5), " ")
+            .as("head_uni"))
+        .orderBy("doc_id")),
+
     // document fingerprinting: rolling polynomial hash
     "q_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -3008,6 +3021,13 @@ object SparkEntry {
            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
                  FROM documents)
            GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+
+      "q_unicode_tokens" ->
+        """SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS BIGINT) AS n_uni,
+             array_to_string(list_slice(regexp_extract_all(lower(text), '[\p{L}\p{N}]+'), 1, 5), ' ') AS head_uni
+           FROM documents ORDER BY doc_id""",
 
       "q_doc_fingerprint" ->
         """SELECT doc_id,

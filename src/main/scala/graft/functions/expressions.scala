@@ -214,7 +214,7 @@ case class SimHashPoly(child: Expression, bits: Int)
   * row instead of per-element lambda trees. CodegenFallback: the cost is
   * the string work itself.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, unicode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "shingle size must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult =
@@ -225,7 +225,12 @@ case class WordShingles(child: Expression, n: Int)
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toLowerCase.trim.toString
-    val toks = s.split("\\s+")
+    // unicode mode tokenizes as maximal letter/digit runs (the
+    // [[graft.text.TextFunctions.tokensUnicode]] contract) instead of
+    // whitespace fields
+    val toks =
+      if (unicode) WordShingles.UnicodeToken.findAllIn(s).toArray
+      else s.split("\\s+")
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -251,6 +256,11 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  /** Precompiled once: per-row compile would dominate the kernel cost. */
+  private val UnicodeToken = "[\\p{L}\\p{N}]+".r
 }
 
 /** Z-order (Morton) clustering key of two integral columns (see
@@ -315,7 +325,8 @@ object exprs {
     co(AdcDistance(ex(codes), ex(lut), ksub))
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))
-  def wordShingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
+  def wordShingles(c: Column, n: Int, unicode: Boolean = false): Column =
+    co(WordShingles(ex(c), n, unicode))
   def simhashPoly(c: Column, bits: Int): Column = co(SimHashPoly(ex(c), bits))
   def zValue(x: Column, y: Column, bits: Int): Column =
     co(ZValue(ex(x), ex(y), bits))

@@ -63,10 +63,11 @@ object CorpusOps {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      terms: Seq[String]
+      terms: Seq[String],
+      tokenMode: String = "ws"
   ): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
+      explode(TextFunctions.tokenizerFor(tokenMode)(col(textCol))).as("token"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val qtoks = toks.filter(col("token").isin(terms: _*))
     val tf = qtoks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
@@ -204,10 +205,11 @@ object CorpusOps {
       idCol: String,
       textCol: String,
       targetCol: String,
-      m: Int = 1024
+      m: Int = 1024,
+      tokenMode: String = "ws"
   ): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), col(targetCol).as("__tgt"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
+        explode(TextFunctions.tokenizerFor(tokenMode)(col(textCol))).as("token"))
       .withColumn("f",
         pmod(TextFunctions.polyHash(col("token"), lit(0L)), lit(m.toLong)))
     // ONE tokenization pass yields both per-cell counts (raw + target as a

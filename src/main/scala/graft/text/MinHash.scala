@@ -119,15 +119,19 @@ object MinHash {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      tokenMode: String = "ws"
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(tokenMode == "ws" || tokenMode == "unicode",
+      s"unknown tokenMode '$tokenMode'")
     val rows = k / bands
     // consumed by three plan branches (banding + two verify joins):
     // persist so tokenize/shingle runs once, not three times
     val sh = docs.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("sh")
+      wordShingles(col(textCol), shingleN, unicode = tokenMode == "unicode")
+        .as("sh")
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate generation on narrow (band, hash, id) rows only — the
     // shingle arrays are re-attached after pair dedup so they never ride
@@ -176,7 +180,8 @@ object MinHash {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBroadcastBytes: Long = -1L
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
@@ -189,16 +194,43 @@ object MinHash {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shR = shingled(right)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // benchmark-side banded rows ride broadcast; candidate rows are
-    // narrow (band, bh, id) pairs, shingles re-attach post-dedup
+    // Broadcast gate: the benchmark side is normally eval-set-sized, but
+    // nothing stops a caller passing a corpus-sized "benchmark". Estimate
+    // its shingle byte volume (the largest artifact shipped to executors —
+    // the banded rows are strictly smaller) against the session's
+    // autoBroadcastJoinThreshold (or the explicit maxBroadcastBytes
+    // override) and fall back to shuffled bucket joins when it exceeds it.
+    // The estimate forces shR's persist, which the joins below reuse.
+    val thr =
+      if (maxBroadcastBytes >= 0L) maxBroadcastBytes
+      else {
+        val raw = left.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        // value may be a plain byte count ("-1", "10485760") or a size
+        // string ("10MB")
+        try raw.trim.toLong
+        catch { case _: NumberFormatException =>
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
+      }
+    val rightBytes = {
+      val r = shR.agg(sum(expr(
+        "aggregate(sh, 0L, (acc, x) -> acc + length(x) + 16L)"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val bcastRight = thr > 0L && rightBytes <= thr
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (bcastRight) broadcast(df) else df
+    // benchmark-side banded rows ride broadcast (when small enough);
+    // candidate rows are narrow (band, bh, id) pairs, shingles re-attach
+    // post-dedup
     val cand = banded(shL)
-      .join(broadcast(banded(shR).select(
+      .join(maybeBroadcast(banded(shR).select(
         col("band"), col("bh"), col("id").as("right_id"))), Seq("band", "bh"))
       .select(col("id").as("left_id"), col("right_id"))
       .dropDuplicates("left_id", "right_id")
     val out = cand
       .join(shL.select(col("id").as("left_id"), col("sh").as("sh_a")), Seq("left_id"))
-      .join(broadcast(shR.select(col("id").as("right_id"), col("sh").as("sh_b"))),
+      .join(maybeBroadcast(shR.select(col("id").as("right_id"), col("sh").as("sh_b"))),
         Seq("right_id"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -224,12 +256,19 @@ object MinHash {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBroadcastBytes: Long = -1L
   ): DataFrame = {
     val hits = crossNearDupPairs(corpus, benchmark, idCol, textCol,
-      shingleN, k, bands, threshold)
+      shingleN, k, bands, threshold, maxBroadcastBytes)
       .select(col("left_id").as(idCol)).distinct()
-    corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+    // The hit list is ids-only but its cardinality scales with the
+    // CORPUS-side contamination count, not the benchmark: with a huge
+    // contaminated fraction a forced broadcast could OOM the driver.
+    // The pair frame is already lineage-cut and materialized, so this
+    // count is a cheap scan of the checkpointed hits, not a recompute.
+    val bcastHits = hits.count() <= 5000000L
+    corpus.join(if (bcastHits) broadcast(hits) else hits, Seq(idCol), "left_anti")
   }
 
   /** Near-duplicate CLUSTERS without pair enumeration.

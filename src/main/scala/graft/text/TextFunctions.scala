@@ -33,6 +33,26 @@ object TextFunctions {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Lower-cased Unicode word tokens: maximal letter/digit runs
+    * (`[\p{L}\p{N}]+`), so punctuation-glued words ("end.", "foo,bar") and
+    * non-Latin scripts tokenize sanely. The class syntax is shared by Java
+    * regex (Spark) and RE2 (DuckDB `regexp_extract_all`), keeping the op
+    * oracle-comparable. Opt-in via `tokenMode = "unicode"` on the ops that
+    * thread a tokenizer; the whitespace [[tokens]] stays the default.
+    */
+  def tokensUnicode(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
+
+  /** Tokenizer selector threaded through token-parameterized ops:
+    * "ws" (default, [[tokens]]) or "unicode" ([[tokensUnicode]]).
+    */
+  def tokenizerFor(mode: String): Column => Column = mode match {
+    case "ws" => tokens
+    case "unicode" => tokensUnicode
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenMode '$other' (expected 'ws' or 'unicode')")
+  }
+
   /** Case-preserving whitespace tokens. */
   def rawTokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -43,8 +63,8 @@ object TextFunctions {
     * identical to `array_distinct(transform(sequence(...), i ->
     * concat_ws(' ', slice(tokens, i, n))))` over [[tokens]].
     */
-  def wordShingles(text: Column, n: Int): Column =
-    graft.functions.exprs.wordShingles(text, n)
+  def wordShingles(text: Column, n: Int, unicode: Boolean = false): Column =
+    graft.functions.exprs.wordShingles(text, n, unicode)
 
   /** Code points of a string, '(?s).' so newlines are kept. Assumes BMP text
     * (Spark `ascii` returns the UTF-16 unit, == code point within the BMP,

@@ -174,6 +174,51 @@ class TextVectorSpec extends SparkSpec {
       (1, "a", "a", 6L), (2, "a", "b", 6L), (3, "aa", "ab", 3L)))
   }
 
+  test("unicode tokenization: letter/digit runs; shingle kernel matches composed form") {
+    val docs = Seq(
+      (1L, "End.of sentence,here FOO-bar baz42 über straße"),
+      (2L, ""),
+      (3L, "plain ascii words only"))
+      .toDF("doc_id", "text")
+    val uni = docs.select(col("doc_id"), TF.tokensUnicode(col("text")).as("t"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+    assert(uni(0) === Seq("end", "of", "sentence", "here", "foo", "bar",
+      "baz42", "über", "straße"))
+    assert(uni(1) === Seq.empty)
+    assert(uni(2) === Seq("plain", "ascii", "words", "only"))
+    // kernel parity: unicode wordShingles == distinct n-grams over
+    // tokensUnicode composed with built-ins
+    val n = 2
+    val composed = docs.select(col("doc_id"), TF.tokensUnicode(col("text")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) < n, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("t")) - lit(n - 1), lit(1))),
+            i => array_join(slice(col("t"), i, lit(n)), " ")))).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+    val kernel = docs.select(col("doc_id"),
+        TF.wordShingles(col("text"), n, unicode = true).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+    assert(kernel.toSeq === composed.toSeq)
+    // threading: unicode near-dup pairs catch punctuation-obscured dups
+    // that whitespace shingles miss
+    val pair = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog by the river"),
+      (11L, "the quick, brown fox jumps over the lazy dog, by the river."))
+      .toDF("doc_id", "text")
+    // whitespace shingles: 3 punctuation-glued tokens differ → 6 of 10
+    // shingles differ → jaccard 0.25, no pair at 0.8
+    val wsPairs = MinHash.nearDupPairs(pair, "doc_id", "text", threshold = 0.8)
+      .collect()
+    assert(wsPairs.isEmpty)
+    // unicode shingles: tokens identical after stripping punctuation →
+    // jaccard 1.0
+    val uniPairs = MinHash.nearDupPairs(pair, "doc_id", "text", threshold = 0.8,
+        tokenMode = "unicode")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uniPairs.toSet === Set((10L, 11L)))
+  }
+
   test("cross-corpus decontamination: near-dup training docs removed, clean docs kept") {
     import graft.text.MinHash
     val bench = Seq(
@@ -191,6 +236,16 @@ class TextVectorSpec extends SparkSpec {
     assert(hits.select("left_id").collect().map(_.getLong(0)).toSet === Set(1L))
     val clean = MinHash.decontaminate(corpus, bench, "doc_id", "text", threshold = 0.5)
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+
+    // forced-"large" benchmark: maxBroadcastBytes = 0 disqualifies the
+    // benchmark side from the broadcast hint, so the candidate and verify
+    // joins take the shuffled bucket path — same hits, same survivors
+    val hitsShuffled = MinHash.crossNearDupPairs(
+      corpus, bench, "doc_id", "text", threshold = 0.5, maxBroadcastBytes = 0L)
+    assert(hitsShuffled.select("left_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    val cleanShuffled = MinHash.decontaminate(
+      corpus, bench, "doc_id", "text", threshold = 0.5, maxBroadcastBytes = 0L)
+    assert(cleanShuffled.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
   test("BPE hybrid: local merge loop equals the distributed loop; 64 merges run in seconds") {
