@@ -122,15 +122,14 @@ object ScaleProbe {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5).count()
     }
+    // the REAL decontamination operator (LSH banding + verify + anti-join,
+    // including the r9 broadcast size gate): every 100th doc plays the
+    // benchmark, the rest the corpus — operator cost, not contamination
+    // volume, is what scales (the synthetic corpus is near-dup-free)
     def contam(df: DataFrame) = {
-      val d = df.select(col("doc_id"),
-        graft.text.TextFunctions.wordShingles(col("text"), 3).as("sh"))
-      val evalSh = d.filter(col("doc_id") % 100 === 0)
-        .select(explode(col("sh")).as("g")).distinct()
-      d.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
-        .join(broadcast(evalSh), Seq("g"), "left_semi")
-        .groupBy("doc_id", "n").agg(count(lit(1))).count()
+      val bench = df.filter(col("doc_id") % 100 === 0)
+      val corp = df.filter(col("doc_id") % 100 =!= 0)
+      graft.text.MinHash.decontaminate(corp, bench, "doc_id", "text").count()
     }
 
     def substr(df: DataFrame) = graft.text.MinHash

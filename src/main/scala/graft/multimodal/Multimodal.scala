@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * Image decode/resize are REAL (`javax.imageio` is part of the JDK —
   * [[decodeImages]]/[[resizeImages]] handle PNG/BMP/GIF/JPEG), and so are
   * WAV PCM audio decode ([[decodeWavPcm]] — RIFF is plain byte-level
-  * parsing) and MP4 container probing ([[probeMp4]] — the ISO-BMFF box
-  * tree needs no codec). Only COMPRESSED audio (mp3/aac) and video FRAME
-  * decode remain STUBS — deterministic fakes over the raw bytes, clearly
-  * marked below — because those genuinely need codec libraries this
-  * container doesn't ship.
+  * parsing), MP4 container probing ([[probeMp4]] — the ISO-BMFF box
+  * tree needs no codec), and MP3/AAC structure probing
+  * ([[probeCompressedAudio]] — frame-header walks yield sample rate,
+  * channels, bitrate, frame/sample counts and duration codec-free). Only
+  * compressed-audio SAMPLE extraction and video FRAME decode remain
+  * STUBS — deterministic fakes over the raw bytes, clearly marked below —
+  * because those genuinely need codec libraries this container doesn't
+  * ship.
   * Everything around them is the real Spark shape a production decoder
   * plugs into: explicit schema, `Dataset.mapPartitions` (one JVM decoder
   * instance per partition, amortized init — the same batch shape a Pandas
@@ -198,9 +201,11 @@ object Multimodal {
     * `fmt ` (PCM format 1, channels, sample rate, bit depth), then stream
     * the `data` chunk computing RMS amplitude and zero-crossing count over
     * the first channel (8-bit unsigned and 16-bit signed little-endian
-    * supported). Partition-local, no shuffle; non-WAV / compressed
-    * payloads yield None and stay with [[stubFeatures]] (mp3/aac need
-    * codecs this container doesn't ship).
+    * supported). Partition-local, no shuffle; non-WAV payloads yield None
+    * — compressed mp3/aac payloads get structure via
+    * [[probeCompressedAudio]], and only their decoded samples stay with
+    * [[stubFeatures]] (sample extraction needs codecs this container
+    * doesn't ship).
     */
   private[multimodal] def parseWavPcm(mediaId: Long, data: Array[Byte]): Option[AudioInfo] = {
     if (data == null || data.length < 44) return None
@@ -256,6 +261,142 @@ object Multimodal {
   def decodeWavPcm(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.flatMap(r => parseWavPcm(r.media_id, r.data)))
+  }
+
+  /** Probed compressed-audio record (MP3 / AAC-ADTS frame-header walk). */
+  final case class CompressedAudioInfo(
+      media_id: Long,
+      codec: String, // "mp3" | "aac"
+      sample_rate: Int,
+      channels: Int,
+      bitrate_kbps: Int, // frame-weighted average (CBR ⇒ the nominal rate)
+      n_frames: Int,
+      n_samples: Long,
+      duration_ms: Long)
+
+  // MPEG audio bitrate tables, kbps, by (version group, layer):
+  // group 1 = MPEG1, group 2 = MPEG2/2.5; index 0 = "free" (unsupported
+  // here: frame length is then undeclared), 15 = invalid
+  private val Mp3Bitrates: Map[(Int, Int), Array[Int]] = Map(
+    (1, 1) -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3) -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
+  // ADTS sampling-frequency-index table (ISO 14496-3)
+  private val AdtsRates: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350)
+
+  /** REAL compressed-audio structure probe — MP3 (MPEG 1/2/2.5 layer
+    * I–III) and AAC (ADTS) framing is plain byte-level parsing, no codec
+    * needed: skip any leading ID3v2 tag, then walk frame headers (sync
+    * word, version/layer + bitrate/sample-rate table lookups for MP3;
+    * 13-bit frame length + raw-data-block count for ADTS), accumulating
+    * frame count, sample count, duration and the frame-weighted average
+    * bitrate. Dispatch is by the sync pattern itself: ADTS is
+    * `FFF` + layer bits 00, MP3 is `FFE`+ nonzero layer bits. The walk
+    * stops at the first non-frame byte (trailing tags/garbage), and
+    * returns None if no leading valid frame exists. Only decoded-sample
+    * extraction (PCM from the compressed payload) remains out of scope —
+    * that genuinely needs a codec library.
+    */
+  private[multimodal] def parseCompressedAudio(
+      mediaId: Long, data: Array[Byte]): Option[CompressedAudioInfo] = {
+    if (data == null || data.length < 7) return None
+    def u8(i: Int): Int = data(i) & 0xff
+    var pos = 0
+    // ID3v2: "ID3" + version(2) + flags + 4-byte syncsafe size of the tag
+    // body (header itself is 10 more)
+    if (data.length >= 10 && data(0) == 'I' && data(1) == 'D' && data(2) == '3') {
+      val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      pos = 10 + size
+      if (pos >= data.length) return None
+    }
+    var codec: String = null
+    var rate = 0
+    var channels = 0
+    var nFrames = 0
+    var nSamples = 0L
+    var frameBytes = 0L
+    var ok = true
+    while (ok && pos + 7 <= data.length) {
+      if (u8(pos) != 0xff || (u8(pos + 1) & 0xe0) != 0xe0) ok = false
+      else {
+        val layerBits = (u8(pos + 1) >> 1) & 3
+        if ((u8(pos + 1) & 0xf0) == 0xf0 && layerBits == 0) {
+          // ---- AAC ADTS frame ----
+          val freqIdx = (u8(pos + 2) >> 2) & 0xf
+          val chanCfg = ((u8(pos + 2) & 1) << 2) | ((u8(pos + 3) >> 6) & 3)
+          val frameLen = ((u8(pos + 3) & 3) << 11) | (u8(pos + 4) << 3) |
+            ((u8(pos + 5) >> 5) & 7)
+          val blocks = (u8(pos + 6) & 3) + 1
+          if (freqIdx >= AdtsRates.length || frameLen < 7 ||
+              pos + frameLen > data.length ||
+              (codec != null && codec != "aac") ||
+              (rate != 0 && rate != AdtsRates(freqIdx))) ok = false
+          else {
+            codec = "aac"; rate = AdtsRates(freqIdx)
+            channels = math.max(channels, chanCfg)
+            nFrames += 1; nSamples += blocks.toLong * 1024L
+            frameBytes += frameLen
+            pos += frameLen
+          }
+        } else {
+          // ---- MPEG 1/2/2.5 layer I-III frame ----
+          val vBits = (u8(pos + 1) >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+          val layer = 4 - layerBits // bits 3/2/1 → layer I/II/III
+          val brIdx = (u8(pos + 2) >> 4) & 0xf
+          val srIdx = (u8(pos + 2) >> 2) & 3
+          val padding = (u8(pos + 2) >> 1) & 1
+          val mono = ((u8(pos + 3) >> 6) & 3) == 3
+          val group = if (vBits == 3) 1 else 2
+          if (vBits == 1 || layerBits == 0 || srIdx == 3 ||
+              brIdx == 0 || brIdx == 15 ||
+              (codec != null && codec != "mp3")) ok = false
+          else {
+            val sr = (vBits match {
+              case 3 => Array(44100, 48000, 32000)
+              case 2 => Array(22050, 24000, 16000)
+              case _ => Array(11025, 12000, 8000)
+            })(srIdx)
+            val bitrateBps = Mp3Bitrates((group, layer))(brIdx) * 1000
+            val samplesPerFrame =
+              if (layer == 1) 384
+              else if (layer == 2) 1152
+              else if (group == 1) 1152 else 576
+            val frameLen =
+              if (layer == 1) (12 * bitrateBps / sr + padding) * 4
+              else samplesPerFrame / 8 * bitrateBps / sr + padding
+            if (frameLen < 4 || pos + frameLen > data.length ||
+                (rate != 0 && rate != sr)) ok = false
+            else {
+              codec = "mp3"; rate = sr
+              channels = math.max(channels, if (mono) 1 else 2)
+              nFrames += 1; nSamples += samplesPerFrame
+              frameBytes += frameLen
+              pos += frameLen
+            }
+          }
+        }
+      }
+    }
+    if (codec == null || nFrames == 0 || rate == 0) None
+    else {
+      val durMs = nSamples * 1000L / rate
+      val kbps = math.round(frameBytes * 8.0 * rate / (nSamples * 1000.0)).toInt
+      Some(CompressedAudioInfo(mediaId, codec, rate, channels, kbps,
+        nFrames, nSamples, durMs))
+    }
+  }
+
+  def probeCompressedAudio(
+      media: Dataset[MediaRow]): Dataset[CompressedAudioInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows =>
+      rows.flatMap(r => parseCompressedAudio(r.media_id, r.data)))
   }
 
   /** Probed video-container record (ISO BMFF / MP4 box structure). */

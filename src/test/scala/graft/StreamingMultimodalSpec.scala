@@ -122,6 +122,56 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(a.zero_crossings == 399, s"got ${a.zero_crossings}")
   }
 
+  test("multimodal: MP3/ADTS frame-header probe (rates, frames, duration, kbps)") {
+    import spark.implicits._
+    // hand-built MPEG1 Layer III CBR stream: 44100 Hz, 128 kbps, stereo,
+    // no padding → frame length 144*128000/44100 = 417 bytes, 3 frames
+    def mp3Frame(): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte // sync | MPEG1 | L3 | no CRC
+      f(2) = 0x90.toByte // bitrate idx 9 (128k), 44100, no padding
+      f(3) = 0x00 // stereo
+      f
+    }
+    val mp3 = mp3Frame() ++ mp3Frame() ++ mp3Frame()
+    // same stream behind an ID3v2 tag (10-byte header + 10-byte body)
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10) ++ mp3
+    // hand-built AAC ADTS: 48000 Hz (idx 3), AAC-LC, 2 channels, frame
+    // length 200, 1 raw block (1024 samples), 2 frames
+    def adtsFrame(): Array[Byte] = {
+      val f = new Array[Byte](200)
+      f(0) = 0xff.toByte; f(1) = 0xf1.toByte // sync | MPEG-4 | layer 00
+      f(2) = 0x4c.toByte // LC profile, freq idx 3, chanCfg high bit 0
+      f(3) = 0x80.toByte // chanCfg low bits 10, frameLen top bits 00
+      f(4) = 0x19.toByte // frameLen mid byte (200 >> 3)
+      f(5) = 0x00; f(6) = 0x00 // frameLen low 3 = 0; 1 raw block
+      f
+    }
+    val aac = adtsFrame() ++ adtsFrame()
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", "mp3", None, None, None, mp3),
+      Multimodal.MediaRow(2L, "audio", "mp3", None, None, None, id3),
+      Multimodal.MediaRow(3L, "audio", "aac", None, None, None, aac),
+      Multimodal.MediaRow(4L, "audio", "bin", None, None, None,
+        Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDS()
+    val probed = Multimodal.probeCompressedAudio(media).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(probed.keySet === Set(1L, 2L, 3L)) // garbage payload dropped
+    for (id <- Seq(1L, 2L)) {
+      val p = probed(id)
+      assert(p.codec == "mp3" && p.sample_rate == 44100 && p.channels == 2)
+      assert(p.n_frames == 3 && p.n_samples == 3456)
+      assert(p.duration_ms == 78) // 3456 / 44100 s
+      assert(p.bitrate_kbps == 128)
+    }
+    val a = probed(3L)
+    assert(a.codec == "aac" && a.sample_rate == 48000 && a.channels == 2)
+    assert(a.n_frames == 2 && a.n_samples == 2048)
+    assert(a.duration_ms == 42) // 2048 / 48000 s
+    assert(a.bitrate_kbps == 75) // 400 bytes over 2048 samples at 48 kHz
+  }
+
   test("multimodal: real MP4 box probe (ftyp brand, mvhd duration, trak count)") {
     import spark.implicits._
     // synthesize a minimal ISO-BMFF tree: ftyp(isom) + moov{mvhd v0, trak, trak}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[Validate.compareStores]] against fixture store pairs: identical
+  * stores pass; each reference failure class (row-count drift beyond
+  * 0.1%, price mismatch beyond 1e-10, min/max key drift, empty side)
+  * trips its own error.
+  */
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ticks(rows: Seq[(Long, Double, Double)]) =
+    rows.toDF("ts", "bid", "ask")
+
+  private val base = ticks((1L to 2000L).map(i =>
+    (i, 1.0 + i * 1e-4, 1.0005 + i * 1e-4)))
+
+  test("identical stores pass with full match accounting") {
+    val r = Validate.compareStores(base, base)
+    assert(r.passed, r.errors.mkString("; "))
+    assert(r.leftRows == 2000 && r.rightRows == 2000)
+    assert(r.matchingRows == 2000 && r.onlyLeft == 0 && r.onlyRight == 0)
+    assert(r.leftMinKey == r.rightMinKey && r.leftMaxKey == r.rightMaxKey)
+    assert(r.columns.map(_.column).toSet == Set("bid", "ask"))
+    assert(r.columns.forall(_.mismatches == 0))
+  }
+
+  test("sub-tolerance price noise still passes; beyond-tolerance fails with samples") {
+    val noisy = base.withColumn("bid", col("bid") + lit(1e-12))
+    assert(Validate.compareStores(base, noisy).passed)
+    // 3 rows pushed past 1e-10 on bid only
+    val bad = base.withColumn("bid",
+      when(col("ts") <= 3, col("bid") + lit(1e-6)).otherwise(col("bid")))
+    val r = Validate.compareStores(base, bad)
+    assert(!r.passed)
+    val bidRep = r.columns.find(_.column == "bid").get
+    assert(bidRep.mismatches == 3)
+    assert(bidRep.samples.map(_._1) == Seq("1", "2", "3")) // earliest keys
+    assert(r.columns.find(_.column == "ask").get.mismatches == 0)
+    assert(r.errors.exists(_.contains("bid")))
+  }
+
+  test("row-count drift: within 0.1% passes, beyond fails; key-range drift fails") {
+    // 1 row of 2000 = 0.05% -> within tolerance, but dropping an interior
+    // row must not shift min/max
+    val drop1 = base.filter(col("ts") =!= 1000L)
+    val r1 = Validate.compareStores(base, drop1)
+    assert(r1.passed, r1.errors.mkString("; "))
+    assert(r1.onlyLeft == 1 && r1.matchingRows == 1999)
+    // 5 rows = 0.25% -> row-count failure (interior rows: range unchanged)
+    val drop5 = base.filter(!col("ts").between(1000L, 1004L))
+    val r5 = Validate.compareStores(base, drop5)
+    assert(!r5.passed && r5.errors.exists(_.contains("row count")))
+    // dropping the last row trips BOTH accounting and the exact max-key rule
+    val dropMax = base.filter(col("ts") =!= 2000L)
+    val rMax = Validate.compareStores(base, dropMax)
+    assert(!rMax.passed && rMax.errors.exists(_.contains("max ts")))
+  }
+
+  test("empty sides and explicit column selection") {
+    val empty = ticks(Nil)
+    val rE = Validate.compareStores(base, empty)
+    assert(!rE.passed && rE.errors.exists(_.contains("right store")))
+    // explicit valueCols restricts the comparison: ask-only ignores bid drift
+    val badBid = base.withColumn("bid", col("bid") + 1.0)
+    val rAsk = Validate.compareStores(base, badBid, valueCols = Seq("ask"))
+    assert(rAsk.passed, rAsk.errors.mkString("; "))
+  }
+}
