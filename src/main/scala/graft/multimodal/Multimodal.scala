@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * Image decode/resize are REAL (`javax.imageio` is part of the JDK —
   * [[decodeImages]]/[[resizeImages]] handle PNG/BMP/GIF/JPEG), and so are
-  * WAV PCM audio decode ([[decodeWavPcm]] — RIFF is plain byte-level
-  * parsing), MP4 container probing ([[probeMp4]] — the ISO-BMFF box
-  * tree needs no codec), and MP3/AAC structure probing
-  * ([[probeCompressedAudio]] — frame-header walks yield sample rate,
-  * channels, bitrate, frame/sample counts and duration codec-free). Only
-  * compressed-audio SAMPLE extraction and video FRAME decode remain
+  * audio decode for the codec-free WAV codings ([[decodeWavPcm]] —
+  * linear PCM, G.711 µ-law/A-law, IMA ADPCM: all pure byte/table math),
+  * MP4 container probing ([[probeMp4]] — the ISO-BMFF box tree needs no
+  * codec), MP3/AAC structure probing ([[probeCompressedAudio]] —
+  * frame-header walks yield sample rate, channels, bitrate, frame/sample
+  * counts and duration codec-free), AVI frame demux for any codec
+  * ([[extractAviFrames]]), and MJPEG video pixel decode
+  * ([[decodeAviFrames]] — each MJPEG frame is a standalone JPEG). Only
+  * MP3/AAC SAMPLE synthesis and non-MJPEG video pixel decode remain
   * STUBS — deterministic fakes over the raw bytes, clearly marked below —
   * because those genuinely need codec libraries this container doesn't
   * ship.
@@ -196,16 +199,57 @@ object Multimodal {
       rms: Double,
       zero_crossings: Long)
 
-  /** REAL audio decode for RIFF/WAVE PCM payloads — WAV is a plain
-    * byte-level container (no codec needed): parse the chunk list, read
-    * `fmt ` (PCM format 1, channels, sample rate, bit depth), then stream
-    * the `data` chunk computing RMS amplitude and zero-crossing count over
-    * the first channel (8-bit unsigned and 16-bit signed little-endian
-    * supported). Partition-local, no shuffle; non-WAV payloads yield None
-    * — compressed mp3/aac payloads get structure via
-    * [[probeCompressedAudio]], and only their decoded samples stay with
-    * [[stubFeatures]] (sample extraction needs codecs this container
-    * doesn't ship).
+  /** G.711 µ-law byte → 16-bit linear PCM (the public ITU-T G.711
+    * expansion: invert, bias the mantissa, shift by the segment). Both
+    * tables are the standard 256-entry expansions every telephony stack
+    * ships; `javax.sound.sampled`'s own ULAW/ALAW converters agree
+    * bit-for-bit (asserted in the spec).
+    */
+  private[graft] val MuLawTable: Array[Short] = Array.tabulate(256) { b =>
+    val u = ~b & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law byte → 16-bit linear PCM (even-bit inversion, segment
+    * expansion).
+    */
+  private[graft] val ALawTable: Array[Short] = Array.tabulate(256) { b =>
+    val a = b ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  // IMA/DVI ADPCM quantizer step table (89 steps) and index-advance table —
+  // the public IMA ADPCM reference algorithm (pure integer math, no codec)
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdvance: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL audio decode for RIFF/WAVE payloads — WAV is a plain byte-level
+    * container and these four codings are pure byte/table math, so decode
+    * needs no codec library:
+    *   - format 1: linear PCM, 8-bit unsigned / 16-bit signed LE
+    *   - format 6: G.711 A-law (8-bit companded, table expansion)
+    *   - format 7: G.711 µ-law (8-bit companded, table expansion)
+    *   - format 0x11: IMA/DVI ADPCM (4-bit, block predictor + step table)
+    * Parses the chunk list, reads `fmt ` (format, channels, rate, bit
+    * depth, block align), then streams the `data` chunk computing RMS
+    * amplitude and zero-crossing count over the first channel.
+    * Partition-local, no shuffle; unsupported codings yield None —
+    * compressed mp3/aac payloads get structure via
+    * [[probeCompressedAudio]], and only THEIR decoded samples stay out of
+    * scope (MP3/AAC synthesis genuinely needs codec libraries).
     */
   private[multimodal] def parseWavPcm(mediaId: Long, data: Array[Byte]): Option[AudioInfo] = {
     if (data == null || data.length < 44) return None
@@ -215,7 +259,8 @@ object Multimodal {
     def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var pos = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    // (format, channels, rate, blockAlign, bits)
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var out: Option[AudioInfo] = None
     while (pos + 8 <= data.length && out.isEmpty) {
       val id = tag(pos)
@@ -224,29 +269,33 @@ object Multimodal {
       val size = math.min(math.max(u32(pos + 4), 0L), (data.length - pos - 8).toLong).toInt
       val body = pos + 8
       if (id == "fmt " && size >= 16 && body + 16 <= data.length) {
-        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt,
+          u16(body + 12), u16(body + 14)))
       } else if (id == "data") {
-        fmt.foreach { case (audioFormat, channels, rate, bits) =>
-          if (audioFormat == 1 && (bits == 8 || bits == 16) &&
-              channels >= 1 && rate > 0) {
+        fmt.foreach { case (audioFormat, channels, rate, blockAlign, bits) =>
+          if (channels >= 1 && rate > 0) {
             val end = math.min(body + size, data.length)
-            val bytesPerSample = bits / 8
-            val stride = bytesPerSample * channels // first channel only
-            var i = body
+            val samples: Iterator[Double] = audioFormat match {
+              case 1 if bits == 8 || bits == 16 =>
+                pcmChannel0(data, body, end, channels, bits)
+              case 6 if bits == 8 =>
+                g711Channel0(data, body, end, channels, ALawTable)
+              case 7 if bits == 8 =>
+                g711Channel0(data, body, end, channels, MuLawTable)
+              case 0x11 if bits == 4 && blockAlign >= 4 * channels =>
+                imaChannel0(data, body, end, channels, blockAlign)
+              case _ => Iterator.empty
+            }
             var n = 0L
             var sumSq = 0.0
             var crossings = 0L
             var prev = 0.0
             var first = true
-            while (i + bytesPerSample <= end) {
-              val s =
-                if (bits == 8) (u8(i) - 128) / 128.0
-                else u16(i).toShort / 32768.0
+            samples.foreach { s =>
               sumSq += s * s
               if (!first && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
                 crossings += 1
               prev = s; first = false; n += 1
-              i += stride
             }
             if (n > 0) out = Some(AudioInfo(mediaId, rate, channels, bits, n,
               n * 1000L / rate, math.sqrt(sumSq / n), crossings))
@@ -256,6 +305,84 @@ object Multimodal {
       pos = body + size + (size & 1) // chunks are word-aligned
     }
     out
+  }
+
+  /** First-channel samples of an interleaved linear-PCM data region,
+    * normalized to [-1, 1).
+    */
+  private def pcmChannel0(
+      data: Array[Byte], from: Int, until: Int,
+      channels: Int, bits: Int): Iterator[Double] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    val bytesPerSample = bits / 8
+    val stride = bytesPerSample * channels
+    Iterator.iterate(from)(_ + stride)
+      .takeWhile(_ + bytesPerSample <= until)
+      .map { i =>
+        if (bits == 8) (u8(i) - 128) / 128.0
+        else (u8(i) | (u8(i + 1) << 8)).toShort / 32768.0
+      }
+  }
+
+  /** First-channel samples of an interleaved G.711 (1 byte/sample) data
+    * region through a 256-entry expansion table, normalized.
+    */
+  private def g711Channel0(
+      data: Array[Byte], from: Int, until: Int,
+      channels: Int, table: Array[Short]): Iterator[Double] =
+    Iterator.iterate(from)(_ + channels)
+      .takeWhile(_ < until)
+      .map(i => table(data(i) & 0xff) / 32768.0)
+
+  /** First-channel samples of an IMA ADPCM data region. Each block starts
+    * with a 4-byte header PER CHANNEL (16-bit LE predictor — which is
+    * itself the block's first output sample — plus step index); the 4-bit
+    * payload follows as 4-byte words round-robin across channels, two
+    * samples per byte, low nibble first. Trailing partial blocks decode as
+    * far as their bytes reach.
+    */
+  private def imaChannel0(
+      data: Array[Byte], from: Int, until: Int,
+      channels: Int, blockAlign: Int): Iterator[Double] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    Iterator.iterate(from)(_ + blockAlign)
+      .takeWhile(_ + 4 * channels <= until)
+      .flatMap { blockStart =>
+        var predictor = (u8(blockStart) | (u8(blockStart + 1) << 8)).toShort.toInt
+        var index = math.min(math.max(u8(blockStart + 2), 0), 88)
+        val first = predictor / 32768.0
+        val dataStart = blockStart + 4 * channels
+        val dataEnd = math.min(blockStart + blockAlign, until)
+        val decoded = scala.collection.mutable.ArrayBuffer(first)
+        var word = dataStart
+        while (word + 4 <= dataEnd) {
+          // words alternate channels; keep only channel 0's
+          if (((word - dataStart) / 4) % channels == 0) {
+            var b = word
+            while (b < word + 4) {
+              val byte = u8(b)
+              var nib = 0
+              while (nib < 2) {
+                val code = if (nib == 0) byte & 0x0f else (byte >> 4) & 0x0f
+                val step = ImaStep(index)
+                var diff = step >> 3
+                if ((code & 1) != 0) diff += step >> 2
+                if ((code & 2) != 0) diff += step >> 1
+                if ((code & 4) != 0) diff += step
+                predictor =
+                  if ((code & 8) != 0) math.max(predictor - diff, -32768)
+                  else math.min(predictor + diff, 32767)
+                index = math.min(math.max(index + ImaIndexAdvance(code & 7), 0), 88)
+                decoded += predictor / 32768.0
+                nib += 1
+              }
+              b += 1
+            }
+          }
+          word += 4
+        }
+        decoded
+      }
   }
 
   def decodeWavPcm(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
@@ -469,6 +596,112 @@ object Multimodal {
   def probeMp4(media: Dataset[MediaRow]): Dataset[VideoProbe] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.flatMap(r => parseMp4(r.media_id, r.data)))
+  }
+
+  /** REAL video frame EXTRACTION for AVI payloads — AVI is a RIFF
+    * container, so demux is plain byte-level parsing for ANY codec: walk
+    * the chunk tree (`LIST hdrl` → `avih` for the frame interval,
+    * `LIST movi` / `rec ` for the stream data), collect the video-stream
+    * chunks (`##dc` compressed / `##db` uncompressed), and emit one
+    * [[Frame]] per chunk with its true presentation offset. The frame
+    * PAYLOAD decodes to pixels via [[decodeAviFrames]] when the codec is
+    * MJPEG (each frame is a standalone JPEG — `javax.imageio` reads it);
+    * other codecs' frames extract fine but their pixel decode genuinely
+    * needs codec libraries.
+    */
+  private[multimodal] def parseAviFrames(mediaId: Long, data: Array[Byte]): Seq[Frame] = {
+    if (data == null || data.length < 12) return Nil
+    def u8(i: Int): Int = data(i) & 0xff
+    def u32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return Nil
+    var usPerFrame = 0L
+    val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = tag(pos)
+        // clamp malformed sizes; keep the cursor monotone (as in parseWavPcm)
+        val size = math.min(math.max(u32(pos + 4), 0L), (until - pos - 8).toLong).toInt
+        val body = pos + 8
+        if (id == "LIST" && size >= 4) {
+          val listType = tag(body)
+          if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+            walk(body + 4, body + size)
+        } else if (id == "avih" && size >= 4) {
+          usPerFrame = u32(body) // dwMicroSecPerFrame
+        } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          payloads += java.util.Arrays.copyOfRange(data, body, body + size)
+        }
+        pos = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, data.length)
+    val stepMs = if (usPerFrame > 0) usPerFrame / 1000 else 0L
+    payloads.toSeq.zipWithIndex.map { case (b, i) =>
+      Frame(mediaId, i, i * stepMs, b)
+    }
+  }
+
+  def extractAviFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(r => parseAviFrames(r.media_id, r.data)))
+  }
+
+  /** Decoded video frame: true dimensions + channel means from the pixel
+    * data of one extracted frame.
+    */
+  final case class VideoFrameInfo(
+      media_id: Long,
+      frame_idx: Int,
+      offset_ms: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL video pixel decode for MJPEG AVI payloads: [[parseAviFrames]]
+    * demuxes, then each frame — a standalone JPEG in MJPEG — decodes via
+    * `javax.imageio` exactly like [[decodeImages]]. Frames whose codec
+    * ImageIO cannot parse (H.264 etc.) are dropped; their pixel decode is
+    * the one video path that stays out of scope without codec libraries.
+    * Map-side only: demux + decode fuse into one `mapPartitions` pass, so
+    * the payload never shuffles.
+    */
+  def decodeAviFrames(media: Dataset[MediaRow]): Dataset[VideoFrameInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseAviFrames(r.media_id, r.data).flatMap { f =>
+          if (f.data.isEmpty) None
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.data))
+            if (img == null) None
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = img.getWidth.toLong * img.getHeight
+              Some(VideoFrameInfo(r.media_id, f.frame_idx, f.offset_ms,
+                img.getWidth, img.getHeight,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Deterministic fake media generator for tests/benchmarks. */

@@ -222,6 +222,151 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.forall(_.data.nonEmpty))
   }
 
+  test("multimodal: G.711 expansion tables agree bit-for-bit with the JDK codec") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    def jdkDecode(enc: AudioFormat.Encoding, bytes: Array[Byte]): Array[Short] = {
+      val src = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), bytes.length.toLong)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val conv = AudioSystem.getAudioInputStream(dst, src)
+      val out = conv.readAllBytes()
+      Array.tabulate(out.length / 2)(i =>
+        ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort)
+    }
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val mu = jdkDecode(AudioFormat.Encoding.ULAW, codes)
+    val al = jdkDecode(AudioFormat.Encoding.ALAW, codes)
+    assert(mu.length == 256 && al.length == 256)
+    for (b <- 0 until 256) {
+      assert(mu(b) == Multimodal.MuLawTable(b), s"ulaw code $b")
+      assert(al(b) == Multimodal.ALawTable(b), s"alaw code $b")
+    }
+  }
+
+  test("multimodal: G.711 µ-law WAV decodes through the RIFF walk") {
+    import spark.implicits._
+    val bb = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bb)
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    val n = 800
+    o.writeBytes("RIFF"); le32(36 + n); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16); le16(7); le16(1) // µ-law, mono
+    le32(8000); le32(8000); le16(1); le16(8)
+    o.writeBytes("data"); le32(n)
+    val code = 0x12 // arbitrary µ-law byte
+    (0 until n).foreach(_ => o.write(code))
+    val media = Seq(Multimodal.MediaRow(1L, "audio", "wav", None, None, None,
+      bb.toByteArray)).toDS()
+    val a = Multimodal.decodeWavPcm(media).collect().head
+    assert(a.sample_rate == 8000 && a.channels == 1 && a.bits == 8)
+    assert(a.n_samples == n && a.duration_ms == 100)
+    val expected = math.abs(Multimodal.MuLawTable(code) / 32768.0)
+    assert(math.abs(a.rms - expected) < 1e-12)
+    assert(a.zero_crossings == 0)
+  }
+
+  test("multimodal: IMA ADPCM WAV decode (mono exact sequence, stereo interleave)") {
+    import spark.implicits._
+    def wav(channels: Int, blockAlign: Int, samplesPerBlock: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bb)
+      def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      o.writeBytes("RIFF"); le32(40 + payload.length); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); le32(20); le16(0x11); le16(channels)
+      le32(8000); le32(4000); le16(blockAlign); le16(4)
+      le16(2); le16(samplesPerBlock) // cbSize + wSamplesPerBlock
+      o.writeBytes("data"); le32(payload.length)
+      o.write(payload)
+      bb.toByteArray
+    }
+    // mono block: predictor 0, index 0, nibbles (low first) 4,4,12,2,0,0,0,0
+    // hand-stepped through the IMA tables:
+    //   step 7: +4 -> 7 (idx 2);  step 9: +4 -> 17 (idx 4)
+    //   step 11: -12 -> 5 (idx 6); step 13: +2 -> 12 (idx 5)
+    //   then four 0-nibbles: +step>>3 each -> 13, 14, 15, 16
+    val mono = wav(1, 8, 9,
+      Array[Byte](0, 0, 0, 0, 0x44, 0x2c, 0, 0))
+    val expected = Seq(0, 7, 17, 5, 12, 13, 14, 15, 16)
+    val a = Multimodal.decodeWavPcm(
+      Seq(Multimodal.MediaRow(1L, "audio", "wav", None, None, None, mono)).toDS())
+      .collect().head
+    assert(a.bits == 4 && a.n_samples == 9)
+    val rms = math.sqrt(expected.map(v => v * v.toDouble).sum / 9) / 32768.0
+    assert(math.abs(a.rms - rms) < 1e-12)
+    // stereo: ch0 predictor 8192 + zero nibbles stays flat at 8192; the
+    // ch1 header/word (0xFF everywhere) must be skipped by the interleave
+    val stereoPayload =
+      Array[Byte](0, 0x20, 0, 0) ++ // ch0 header: predictor 8192, idx 0
+        Array.fill[Byte](4)(0xff.toByte) ++ // ch1 header
+        Array.fill[Byte](4)(0) ++ // ch0 word: 8 zero nibbles
+        Array.fill[Byte](4)(0xff.toByte) // ch1 word
+    val s = Multimodal.decodeWavPcm(
+      Seq(Multimodal.MediaRow(2L, "audio", "wav", None, None, None,
+        wav(2, 16, 9, stereoPayload))).toDS())
+      .collect().head
+    assert(s.channels == 2 && s.n_samples == 9)
+    assert(math.abs(s.rms - 0.25) < 1e-12) // every ch0 sample = 8192
+    assert(s.zero_crossings == 0)
+  }
+
+  test("multimodal: AVI demux + MJPEG pixel decode (real JPEG frames)") {
+    import spark.implicits._
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val frames = Seq(jpeg(0xFF0000), jpeg(0x00FF00), jpeg(0x0000FF))
+    val bb = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bb)
+    def le32(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >>> 24) & 0xff)
+    }
+    // LIST hdrl { avih(56 bytes, dwMicroSecPerFrame=40000) }
+    o.writeBytes("LIST"); le32(4 + 8 + 56); o.writeBytes("hdrl")
+    o.writeBytes("avih"); le32(56); le32(40000)
+    o.write(new Array[Byte](52))
+    // LIST movi { 00dc frames, word-aligned }
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    o.writeBytes("LIST"); le32(moviSize); o.writeBytes("movi")
+    frames.foreach { f =>
+      o.writeBytes("00dc"); le32(f.length); o.write(f)
+      if ((f.length & 1) == 1) o.write(0)
+    }
+    val inner = bb.toByteArray
+    val full = new java.io.ByteArrayOutputStream()
+    val fo = new java.io.DataOutputStream(full)
+    fo.writeBytes("RIFF")
+    fo.write((inner.length + 4) & 0xff); fo.write(((inner.length + 4) >> 8) & 0xff)
+    fo.write(((inner.length + 4) >> 16) & 0xff); fo.write(((inner.length + 4) >>> 24) & 0xff)
+    fo.writeBytes("AVI "); fo.write(inner)
+    val avi = full.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", "avi", None, None, None, avi),
+      Multimodal.MediaRow(2L, "video", "bin", None, None, None,
+        Array[Byte](1, 2, 3, 4))).toDS()
+    val extracted = Multimodal.extractAviFrames(media).collect().sortBy(_.frame_idx)
+    assert(extracted.length == 3)
+    assert(extracted.map(_.offset_ms).toSeq == Seq(0L, 40L, 80L))
+    assert(extracted.zip(frames).forall { case (e, f) => e.data.toSeq == f.toSeq })
+    val decoded = Multimodal.decodeAviFrames(media).collect().sortBy(_.frame_idx)
+    assert(decoded.length == 3)
+    decoded.foreach(d => assert(d.width == 8 && d.height == 6))
+    // JPEG is lossy: the dominant channel must clearly dominate
+    assert(decoded(0).mean_r > 200 && decoded(0).mean_g < 60)
+    assert(decoded(1).mean_g > 200 && decoded(1).mean_b < 60)
+    assert(decoded(2).mean_b > 200 && decoded(2).mean_r < 60)
+  }
+
   test("multimodal: parquet round-trip with binary payload + column pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.syntheticMedia(spark, 10).toDF().write.mode("overwrite").parquet(dir)
