@@ -797,6 +797,24 @@ object SparkEntry {
       MinHash.substringDupGroups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // Duplicate-SPAN removal (Lee et al. 2022 ExactSubstr): rewrite the
+    // corpus so every 50-token window occurs once — first occurrence wins,
+    // later occurrences are cut and the doc reassembled. The text-rewriting
+    // complement of q_substring_dedup's doc grouping.
+    "q_span_removal" -> ((s, dir) =>
+      text.CorpusOps.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
+        windowTokens = 50)
+        .orderBy("id")),
+
+    // SemDeDup (Abbas et al. 2023): k-means cluster, exact pairwise cosine
+    // within clusters only, transitive groups above tau, keep the group
+    // member FARTHEST from its centroid. The whole path — k-means training
+    // included — is mirrored in the oracle.
+    "q_semdedup" -> ((s, dir) =>
+      VectorFunctions.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, trainIters = 2, tau = 0.3)
+        .orderBy("id")),
+
     // MULTI-SIGNAL dedup: one connected-components pass over the UNION of
     // the text LSH graph and the embedding hyperplane graph — "duplicate
     // by surface text OR semantic similarity", transitively through mixed
@@ -4966,6 +4984,52 @@ object SparkEntry {
       // shingle/trim/lower tokenization, identified by the PAIR of
       // independent poly folds (131 mod 1e9+7, 137 mod 998244353) combined
       // into one ~59-bit value, transitive closure over shared windows.
+      // Duplicate-span removal, fully mirrored: same 59-bit window hashes
+      // as q_substring_dedup, canonical occurrence = row_number 1 in
+      // (doc, start) order per hash, covered positions unioned, kept
+      // tokens reassembled in position order.
+      "q_span_removal" ->
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+           occ AS (
+             SELECT doc_id, i - 1 AS start,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(g, '(?s).'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 1000000007) * 998244353 +
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(g, '(?s).'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 998244353) AS wh
+             FROM (SELECT doc_id, i, array_to_string(t[i:i+49], ' ') AS g
+                   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
+                         FROM toks WHERE len(t) >= 50))),
+           rn AS (
+             SELECT doc_id, start,
+               row_number() OVER (PARTITION BY wh ORDER BY doc_id, start) AS rn
+             FROM occ),
+           covered AS (
+             SELECT DISTINCT doc_id, start + j.j AS pos
+             FROM rn CROSS JOIN (SELECT unnest(range(0, 50)) AS j) j
+             WHERE rn > 1),
+           tokens AS (
+             SELECT doc_id, i - 1 AS pos, t[i] AS tok
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+           kept AS (
+             SELECT tk.doc_id, tk.pos, tk.tok
+             FROM tokens tk LEFT JOIN covered c
+               ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+             WHERE c.doc_id IS NULL),
+           agg AS (
+             SELECT doc_id, count(*) AS n_kept,
+                    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+             FROM kept GROUP BY doc_id)
+           SELECT t.doc_id AS id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(a.cleaned, '') AS cleaned_text
+           FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY id""",
+
       "q_substring_dedup" ->
         """WITH RECURSIVE toks AS (
              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -5289,6 +5353,118 @@ object SparkEntry {
              FROM scored)
            SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
            FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // SemDeDup, the ENTIRE path mirrored: the q_ann_ivf_trained k-means
+      // prefix (seeds by the portable hash, two unrolled Lloyd iterations),
+      // assignment keeps the winning cosine as simc, exact pairwise cosine
+      // within cells at tau=0.3, recursive-CTE closure over the symmetric
+      // pair edges, keep = argmin (simc, id) per group.
+      "q_semdedup" ->
+        """WITH RECURSIVE ev AS (
+             SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x,y) -> x + y)) AS nrm
+             FROM embeddings),
+           seeds AS (
+             SELECT vec_id AS cell, embedding AS cent, nrm AS cnrm FROM ev
+             ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id
+             LIMIT 8),
+           a1 AS (
+             SELECT cell, emb FROM (
+               SELECT e.embedding AS emb, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (e.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev e CROSS JOIN seeds c)
+             WHERE rk = 1),
+           m1 AS (
+             SELECT cell, pos,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) AS m
+             FROM (SELECT cell, generate_subscripts(emb, 1) AS pos,
+                          unnest(emb) AS v FROM a1)
+             GROUP BY cell, pos),
+           c1 AS (
+             SELECT cell, cent,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cent)+1),
+                 i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))), (x,y) -> x + y)) AS cnrm
+             FROM (
+               SELECT s.cell, coalesce(u.newc, s.cent) AS cent
+               FROM seeds s LEFT JOIN (
+                 SELECT cell,
+                   list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS newc
+                 FROM m1 GROUP BY cell) u USING (cell))),
+           a2 AS (
+             SELECT cell, emb FROM (
+               SELECT e.embedding AS emb, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (e.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev e CROSS JOIN c1 c)
+             WHERE rk = 1),
+           m2 AS (
+             SELECT cell, pos,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) AS m
+             FROM (SELECT cell, generate_subscripts(emb, 1) AS pos,
+                          unnest(emb) AS v FROM a2)
+             GROUP BY cell, pos),
+           c2 AS (
+             SELECT cell, cent,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cent)+1),
+                 i -> CAST(cent[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))), (x,y) -> x + y)) AS cnrm
+             FROM (
+               SELECT s.cell, coalesce(u.newc, s.cent) AS cent
+               FROM c1 s LEFT JOIN (
+                 SELECT cell,
+                   list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS newc
+                 FROM m2 GROUP BY cell) u USING (cell))),
+           cassign AS (
+             SELECT vec_id, emb, nrm, cell, sim AS simc FROM (
+               SELECT e.vec_id, e.embedding AS emb, e.nrm, c.cell,
+                 list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                 / (e.nrm * c.cnrm) AS sim,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (e.nrm * c.cnrm) DESC, c.cell) AS rk
+               FROM ev e CROSS JOIN c2 c)
+             WHERE rk = 1),
+           pairs AS (
+             SELECT a.vec_id AS pa, b.vec_id AS pb
+             FROM cassign a JOIN cassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb)+1),
+                     i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))), (x,y) -> x + y)
+                   / (a.nrm * b.nrm) >= 0.3),
+           edges AS (
+             SELECT pa AS src, pb AS dst FROM pairs
+             UNION ALL SELECT pb, pa FROM pairs),
+           reach AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           rep AS (
+             SELECT c.vec_id AS id,
+               least(c.vec_id, coalesce(m.mn, c.vec_id)) AS group_rep
+             FROM cassign c LEFT JOIN
+               (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+               ON c.vec_id = m.src),
+           keep AS (
+             SELECT group_rep, vec_id AS keep_id FROM (
+               SELECT r.group_rep, c.vec_id,
+                 row_number() OVER (PARTITION BY r.group_rep
+                                    ORDER BY c.simc, c.vec_id) AS rk
+               FROM rep r JOIN cassign c ON r.id = c.vec_id)
+             WHERE rk = 1)
+           SELECT c.vec_id AS id, c.cell, c.simc, r.group_rep,
+             (c.vec_id = k.keep_id) AS kept
+           FROM cassign c
+           JOIN rep r ON c.vec_id = r.id
+           JOIN keep k ON r.group_rep = k.group_rep
+           ORDER BY id""",
 
       "q_profile" ->
         """WITH e AS (SELECT event_id, user_id, event_type, value FROM events)

@@ -239,4 +239,86 @@ object CorpusOps {
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("delta_e6")).as("w_e6"))
   }
+
+  /** Duplicate-SPAN removal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 §ExactSubstr): every
+    * `windowTokens`-token window that occurs more than once in the corpus
+    * keeps its FIRST occurrence (min (doc, start) order) and is cut from
+    * the token stream everywhere else — the text-REWRITING complement of
+    * [[graft.text.MinHash.substringDupGroups]] (which only groups the
+    * affected docs) and of [[removeBoilerplate]] (which drops every
+    * occurrence of high-frequency chunks, first included). Overlapping
+    * removed windows merge naturally: removal is the union of their
+    * covered token positions.
+    *
+    * Shape (all linear in corpus tokens, ~`windowTokens`× constants):
+    * window occurrences are `(doc, start, 59-bit window hash)` rows from
+    * one scan; the canonical occurrence per hash is a `row_number` over
+    * the hash (one shuffle, the op's only corpus-sized exchange — the
+    * suffix-array sort of the paper plays the same role); non-canonical
+    * occurrences explode to covered positions (bounded by removed volume
+    * × window, not corpus × window); survivors are a position anti-join
+    * and per-doc reassembly. Output is one row per input doc:
+    * `(id, n_tokens, n_removed, cleaned_text)` over the lower-cased token
+    * stream ([[TextFunctions.tokens]] — the op rewrites the tokenized
+    * corpus, the form training pipelines dedup in).
+    *
+    * Docs shorter than `windowTokens` produce no windows, are never cut,
+    * and pass through whole. A doc can be cut to the empty string when
+    * every position is covered (a pure duplicate tail of another doc).
+    */
+  def removeDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = windowTokens
+    require(w >= 2, s"windowTokens must be >= 2, got $w")
+    // referenced three times below (occurrences, token stream, doc lengths);
+    // tokenization is a stateless narrow map, so recomputation beats pinning
+    // a corpus-sized frame in the block manager (same posture as
+    // removeBoilerplate)
+    val toks = docs.select(
+      col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+    // (doc, start, window-hash) occurrence rows; posexplode's pos IS the
+      // 0-based window start. Hash identity is the 59-bit polynomial pair
+      // (see MinHash.substringDupGroups for the de-percolation rationale).
+      val occ = toks.filter(size(col("t")) >= w)
+        .select(col("id"),
+          posexplode(transform(
+            sequence(lit(0), size(col("t")) - lit(w)),
+            i => array_join(slice(col("t"), i + lit(1), lit(w)), " ")))
+            .as(Seq("start", "__g")))
+        .select(col("id"), col("start"),
+          (graft.functions.exprs.polyBase(col("__g")) * lit(TextFunctions.PolyMod2) +
+            graft.functions.exprs.polyBase2(col("__g"))).as("wh"))
+      // canonical occurrence = first in (doc, start) order; all later
+      // occurrences of the same window are removed
+      val rn = row_number().over(
+        Window.partitionBy("wh").orderBy(col("id"), col("start")))
+      val removed = occ.withColumn("__rn", rn).filter(col("__rn") > 1)
+      // union of covered positions — distinct because overlapping removed
+      // windows cover shared positions
+      val covered = removed
+        .select(col("id"),
+          explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
+        .distinct()
+      val kept = toks
+        .select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+        .join(covered, Seq("id", "pos"), "left_anti")
+        .groupBy("id")
+        .agg(
+          count(lit(1)).as("__n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              e => e.getField("tok")), " ").as("cleaned_text"))
+      toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(kept, Seq("id"), "left")
+        .select(col("id"),
+          col("n_tokens"),
+          (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -678,6 +678,77 @@ object VectorFunctions {
       col(idCol).as("id"),
       posexplode(lshBuckets(col(vecCol), nbits, tables)).as(Seq("table", "bucket")))
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): k-means
+    * cluster the embeddings, compute EXACT pairwise cosine only within each
+    * cluster, group transitively above `tau`, and keep per group the member
+    * with the LOWEST similarity to its cluster centroid (the paper's rule —
+    * the kept example is the group's outlier, preserving diversity; ties
+    * break on id).
+    *
+    * This is the cluster-scoped exact complement of [[semanticDupGroups]]
+    * (hyperplane LSH, probabilistic, no pairwise verification): the paper's
+    * point is that clustering bounds the quadratic — pair cost is
+    * Σ|cell|² ≈ n²/k, embarrassingly parallel across cells, instead of n².
+    * At 10⁹ vectors pick k so the largest cell's pair block fits an
+    * executor (k ≈ n/50k keeps cells ~50k ⇒ ~1.25G pairs/cell-group,
+    * sharded by the join); every other step is the trained-IVF machinery
+    * ([[kmeans]] broadcast argmax assignment — the corpus never shuffles
+    * to learn its cell — plus one groupBy for the keep rule).
+    *
+    * Deterministic and engine-portable end to end (portable k-means seeds,
+    * decimal-exact centroid means, sequential-fold cosines, id tiebreaks),
+    * so the whole path — training included — hash-checks against a DuckDB
+    * mirror (q_semdedup). Since each vector is assigned exactly one cell
+    * and pairs are within-cell, every dup group lives inside one cell.
+    *
+    * @return one row per corpus vector:
+    *         (id, cell, simc = cosine(vec, its centroid), group_rep, kept)
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      trainIters: Int = 2,
+      tau: Double = 0.3,
+      maxIters: Int = 25
+  ): DataFrame = {
+    val cents = kmeans(corpus, idCol, vecCol, k, trainIters)
+      .select(col("cell"), col("centroid").as("__cent"))
+    val centArr = centroidArray(cents)
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("cell", element_at(nearestCells(col("__v"), centArr, 1), 1))
+      .join(broadcast(cents), Seq("cell")) // k rows: the centroid vector back
+      .withColumn("simc", cosine(col("__v"), col("__cent")))
+      .select("id", "__v", "cell", "simc")
+    // exact pairwise cosine WITHIN each cell (the bounded quadratic)
+    val a = assigned.select(col("cell"), col("id").as("pa"), col("__v").as("__va"))
+    val b = assigned.select(col("cell"), col("id").as("pb"), col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("pa") < col("pb"))
+      .filter(cosine(col("__va"), col("__vb")) >= tau)
+      .select("pa", "pb")
+    // transitive closure: each qualifying pair is a 2-member "bucket" in the
+    // shared components fixpoint
+    val edges = pairs.select(col("pa").as("id"), col("pa"), col("pb"))
+      .union(pairs.select(col("pb").as("id"), col("pa"), col("pb")))
+    val labels = graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(edges, "id", Seq("pa", "pb"), maxIters)._1
+    val labeled = assigned
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("simc"),
+        coalesce(col("group_rep"), col("id")).as("group_rep"))
+    // keep rule: argmin (simc, id) per group — min_by on the pair struct is
+    // partial-aggregatable (no window sort); singletons keep themselves
+    val keeper = labeled.groupBy("group_rep")
+      .agg(min_by(col("id"), struct(col("simc"), col("id"))).as("__keep_id"))
+    labeled.join(keeper, Seq("group_rep"))
+      .select(col("id"), col("cell"), col("simc"), col("group_rep"),
+        (col("id") === col("__keep_id")).as("kept"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
