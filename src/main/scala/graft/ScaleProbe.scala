@@ -171,6 +171,34 @@ object ScaleProbe {
       }
     }
 
+    // Round-9 operators: duplicate-span removal (linear in tokens — the
+    // near-dup-free corpus isolates scan/shuffle cost from removal volume)
+    // and SemDeDup, whose cost is assignment n·k + within-cell pairs n²/k:
+    // the balanced choice is k ∝ √n, giving the paper's O(n^1.5) total —
+    // the probe scales k that way and the honest expectation at 20× docs
+    // is ~20^1.5/20 ≈ 4.5× the per-doc cost before parallel absorption.
+    if (sec("r9ops")) {
+      def spanrm(df: DataFrame) = graft.text.CorpusOps
+        .removeDupSpans(df, "doc_id", "text")
+        .agg(sum("n_removed")).head() // head, not count: force the aggregate
+      def semded(df: DataFrame, kCells: Int) = graft.vector.VectorFunctions
+        .semDedup(withVecs(df), "doc_id", "embedding",
+          k = kCells, trainIters = 2, tau = 0.9)
+        .filter(col("kept")).count()
+      println(f"${"op"}%-12s ${"t_1x"}%8s ${"t_" + textK + "x"}%8s ratio (docs ${textK}x)")
+      Seq[(String, (DataFrame, Int) => Any)](
+        "span_removal" -> ((df, _) => spanrm(df)),
+        "semdedup" -> ((df, kc) => semded(df, kc))).foreach { case (name, f) =>
+        val k1 = 32 // ≈ √(5000·0.2)
+        val kk = math.max(k1, (k1 * math.sqrt(textK.toDouble)).toInt)
+        f(docsSrc, k1); f(docsSrc, k1)
+        val t1 = time(f(docsSrc, k1))
+        f(docsBigR, kk)
+        val tk = time(f(docsBigR, kk))
+        println(f"$name%-12s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+      }
+    }
+
     // dedup-groups round-count probe: each fixpoint round is one
     // synchronous Spark job, so at 100 TB the ROUND count (not per-round
     // cost, which is linear and amortizes) is the scale lever. Measure it
