@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
-  /** Per-column mismatch detail: count + up to 5 earliest samples. */
+  /** Per-column mismatch detail: count + up to 5 earliest samples. Sides
+    * are Options because a NULL-vs-value disagreement IS a mismatch and
+    * must be reportable, not a crash.
+    */
   final case class ColumnReport(
       column: String,
       mismatches: Long,
-      samples: Seq[(String, Double, Double)]) // (key, left, right)
+      samples: Seq[(String, Option[Double], Option[Double])]) // (key, left, right)
 
   final case class ValidationResult(
       leftRows: Long,
@@ -49,7 +52,9 @@ object Validate {
       columns.foreach { c =>
         b ++= s"column ${c.column}: ${c.mismatches} mismatches beyond tolerance\n"
         c.samples.foreach { case (k, l, r) =>
-          b ++= f"  $k: left=$l%.12g right=$r%.12g diff=${l - r}%.3g\n"
+          def fmt(v: Option[Double]) = v.map(d => f"$d%.12g").getOrElse("NULL")
+          val diff = for (lv <- l; rv <- r) yield f"${lv - rv}%.3g"
+          b ++= s"  $k: left=${fmt(l)} right=${fmt(r)} diff=${diff.getOrElse("-")}\n"
         }
       }
       if (passed) b ++= "PASSED\n"
@@ -83,6 +88,13 @@ object Validate {
       struct(vals.map(c => col(c).cast("double").as(c)): _*).as("__l"))
     val r = right.select(col(keyCol).as("__k"),
       struct(vals.map(c => col(c).cast("double").as(c)): _*).as("__r"))
+    // true per-side row counts BEFORE the join: duplicate join keys fan the
+    // full-outer join out (every joined count becomes pair-based and two
+    // identical stores could read as mismatched), so validation requires
+    // unique keys — detected below by comparing these against the joined
+    // frame's distinct key counts, and reported as an explicit error.
+    val trueL = left.count()
+    val trueR = right.count()
     val joined = l.join(r, Seq("__k"), "full_outer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -96,11 +108,11 @@ object Validate {
       def cnt(cond: org.apache.spark.sql.Column) =
         coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
       val aggCols = Seq(
-        cnt(inL).as("l_rows"),
-        cnt(inR).as("r_rows"),
         cnt(inL && inR).as("matched"),
         cnt(inL && !inR).as("only_l"),
         cnt(!inL && inR).as("only_r"),
+        coalesce(countDistinct(when(inL, col("__k"))), lit(0L)).as("l_keys"),
+        coalesce(countDistinct(when(inR, col("__k"))), lit(0L)).as("r_keys"),
         min(when(inL, col("__k"))).cast("string").as("l_min"),
         max(when(inL, col("__k"))).cast("string").as("l_max"),
         min(when(inR, col("__k"))).cast("string").as("r_min"),
@@ -115,16 +127,31 @@ object Validate {
         val samples =
           if (mm == 0) Nil
           else joined.filter(mismatch(c))
-            .select(col("__k").cast("string"), col(s"__l.$c"), col(s"__r.$c"))
+            // order by the ORIGINAL key (string-cast ordering would sort
+            // numeric/timestamp keys lexicographically — '10' < '2'), cast
+            // for display only at collect time
+            .select(col("__k"), col(s"__l.$c"), col(s"__r.$c"))
             .orderBy(col("__k"))
             .limit(5)
             .collect()
-            .map(r0 => (r0.getString(0), r0.getDouble(1), r0.getDouble(2)))
+            .map { r0 =>
+              // a NULL-vs-value disagreement is a legitimate sampled
+              // mismatch: read both sides null-safely
+              def d(i: Int): Option[Double] =
+                if (r0.isNullAt(i)) None else Some(r0.getDouble(i))
+              (String.valueOf(r0.get(0)), d(1), d(2))
+            }
             .toSeq
         ColumnReport(c, mm, samples)
       }
-      val lRows = lng("l_rows"); val rRows = lng("r_rows")
+      val lRows = trueL; val rRows = trueR
       val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (lng("l_keys") < trueL)
+        errors += s"left store has ${trueL - lng("l_keys")} duplicate " +
+          s"$keyCol keys — per-key comparison is ambiguous"
+      if (lng("r_keys") < trueR)
+        errors += s"right store has ${trueR - lng("r_keys")} duplicate " +
+          s"$keyCol keys — per-key comparison is ambiguous"
       if (lRows == 0) errors += "no data in left store"
       if (rRows == 0) errors += "no data in right store"
       if (lRows > 0 && rRows > 0) {

@@ -124,35 +124,49 @@ object Multimodal {
       mean_g: Double,
       mean_b: Double)
 
+  /** ImageIO.read that treats every unparseable payload as "not an image":
+    * on truncated-but-recognized data (e.g. a JPEG cut mid-stream) ImageIO
+    * THROWS rather than returning null, and an uncaught exception would
+    * kill the whole task instead of dropping the row.
+    */
+  private def readImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (data == null || data.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+      catch { case _: Exception => None }
+
+  /** Per-channel pixel means of a decoded image — shared by the image and
+    * MJPEG-frame decode paths.
+    */
+  private def meanRgb(img: java.awt.image.BufferedImage): (Double, Double, Double) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
   /** REAL image decode — `javax.imageio` ships with the JDK, so PNG / BMP /
     * GIF / JPEG payloads decode without any external codec. Partition-local
     * (`mapPartitions`), one pass, no shuffle; rows whose payload ImageIO
-    * cannot parse are dropped (audio/video stay with the stub kernels).
+    * cannot parse (or parses only partially) are dropped (audio/video stay
+    * with the stub kernels).
     */
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        if (r.data == null || r.data.isEmpty) None
-        else {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-          if (img == null) None
-          else {
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            val n = img.getWidth.toLong * img.getHeight
-            Some(ImageInfo(r.media_id, img.getWidth, img.getHeight,
-              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
-          }
+        readImage(r.data).map { img =>
+          val (mr, mg, mb) = meanRgb(img)
+          ImageInfo(r.media_id, img.getWidth, img.getHeight, mr, mg, mb)
         }
       }
     }
@@ -166,9 +180,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded =
-          if (r.data == null || r.data.isEmpty) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        val decoded = readImage(r.data).orNull
         if (decoded == null) r
         else {
           val out = new java.awt.image.BufferedImage(
@@ -275,30 +287,24 @@ object Multimodal {
         fmt.foreach { case (audioFormat, channels, rate, blockAlign, bits) =>
           if (channels >= 1 && rate > 0) {
             val end = math.min(body + size, data.length)
-            val samples: Iterator[Double] = audioFormat match {
+            // decoders feed the accumulator directly from unboxed while
+            // loops — an Iterator[Double] pipeline here would box two
+            // objects per audio sample in the file's hottest path
+            val acc = new SampleStats
+            audioFormat match {
               case 1 if bits == 8 || bits == 16 =>
-                pcmChannel0(data, body, end, channels, bits)
+                pcmChannel0(data, body, end, channels, bits, acc)
               case 6 if bits == 8 =>
-                g711Channel0(data, body, end, channels, ALawTable)
+                g711Channel0(data, body, end, channels, ALawTable, acc)
               case 7 if bits == 8 =>
-                g711Channel0(data, body, end, channels, MuLawTable)
+                g711Channel0(data, body, end, channels, MuLawTable, acc)
               case 0x11 if bits == 4 && blockAlign >= 4 * channels =>
-                imaChannel0(data, body, end, channels, blockAlign)
-              case _ => Iterator.empty
+                imaChannel0(data, body, end, channels, blockAlign, acc)
+              case _ => ()
             }
-            var n = 0L
-            var sumSq = 0.0
-            var crossings = 0L
-            var prev = 0.0
-            var first = true
-            samples.foreach { s =>
-              sumSq += s * s
-              if (!first && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
-                crossings += 1
-              prev = s; first = false; n += 1
-            }
-            if (n > 0) out = Some(AudioInfo(mediaId, rate, channels, bits, n,
-              n * 1000L / rate, math.sqrt(sumSq / n), crossings))
+            if (acc.n > 0) out = Some(AudioInfo(mediaId, rate, channels, bits,
+              acc.n, acc.n * 1000L / rate, math.sqrt(acc.sumSq / acc.n),
+              acc.crossings))
           }
         }
       }
@@ -307,82 +313,101 @@ object Multimodal {
     out
   }
 
+  /** Streaming per-sample statistics (RMS sum-of-squares + zero crossings
+    * over the first channel). A final class with primitive vars so the
+    * decode loops stay allocation-free — `add` is monomorphic and inlines.
+    */
+  private final class SampleStats {
+    var n: Long = 0L
+    var sumSq: Double = 0.0
+    var crossings: Long = 0L
+    private var prev: Double = 0.0
+    private var first: Boolean = true
+    def add(s: Double): Unit = {
+      sumSq += s * s
+      if (!first && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
+        crossings += 1
+      prev = s; first = false; n += 1
+    }
+  }
+
   /** First-channel samples of an interleaved linear-PCM data region,
-    * normalized to [-1, 1).
+    * normalized to [-1, 1), folded into `acc`.
     */
   private def pcmChannel0(
       data: Array[Byte], from: Int, until: Int,
-      channels: Int, bits: Int): Iterator[Double] = {
-    def u8(i: Int): Int = data(i) & 0xff
+      channels: Int, bits: Int, acc: SampleStats): Unit = {
     val bytesPerSample = bits / 8
     val stride = bytesPerSample * channels
-    Iterator.iterate(from)(_ + stride)
-      .takeWhile(_ + bytesPerSample <= until)
-      .map { i =>
-        if (bits == 8) (u8(i) - 128) / 128.0
-        else (u8(i) | (u8(i + 1) << 8)).toShort / 32768.0
-      }
+    var i = from
+    while (i + bytesPerSample <= until) {
+      if (bits == 8) acc.add(((data(i) & 0xff) - 128) / 128.0)
+      else acc.add(((data(i) & 0xff) | ((data(i + 1) & 0xff) << 8)).toShort / 32768.0)
+      i += stride
+    }
   }
 
   /** First-channel samples of an interleaved G.711 (1 byte/sample) data
-    * region through a 256-entry expansion table, normalized.
+    * region through a 256-entry expansion table, normalized, folded into
+    * `acc`.
     */
   private def g711Channel0(
       data: Array[Byte], from: Int, until: Int,
-      channels: Int, table: Array[Short]): Iterator[Double] =
-    Iterator.iterate(from)(_ + channels)
-      .takeWhile(_ < until)
-      .map(i => table(data(i) & 0xff) / 32768.0)
+      channels: Int, table: Array[Short], acc: SampleStats): Unit = {
+    var i = from
+    while (i < until) {
+      acc.add(table(data(i) & 0xff) / 32768.0)
+      i += channels
+    }
+  }
 
-  /** First-channel samples of an IMA ADPCM data region. Each block starts
-    * with a 4-byte header PER CHANNEL (16-bit LE predictor — which is
-    * itself the block's first output sample — plus step index); the 4-bit
-    * payload follows as 4-byte words round-robin across channels, two
-    * samples per byte, low nibble first. Trailing partial blocks decode as
-    * far as their bytes reach.
+  /** First-channel samples of an IMA ADPCM data region, folded into `acc`.
+    * Each block starts with a 4-byte header PER CHANNEL (16-bit LE
+    * predictor — which is itself the block's first output sample — plus
+    * step index); the 4-bit payload follows as 4-byte words round-robin
+    * across channels, two samples per byte, low nibble first. Trailing
+    * partial blocks decode as far as their bytes reach.
     */
   private def imaChannel0(
       data: Array[Byte], from: Int, until: Int,
-      channels: Int, blockAlign: Int): Iterator[Double] = {
+      channels: Int, blockAlign: Int, acc: SampleStats): Unit = {
     def u8(i: Int): Int = data(i) & 0xff
-    Iterator.iterate(from)(_ + blockAlign)
-      .takeWhile(_ + 4 * channels <= until)
-      .flatMap { blockStart =>
-        var predictor = (u8(blockStart) | (u8(blockStart + 1) << 8)).toShort.toInt
-        var index = math.min(math.max(u8(blockStart + 2), 0), 88)
-        val first = predictor / 32768.0
-        val dataStart = blockStart + 4 * channels
-        val dataEnd = math.min(blockStart + blockAlign, until)
-        val decoded = scala.collection.mutable.ArrayBuffer(first)
-        var word = dataStart
-        while (word + 4 <= dataEnd) {
-          // words alternate channels; keep only channel 0's
-          if (((word - dataStart) / 4) % channels == 0) {
-            var b = word
-            while (b < word + 4) {
-              val byte = u8(b)
-              var nib = 0
-              while (nib < 2) {
-                val code = if (nib == 0) byte & 0x0f else (byte >> 4) & 0x0f
-                val step = ImaStep(index)
-                var diff = step >> 3
-                if ((code & 1) != 0) diff += step >> 2
-                if ((code & 2) != 0) diff += step >> 1
-                if ((code & 4) != 0) diff += step
-                predictor =
-                  if ((code & 8) != 0) math.max(predictor - diff, -32768)
-                  else math.min(predictor + diff, 32767)
-                index = math.min(math.max(index + ImaIndexAdvance(code & 7), 0), 88)
-                decoded += predictor / 32768.0
-                nib += 1
-              }
-              b += 1
+    var blockStart = from
+    while (blockStart + 4 * channels <= until) {
+      var predictor = (u8(blockStart) | (u8(blockStart + 1) << 8)).toShort.toInt
+      var index = math.min(math.max(u8(blockStart + 2), 0), 88)
+      acc.add(predictor / 32768.0)
+      val dataStart = blockStart + 4 * channels
+      val dataEnd = math.min(blockStart + blockAlign, until)
+      var word = dataStart
+      while (word + 4 <= dataEnd) {
+        // words alternate channels; keep only channel 0's
+        if (((word - dataStart) / 4) % channels == 0) {
+          var b = word
+          while (b < word + 4) {
+            val byte = u8(b)
+            var nib = 0
+            while (nib < 2) {
+              val code = if (nib == 0) byte & 0x0f else (byte >> 4) & 0x0f
+              val step = ImaStep(index)
+              var diff = step >> 3
+              if ((code & 1) != 0) diff += step >> 2
+              if ((code & 2) != 0) diff += step >> 1
+              if ((code & 4) != 0) diff += step
+              predictor =
+                if ((code & 8) != 0) math.max(predictor - diff, -32768)
+                else math.min(predictor + diff, 32767)
+              index = math.min(math.max(index + ImaIndexAdvance(code & 7), 0), 88)
+              acc.add(predictor / 32768.0)
+              nib += 1
             }
+            b += 1
           }
-          word += 4
         }
-        decoded
+        word += 4
       }
+      blockStart += blockAlign
+    }
   }
 
   def decodeWavPcm(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
@@ -417,6 +442,12 @@ object Multimodal {
     96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
     16000, 12000, 11025, 8000, 7350)
 
+  // MPEG audio sample-rate tables by version bits (hoisted: the frame walk
+  // must not allocate per frame)
+  private val Mp3RatesV1: Array[Int] = Array(44100, 48000, 32000)
+  private val Mp3RatesV2: Array[Int] = Array(22050, 24000, 16000)
+  private val Mp3RatesV25: Array[Int] = Array(11025, 12000, 8000)
+
   /** REAL compressed-audio structure probe — MP3 (MPEG 1/2/2.5 layer
     * I–III) and AAC (ADTS) framing is plain byte-level parsing, no codec
     * needed: skip any leading ID3v2 tag, then walk frame headers (sync
@@ -439,7 +470,11 @@ object Multimodal {
     // body (header itself is 10 more)
     if (data.length >= 10 && data(0) == 'I' && data(1) == 'D' && data(2) == '3') {
       val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
-      pos = 10 + size
+      // ID3v2.4 footer flag (0x10): the tag carries a trailing 10-byte
+      // footer beyond the declared body size — skip it too, or the walk
+      // reads '3DI' where it expects a sync word and rejects a valid file
+      val footer = if ((u8(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
       if (pos >= data.length) return None
     }
     var codec: String = null
@@ -485,9 +520,9 @@ object Multimodal {
               (codec != null && codec != "mp3")) ok = false
           else {
             val sr = (vBits match {
-              case 3 => Array(44100, 48000, 32000)
-              case 2 => Array(22050, 24000, 16000)
-              case _ => Array(11025, 12000, 8000)
+              case 3 => Mp3RatesV1
+              case 2 => Mp3RatesV2
+              case _ => Mp3RatesV25
             })(srIdx)
             val bitrateBps = Mp3Bitrates((group, layer))(brIdx) * 1000
             val samplesPerFrame =
@@ -618,7 +653,11 @@ object Multimodal {
     def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return Nil
     var usPerFrame = 0L
-    val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // (stream number, payload): a multi-stream AVI interleaves 00dc/01dc…
+    // chunks in file order — indexing across streams would double the
+    // apparent frame rate and misassign offsets, so frames are indexed
+    // within the FIRST (lowest-numbered) video stream only
+    val payloads = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     def walk(from: Int, until: Int): Unit = {
       var pos = from
       while (pos + 8 <= until) {
@@ -634,15 +673,20 @@ object Multimodal {
           usPerFrame = u32(body) // dwMicroSecPerFrame
         } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
             (id.endsWith("dc") || id.endsWith("db"))) {
-          payloads += java.util.Arrays.copyOfRange(data, body, body + size)
+          val stream = (id.charAt(0) - '0') * 10 + (id.charAt(1) - '0')
+          payloads += ((stream, java.util.Arrays.copyOfRange(data, body, body + size)))
         }
         pos = body + size + (size & 1) // chunks are word-aligned
       }
     }
     walk(12, data.length)
     val stepMs = if (usPerFrame > 0) usPerFrame / 1000 else 0L
-    payloads.toSeq.zipWithIndex.map { case (b, i) =>
-      Frame(mediaId, i, i * stepMs, b)
+    if (payloads.isEmpty) Nil
+    else {
+      val first = payloads.map(_._1).min
+      payloads.toSeq.filter(_._1 == first).map(_._2).zipWithIndex.map {
+        case (b, i) => Frame(mediaId, i, i * stepMs, b)
+      }
     }
   }
 
@@ -677,27 +721,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         parseAviFrames(r.media_id, r.data).flatMap { f =>
-          if (f.data.isEmpty) None
-          else {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.data))
-            if (img == null) None
-            else {
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val n = img.getWidth.toLong * img.getHeight
-              Some(VideoFrameInfo(r.media_id, f.frame_idx, f.offset_ms,
-                img.getWidth, img.getHeight,
-                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
-            }
+          // readImage also absorbs ImageIO exceptions: a truncated MJPEG
+          // frame (clamped chunk size) must drop, not kill the task
+          readImage(f.data).map { img =>
+            val (mr, mg, mb) = meanRgb(img)
+            VideoFrameInfo(r.media_id, f.frame_idx, f.offset_ms,
+              img.getWidth, img.getHeight, mr, mg, mb)
           }
         }
       }

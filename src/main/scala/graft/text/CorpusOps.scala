@@ -295,10 +295,16 @@ object CorpusOps {
           (graft.functions.exprs.polyBase(col("__g")) * lit(TextFunctions.PolyMod2) +
             graft.functions.exprs.polyBase2(col("__g"))).as("wh"))
       // canonical occurrence = first in (doc, start) order; all later
-      // occurrences of the same window are removed
-      val rn = row_number().over(
-        Window.partitionBy("wh").orderBy(col("id"), col("start")))
-      val removed = occ.withColumn("__rn", rn).filter(col("__rn") > 1)
+      // occurrences of the same window are removed. The canonical pick is
+      // a partial-aggregatable min(struct) per hash, NOT a row_number
+      // window: on the corpora this operator targets, one hot boilerplate
+      // window can occur millions of times, and a window partition would
+      // single-reducer-sort all of them — the min-struct combines map-side
+      // and the join back carries one row per distinct hash.
+      val canon = occ.groupBy("wh")
+        .agg(min(struct(col("id"), col("start"))).as("__c"))
+      val removed = occ.join(canon, "wh")
+        .filter(struct(col("id"), col("start")) =!= col("__c"))
       // union of covered positions — distinct because overlapping removed
       // windows cover shared positions
       val covered = removed
