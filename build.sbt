@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// ReviewFixSpec flips the process-global JVM default timezone inside one
+// test; suites must never run concurrently in the forked test JVM or a
+// parallel suite could observe Pacific/Kiritimati mid-test.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 run / fork := true
 // Pass the forked app's stdout straight through (no "[info] " prefix) so
 // harness code that greps our stdout for the bench/verify JSON line sees

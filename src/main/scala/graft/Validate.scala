@@ -113,6 +113,12 @@ object Validate {
         cnt(!inL && inR).as("only_r"),
         coalesce(countDistinct(when(inL, col("__k"))), lit(0L)).as("l_keys"),
         coalesce(countDistinct(when(inR, col("__k"))), lit(0L)).as("r_keys"),
+        // countDistinct ignores NULL, so null-keyed rows must be counted
+        // separately: without this, N null-keyed rows read as "N duplicate
+        // keys" (l_keys < trueL) — a misdiagnosis. Null keys also never
+        // equi-join, so they are reported as their own error below.
+        cnt(inL && col("__k").isNull).as("l_nulls"),
+        cnt(inR && col("__k").isNull).as("r_nulls"),
         min(when(inL, col("__k"))).cast("string").as("l_min"),
         max(when(inL, col("__k"))).cast("string").as("l_max"),
         min(when(inR, col("__k"))).cast("string").as("r_min"),
@@ -146,11 +152,18 @@ object Validate {
       }
       val lRows = trueL; val rRows = trueR
       val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (lng("l_keys") < trueL)
-        errors += s"left store has ${trueL - lng("l_keys")} duplicate " +
+      if (lng("l_nulls") > 0)
+        errors += s"left store has ${lng("l_nulls")} NULL $keyCol keys — " +
+          "null-keyed rows cannot be matched across stores"
+      if (lng("r_nulls") > 0)
+        errors += s"right store has ${lng("r_nulls")} NULL $keyCol keys — " +
+          "null-keyed rows cannot be matched across stores"
+      // duplicate check nets out the null-keyed rows counted above
+      if (lng("l_keys") + lng("l_nulls") < trueL)
+        errors += s"left store has ${trueL - lng("l_keys") - lng("l_nulls")} duplicate " +
           s"$keyCol keys — per-key comparison is ambiguous"
-      if (lng("r_keys") < trueR)
-        errors += s"right store has ${trueR - lng("r_keys")} duplicate " +
+      if (lng("r_keys") + lng("r_nulls") < trueR)
+        errors += s"right store has ${trueR - lng("r_keys") - lng("r_nulls")} duplicate " +
           s"$keyCol keys — per-key comparison is ambiguous"
       if (lRows == 0) errors += "no data in left store"
       if (rRows == 0) errors += "no data in right store"

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text operators (DataFrame → DataFrame): BM25 ranking and
@@ -266,12 +266,33 @@ object CorpusOps {
     * Docs shorter than `windowTokens` produce no windows, are never cut,
     * and pass through whole. A doc can be cut to the empty string when
     * every position is covered (a pure duplicate tail of another doc).
+    *
+    * Collision safety: because this op rewrites text (unlike the grouping
+    * ops, where a hash collision only over-groups), window identity is
+    * verified with an independent 64-bit xxhash64 before any removal —
+    * see the inline note at the occurrence scan. Windows whose identity
+    * hash collides but whose check hash disagrees are kept, never cut.
     */
   def removeDupSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 50
+  ): DataFrame =
+    removeDupSpansImpl(docs, idCol, textCol, windowTokens,
+      g => graft.functions.exprs.polyBase(g) * lit(TextFunctions.PolyMod2) +
+        graft.functions.exprs.polyBase2(g))
+
+  /** Core of [[removeDupSpans]] with the window-identity hash injectable so
+    * the collision guard is testable (a real 59-bit collision cannot be
+    * constructed in a test; a deliberately weak `idHash` can).
+    */
+  private[text] def removeDupSpansImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      idHash: Column => Column
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = windowTokens
@@ -292,19 +313,33 @@ object CorpusOps {
             i => array_join(slice(col("t"), i + lit(1), lit(w)), " ")))
             .as(Seq("start", "__g")))
         .select(col("id"), col("start"),
-          (graft.functions.exprs.polyBase(col("__g")) * lit(TextFunctions.PolyMod2) +
-            graft.functions.exprs.polyBase2(col("__g"))).as("wh"))
+          idHash(col("__g")).as("wh"),
+          // independent 64-bit verification hash (xxhash64, a different
+          // family from the polynomial pair): this op REWRITES text, so an
+          // identity-hash collision between two different windows must not
+          // silently cut a non-duplicate span. Removal below additionally
+          // requires the occurrence's check hash to equal the canonical
+          // occurrence's — a collision now needs ~59+64 bits to agree
+          // (birthday horizon ~1e18 windows; at the 100 TB target's ~1e13
+          // windows the spurious-removal expectation is ~1e-11 pairs).
+          // A detected collision is left in place (fails the dedup, never
+          // corrupts text) — the safe direction for a rewriting op.
+          xxhash64(col("__g")).as("whc"))
       // canonical occurrence = first in (doc, start) order; all later
       // occurrences of the same window are removed. The canonical pick is
       // a partial-aggregatable min(struct) per hash, NOT a row_number
       // window: on the corpora this operator targets, one hot boilerplate
       // window can occur millions of times, and a window partition would
       // single-reducer-sort all of them — the min-struct combines map-side
-      // and the join back carries one row per distinct hash.
+      // and the join back carries one row per distinct hash. The check
+      // hash rides along (ordering is (id, start) first, so it never
+      // influences the pick — occurrences are unique per (id, start)).
       val canon = occ.groupBy("wh")
-        .agg(min(struct(col("id"), col("start"))).as("__c"))
+        .agg(min(struct(col("id"), col("start"), col("whc"))).as("__c"))
       val removed = occ.join(canon, "wh")
-        .filter(struct(col("id"), col("start")) =!= col("__c"))
+        .filter(struct(col("id"), col("start")) =!=
+          struct(col("__c.id").as("id"), col("__c.start").as("start")))
+        .filter(col("whc") === col("__c.whc"))
       // union of covered positions — distinct because overlapping removed
       // windows cover shared positions
       val covered = removed

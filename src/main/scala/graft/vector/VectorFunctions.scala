@@ -692,7 +692,11 @@ object VectorFunctions {
     * Σ|cell|² ≈ n²/k, embarrassingly parallel across cells, instead of n².
     * At 10⁹ vectors pick k so the largest cell's pair block fits an
     * executor (k ≈ n/50k keeps cells ~50k ⇒ ~1.25G pairs/cell-group,
-    * sharded by the join); every other step is the trained-IVF machinery
+    * sharded by the join); `maxCellSize` guards the adversarial case where
+    * k-means collapses onto a near-duplicate corpus — oversized cells are
+    * hash-split into sub-cells so no pair block exceeds ~maxCellSize²,
+    * trading recall only inside the split cells (see the inline note);
+    * every other step is the trained-IVF machinery
     * ([[kmeans]] broadcast argmax assignment — the corpus never shuffles
     * to learn its cell — plus one groupBy for the keep rule).
     *
@@ -712,7 +716,8 @@ object VectorFunctions {
       k: Int = 8,
       trainIters: Int = 2,
       tau: Double = 0.3,
-      maxIters: Int = 25
+      maxIters: Int = 25,
+      maxCellSize: Int = 50000
   ): DataFrame = {
     val cents = kmeans(corpus, idCol, vecCol, k, trainIters)
       .select(col("cell"), col("centroid").as("__cent"))
@@ -723,10 +728,30 @@ object VectorFunctions {
       .join(broadcast(cents), Seq("cell")) // k rows: the centroid vector back
       .withColumn("simc", cosine(col("__v"), col("__cent")))
       .select("id", "__v", "cell", "simc")
-    // exact pairwise cosine WITHIN each cell (the bounded quadratic)
-    val a = assigned.select(col("cell"), col("id").as("pa"), col("__v").as("__va"))
-    val b = assigned.select(col("cell"), col("id").as("pb"), col("__v").as("__vb"))
-    val pairs = a.join(b, Seq("cell"))
+    // HOT-CELL GUARD: the within-cell pair join is n_cell² — if k-means
+    // collapses (a near-duplicate corpus, exactly the input a dedup op
+    // sees), one cell can hold ~n vectors and the quadratic is unbounded.
+    // Cells above `maxCellSize` are split into ceil(n_cell/maxCellSize)
+    // sub-cells by an id hash, capping any pair block at ~maxCellSize²
+    // (same posture as the as-of skew bucketing, `leftAsofBucketed`).
+    // Recall trade, documented: pairs across sub-cells of one hot cell are
+    // not compared, so a dup group spanning sub-cells may split — bounded
+    // wall is bought with recall ONLY on cells the guard touches; cells
+    // under the cap (all cells, on normal data with the default) are
+    // exact and the output is bit-identical to the unguarded op.
+    // `sizes` has ≤ k rows (one per cell) — broadcast, no extra shuffle
+    // of the corpus: sub-cell assignment stays a narrow map.
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val sub = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("__nsub",
+        ceil(col("__cn").cast("double") / lit(maxCellSize.toDouble)).cast("int"))
+      .withColumn("subcell",
+        when(col("__nsub") <= 1, lit(0))
+          .otherwise(pmod(xxhash64(col("id")), col("__nsub").cast("long")).cast("int")))
+    // exact pairwise cosine WITHIN each (cell, subcell) — the bounded quadratic
+    val a = sub.select(col("cell"), col("subcell"), col("id").as("pa"), col("__v").as("__va"))
+    val b = sub.select(col("cell"), col("subcell"), col("id").as("pb"), col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("cell", "subcell"))
       .filter(col("pa") < col("pb"))
       .filter(cosine(col("__va"), col("__vb")) >= tau)
       .select("pa", "pb")

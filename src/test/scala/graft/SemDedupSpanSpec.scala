@@ -107,4 +107,47 @@ class SemDedupSpanSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toString).toSeq
     assert(run(semCorpus) === run(semCorpus.repartition(7)))
   }
+
+  // an all-identical corpus: k-means collapses every vector into one cell,
+  // the adversarial shape where the within-cell pair join is n² unguarded
+  private def collapsedCorpus(n: Int) =
+    (1 to n).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+
+  test("semDedup hot-cell guard: collapsed cell is hash-split, pair work bounded") {
+    val n = 60
+    val out = VectorFunctions
+      .semDedup(collapsedCorpus(n), "vec_id", "embedding",
+        k = 2, trainIters = 1, tau = 0.9, maxCellSize = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.length === n) // every vector still classified
+    val groups = out.groupBy(_._2)
+    // the guard split the hot cell: no group (= sub-cell pair block) may
+    // span the whole corpus, and each group still keeps exactly one rep
+    assert(groups.size > 1)
+    assert(groups.values.map(_.size).max < n)
+    assert(groups.values.map(_.size).sum === n)
+    groups.values.foreach(ms => assert(ms.count(_._3) === 1))
+    // sub-cell sizes are ceil-capped: ceil(60/10)=6 sub-cells, so the
+    // largest pair block is far under the unguarded 60²
+    assert(groups.size >= 4)
+  }
+
+  test("semDedup hot-cell guard: inert below the cap (bit-identical output)") {
+    def run(cap: Int) = VectorFunctions
+      .semDedup(semCorpus, "vec_id", "embedding",
+        k = 4, trainIters = 2, tau = 0.9, maxCellSize = cap)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(run(50000) === run(Int.MaxValue))
+  }
+
+  test("semDedup hot-cell guard: deterministic under repartitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) = VectorFunctions
+      .semDedup(df, "vec_id", "embedding",
+        k = 2, trainIters = 1, tau = 0.9, maxCellSize = 10)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val c = collapsedCorpus(60)
+    assert(run(c) === run(c.repartition(11)))
+  }
 }

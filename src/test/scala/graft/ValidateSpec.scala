@@ -67,4 +67,29 @@ class ValidateSpec extends SparkSpec {
     val rAsk = Validate.compareStores(base, badBid, valueCols = Seq("ask"))
     assert(rAsk.passed, rAsk.errors.mkString("; "))
   }
+
+  test("NULL keys are reported as NULL keys, not misdiagnosed as duplicates") {
+    // advisor r9: countDistinct ignores NULL, so pre-fix N null-keyed rows
+    // read as "N duplicate keys" — and two IDENTICAL stores with NULL keys
+    // failed with that misleading error
+    val withNulls = Seq(
+      (Option(1L), 1.0, 1.1), (Option(2L), 1.0, 1.1),
+      (Option.empty[Long], 1.0, 1.1), (Option.empty[Long], 1.0, 1.1))
+      .toDF("ts", "bid", "ask")
+    val r = Validate.compareStores(withNulls, withNulls)
+    assert(!r.passed)
+    assert(r.errors.count(_.contains("NULL ts keys")) === 2) // both sides
+    assert(!r.errors.exists(_.contains("duplicate")))
+  }
+
+  test("genuine duplicate keys are still detected alongside NULL keys") {
+    val dupAndNull = Seq(
+      (Option(1L), 1.0, 1.1), (Option(1L), 2.0, 2.1),
+      (Option.empty[Long], 1.0, 1.1))
+      .toDF("ts", "bid", "ask")
+    val r = Validate.compareStores(dupAndNull, ticks(Seq((1L, 1.0, 1.1), (2L, 1.0, 1.1), (3L, 1.0, 1.1))))
+    assert(!r.passed)
+    assert(r.errors.exists(e => e.contains("left store has 1 duplicate")))
+    assert(r.errors.exists(e => e.contains("left store has 1 NULL ts keys")))
+  }
 }
