@@ -16,6 +16,26 @@ object Bench {
     // JVM startup cost isn't attributed to whichever query runs first
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // LOAD SENTINEL: a fixed calibration workload timed immediately before
+    // and immediately after the suite. On an idle machine the two walls
+    // agree; concurrent load (another build, a stray executor) slows the
+    // second run. A >25% disagreement marks the WHOLE record contended so
+    // a dirty run can never be recorded silently — the BENCH_r05/r09
+    // artifacts were exactly that: fixpoint queries 2-4x their idle band
+    // with zero code change, recorded as if real. min-of-3 per probe keeps
+    // the sentinel itself robust to one-off scheduler blips.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(100000000L)
+          .selectExpr("sum(id % 7) AS s", "count(DISTINCT id % 1024) AS c")
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once() // warm (codegen + JIT steady state for this exact plan)
+      (1 to 3).map(_ => once()).min
+    }
+    val calibFirst = calibrate()
     // Optional args: query names to run (default all); SPARK_GRAFT_ITERS
     // repeats each query and keeps the fastest run (profiling aid — the
     // driver invokes with no args / no env, preserving the 1-shot contract).
@@ -48,6 +68,9 @@ object Bench {
       }
       if (runs.isEmpty) None else Some(name -> runs.min)
     }
+    val calibLast = calibrate()
+    val contended =
+      math.abs(calibLast - calibFirst) / math.min(calibFirst, calibLast) > 0.25
     def fmt(v: Double): String = f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -69,11 +92,13 @@ object Bench {
     val headlineRs = headline.flatMap(k => resultMap.get(k).map(k -> _))
     val shown = if (headlineRs.nonEmpty) headlineRs else results
     val errJson = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentinel =
+      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"contended":$contended"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"nq":${results.size},"nerr":${errors.distinct.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"nq":${results.size},"nerr":${errors.distinct.size},"errors":$errJson,$sentinel,"sf":"$sfDir"}"""
     try {
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"nq":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"nq":${results.size},"errors":$errJson,$sentinel,"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
