@@ -17,11 +17,15 @@ import org.apache.spark.sql.types._
   * frame-header walks yield sample rate, channels, bitrate, frame/sample
   * counts and duration codec-free), AVI frame demux for any codec
   * ([[extractAviFrames]]), and MJPEG video pixel decode
-  * ([[decodeAviFrames]] — each MJPEG frame is a standalone JPEG). Only
+  * ([[decodeAviFrames]] — each MJPEG frame is a standalone JPEG).
+  * Feature extraction ([[extractFeatures]]) is REAL too: perceptual
+  * hash + color histogram over decoded pixels for images and MJPEG
+  * video, Goertzel spectral-band energies over decoded PCM for audio —
+  * re-encodes of the same content collide, distinct media don't. Only
   * MP3/AAC SAMPLE synthesis and non-MJPEG video pixel decode remain
-  * STUBS — deterministic fakes over the raw bytes, clearly marked below —
-  * because those genuinely need codec libraries this container doesn't
-  * ship.
+  * STUBS — those genuinely need codec libraries this container doesn't
+  * ship; undecodable payloads fall back to the non-perceptual
+  * [[byteHistogram]], clearly marked.
   * Everything around them is the real Spark shape a production decoder
   * plugs into: explicit schema, `Dataset.mapPartitions` (one JVM decoder
   * instance per partition, amortized init — the same batch shape a Pandas
@@ -61,12 +65,13 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, data: Array[Byte])
 
-  /** STUB decode kernel: a real implementation would decode the image/audio
-    * payload (e.g. javax.imageio / ffmpeg bindings) and emit model features.
-    * The deterministic fake — a normalized 16-bin byte histogram — keeps the
-    * pipeline testable end-to-end without codecs.
+  /** FALLBACK feature kernel for payloads no in-engine decoder parses
+    * (unknown formats, corrupt bytes, codec-needing media): a normalized
+    * 16-bin byte histogram. Deterministic, content-sensitive, but NOT
+    * perceptual — a re-encode of the same content will not collide here.
+    * Decodable payloads never reach this path (see [[extractFeatures]]).
     */
-  private[multimodal] def stubFeatures(data: Array[Byte]): Array[Double] = {
+  private[multimodal] def byteHistogram(data: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     if (data == null || data.isEmpty) return hist
     data.foreach(b => hist((b & 0xff) >> 4) += 1.0)
@@ -74,16 +79,114 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Feature extraction: partition-local decode with per-partition decoder
-    * init (the pattern a real codec needs — init once, stream rows).
+  /** Perceptual image features over DECODED pixels (any ImageIO format —
+    * PNG/BMP/GIF/JPEG): an 8×8 average-luminance perceptual hash (aHash —
+    * each grid cell's mean luminance vs the global mean, emitted as ±1 so
+    * cosine over the 64 dims is Hamming agreement) followed by a
+    * 3×8-bin normalized RGB histogram. Lossless re-encodes of the same
+    * pixels (PNG↔BMP) produce IDENTICAL vectors; lossy re-encodes (JPEG)
+    * land within a high-cosine ball; distinct images scatter. O(pixels),
+    * one pass, allocation-bounded by the fixed 88-dim output.
+    */
+  private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellLum = new Array[Double](64)
+    val cellN = new Array[Long](64)
+    val hist = new Array[Double](24) // r[0..7], g[8..15], b[16..23]
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val cell = cy * 8 + math.min(x * 8 / w, 7)
+        // ITU-R BT.601 luma weights
+        cellLum(cell) += 0.299 * r + 0.587 * g + 0.114 * b
+        cellN(cell) += 1
+        hist(r >> 5) += 1.0
+        hist(8 + (g >> 5)) += 1.0
+        hist(16 + (b >> 5)) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i => if (cellN(i) > 0) cellLum(i) / cellN(i) else 0.0)
+    val grand = means.sum / 64.0
+    val out = new Array[Double](88)
+    var i = 0
+    while (i < 64) { out(i) = if (means(i) >= grand) 1.0 else -1.0; i += 1 }
+    val px = (w.toLong * h).toDouble
+    i = 0
+    while (i < 24) { out(64 + i) = hist(i) / px; i += 1 }
+    out
+  }
+
+  /** Spectral features over DECODED channel-0 audio samples: normalized
+    * Goertzel band energies at `bands` fixed normalized frequencies spread
+    * over (0, Nyquist). Energy DISTRIBUTION, not absolute level, so the
+    * vector is invariant to gain and collides across codings of the same
+    * signal (PCM16 vs G.711 of one waveform differ only by companding
+    * noise). All-zero when the signal carries no energy.
+    */
+  private final class SpectralStats(bands: Int) extends SampleSink {
+    private val coeff =
+      Array.tabulate(bands)(k => 2.0 * math.cos(2.0 * math.Pi * (k + 1) / (2.0 * (bands + 1))))
+    private val s1 = new Array[Double](bands)
+    private val s2 = new Array[Double](bands)
+    private var samples = 0L
+    def count: Long = samples
+    def add(s: Double): Unit = {
+      var k = 0
+      while (k < bands) {
+        val s0 = s + coeff(k) * s1(k) - s2(k)
+        s2(k) = s1(k)
+        s1(k) = s0
+        k += 1
+      }
+      samples += 1
+    }
+    def energies: Array[Double] = {
+      val e = Array.tabulate(bands)(k =>
+        math.max(s1(k) * s1(k) + s2(k) * s2(k) - coeff(k) * s1(k) * s2(k), 0.0))
+      val tot = e.sum
+      if (tot > 0.0) e.map(_ / tot) else e
+    }
+  }
+
+  /** Feature extraction over DECODED content, dispatched per payload:
+    *   - image → [[imageFeatures]] (perceptual hash + color histogram)
+    *   - audio (WAV PCM / G.711 / IMA ADPCM) → [[SpectralStats]] band
+    *     energies over the decoded channel-0 samples
+    *   - video (AVI) → [[imageFeatures]] of the first decodable MJPEG frame
+    *   - anything undecodable → [[byteHistogram]] fallback (the one
+    *     remaining non-perceptual path: media needing real codec libraries)
+    * Partition-local decode (one `mapPartitions` pass — decoder state is
+    * per-partition, payloads never shuffle).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // STUB: real decoder/codec handle would be constructed here, once
-      // per partition, and closed at iterator end.
-      rows.map(r => MediaFeatures(r.media_id, r.kind, Option(r.data).map(_.length).getOrElse(0),
-        stubFeatures(r.data)))
+      rows.map { r =>
+        val decoded: Option[Array[Double]] = r.kind match {
+          case "image" => readImage(r.data).map(imageFeatures)
+          case "audio" =>
+            val spec = new SpectralStats(8)
+            decodeWavChannel0(r.data, spec)
+            if (spec.count > 0) Some(spec.energies) else None
+          case "video" =>
+            parseAviFrames(r.media_id, r.data).iterator
+              .flatMap(f => readImage(f.data))
+              .map(imageFeatures)
+              .nextOption()
+          case _ => None
+        }
+        MediaFeatures(r.media_id, r.kind, Option(r.data).map(_.length).getOrElse(0),
+          decoded.getOrElse(byteHistogram(r.data)))
+      }
     }
   }
 
@@ -264,6 +367,23 @@ object Multimodal {
     * scope (MP3/AAC synthesis genuinely needs codec libraries).
     */
   private[multimodal] def parseWavPcm(mediaId: Long, data: Array[Byte]): Option[AudioInfo] = {
+    val acc = new SampleStats
+    decodeWavChannel0(data, acc).collect {
+      case (rate, channels, bits) if acc.n > 0 =>
+        AudioInfo(mediaId, rate, channels, bits,
+          acc.n, acc.n * 1000L / rate, math.sqrt(acc.sumSq / acc.n),
+          acc.crossings)
+    }
+  }
+
+  /** RIFF/WAVE chunk walk + channel-0 decode into an arbitrary sink
+    * (shared by [[parseWavPcm]]'s amplitude stats and
+    * [[extractFeatures]]'s spectral accumulator). Returns the `fmt `
+    * header fields `(rate, channels, bits)` of the first `data` chunk
+    * that produced samples, None when the payload is not decodable WAV.
+    */
+  private def decodeWavChannel0(
+      data: Array[Byte], sink: SampleSink): Option[(Int, Int, Int)] = {
     if (data == null || data.length < 44) return None
     def u8(i: Int): Int = data(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -273,7 +393,7 @@ object Multimodal {
     var pos = 12
     // (format, channels, rate, blockAlign, bits)
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
-    var out: Option[AudioInfo] = None
+    var out: Option[(Int, Int, Int)] = None
     while (pos + 8 <= data.length && out.isEmpty) {
       val id = tag(pos)
       // clamp malformed/huge declared sizes: a negative or
@@ -290,21 +410,19 @@ object Multimodal {
             // decoders feed the accumulator directly from unboxed while
             // loops — an Iterator[Double] pipeline here would box two
             // objects per audio sample in the file's hottest path
-            val acc = new SampleStats
+            val before = sink.count
             audioFormat match {
               case 1 if bits == 8 || bits == 16 =>
-                pcmChannel0(data, body, end, channels, bits, acc)
+                pcmChannel0(data, body, end, channels, bits, sink)
               case 6 if bits == 8 =>
-                g711Channel0(data, body, end, channels, ALawTable, acc)
+                g711Channel0(data, body, end, channels, ALawTable, sink)
               case 7 if bits == 8 =>
-                g711Channel0(data, body, end, channels, MuLawTable, acc)
+                g711Channel0(data, body, end, channels, MuLawTable, sink)
               case 0x11 if bits == 4 && blockAlign >= 4 * channels =>
-                imaChannel0(data, body, end, channels, blockAlign, acc)
+                imaChannel0(data, body, end, channels, blockAlign, sink)
               case _ => ()
             }
-            if (acc.n > 0) out = Some(AudioInfo(mediaId, rate, channels, bits,
-              acc.n, acc.n * 1000L / rate, math.sqrt(acc.sumSq / acc.n),
-              acc.crossings))
+            if (sink.count > before) out = Some((rate, channels, bits))
           }
         }
       }
@@ -313,11 +431,21 @@ object Multimodal {
     out
   }
 
+  /** Per-sample accumulator interface the channel-0 decode loops feed —
+    * `count` lets the chunk walk detect whether a data chunk produced
+    * samples without knowing the concrete accumulator.
+    */
+  private trait SampleSink {
+    def add(s: Double): Unit
+    def count: Long
+  }
+
   /** Streaming per-sample statistics (RMS sum-of-squares + zero crossings
     * over the first channel). A final class with primitive vars so the
     * decode loops stay allocation-free — `add` is monomorphic and inlines.
     */
-  private final class SampleStats {
+  private final class SampleStats extends SampleSink {
+    def count: Long = n
     var n: Long = 0L
     var sumSq: Double = 0.0
     var crossings: Long = 0L
@@ -336,7 +464,7 @@ object Multimodal {
     */
   private def pcmChannel0(
       data: Array[Byte], from: Int, until: Int,
-      channels: Int, bits: Int, acc: SampleStats): Unit = {
+      channels: Int, bits: Int, acc: SampleSink): Unit = {
     val bytesPerSample = bits / 8
     val stride = bytesPerSample * channels
     var i = from
@@ -353,7 +481,7 @@ object Multimodal {
     */
   private def g711Channel0(
       data: Array[Byte], from: Int, until: Int,
-      channels: Int, table: Array[Short], acc: SampleStats): Unit = {
+      channels: Int, table: Array[Short], acc: SampleSink): Unit = {
     var i = from
     while (i < until) {
       acc.add(table(data(i) & 0xff) / 32768.0)
@@ -370,7 +498,7 @@ object Multimodal {
     */
   private def imaChannel0(
       data: Array[Byte], from: Int, until: Int,
-      channels: Int, blockAlign: Int, acc: SampleStats): Unit = {
+      channels: Int, blockAlign: Int, acc: SampleSink): Unit = {
     def u8(i: Int): Int = data(i) & 0xff
     var blockStart = from
     while (blockStart + 4 * channels <= until) {

@@ -203,7 +203,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(p.duration_ms == 7250L && p.n_tracks == 2)
   }
 
-  test("multimodal: stub feature extraction preserves batch shape") {
+  test("multimodal: undecodable payloads fall back to the byte histogram") {
+    // syntheticMedia payloads are junk bytes — no decoder parses them, so
+    // every row takes the documented non-perceptual fallback
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === 30)
@@ -212,6 +214,142 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(math.abs(f.features.sum - 1.0) < 1e-9) // normalized histogram
       assert(f.n_bytes >= 128)
     }
+  }
+
+  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("multimodal: perceptual features — image re-encodes collide, distinct images don't") {
+    import spark.implicits._
+    // a patterned (non-solid) image so the perceptual hash has structure
+    def pattern(invert: Boolean): java.awt.image.BufferedImage = {
+      // blocks aligned to the 8x8 hash grid (8x6 px per cell) so cell
+      // means sit far from the grand mean — JPEG ringing at block edges
+      // then cannot flip perceptual-hash bits
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val bright = ((x / 8) + (y / 6)) % 2 == 0
+        val on = if (invert) !bright else bright
+        img.setRGB(x, y, if (on) 0xE0D040 else 0x102030)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "png", None, None, None, enc(pattern(false), "png")),
+      Multimodal.MediaRow(2L, "image", "bmp", None, None, None, enc(pattern(false), "bmp")),
+      Multimodal.MediaRow(3L, "image", "jpg", None, None, None, enc(pattern(false), "jpg")),
+      Multimodal.MediaRow(4L, "image", "png", None, None, None, enc(pattern(true), "png"))).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    f.values.foreach(v => assert(v.length === 88)) // all took the decoded path
+    // lossless re-encode (PNG vs BMP): identical pixels -> identical vector
+    assert(f(1L).toSeq === f(2L).toSeq)
+    // lossy re-encode (JPEG): same content within a tight cosine ball
+    assert(cosineOf(f(1L), f(3L)) > 0.95)
+    // the inverted pattern flips every perceptual-hash bit: clearly apart
+    assert(cosineOf(f(1L), f(4L)) < 0.5)
+  }
+
+  test("multimodal: embed → near-dup pipeline groups re-encodes, separates distinct media") {
+    import spark.implicits._
+    def pattern(invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val bright = ((x / 8) + (y / 6)) % 2 == 0
+        val on = if (invert) !bright else bright
+        img.setRGB(x, y, if (on) 0xE0D040 else 0x102030)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "png", None, None, None, enc(pattern(false), "png")),
+      Multimodal.MediaRow(2L, "image", "bmp", None, None, None, enc(pattern(false), "bmp")),
+      Multimodal.MediaRow(3L, "image", "jpg", None, None, None, enc(pattern(false), "jpg")),
+      Multimodal.MediaRow(4L, "image", "png", None, None, None, enc(pattern(true), "png"))).toDS()
+    // features feed the engine's semantic-dedup operator unchanged: the
+    // multimodal near-dup path IS the embedding near-dup path
+    val embedded = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"),
+        expr("transform(features, x -> CAST(x AS FLOAT))").as("embedding"))
+    val out = graft.vector.VectorFunctions
+      .semDedup(embedded, "media_id", "embedding", k = 2, trainIters = 1, tau = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    val groupOf = out.map(t => t._1 -> t._2).toMap
+    // the three re-encodes of one image form a single group...
+    assert(groupOf(1L) === groupOf(2L) && groupOf(2L) === groupOf(3L))
+    // ...the inverted image stays apart, and each group keeps one rep
+    assert(groupOf(4L) !== groupOf(1L))
+    assert(out.count(_._3) === 2)
+  }
+
+  test("multimodal: perceptual features — audio codings collide, distinct signals don't") {
+    import spark.implicits._
+    val rate = 8000; val n = 4000
+    // two spectrally distinct signals: low mix (300+700 Hz) vs high (3000 Hz)
+    def sig(freqs: Seq[Double]): Array[Double] = Array.tabulate(n) { i =>
+      freqs.map(fr => 0.4 * math.sin(2 * math.Pi * fr * i / rate)).sum
+    }
+    def wavPcm16(s: Array[Double]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      o.writeBytes("RIFF"); le32(36 + n * 2); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); le32(16); le16(1); le16(1)
+      le32(rate); le32(rate * 2); le16(2); le16(16)
+      o.writeBytes("data"); le32(n * 2)
+      s.foreach(v => le16(math.max(-32768, math.min(32767,
+        math.round(v * 32767).toInt))))
+      bo.toByteArray
+    }
+    def wavMuLaw(s: Array[Double]): Array[Byte] = {
+      // nearest-expansion µ-law compressor (256-entry search per sample —
+      // test-only; exercises the G.711 decode path on a real re-coding)
+      def compress(v: Double): Int = {
+        val lin = math.max(-32768, math.min(32767, math.round(v * 32767).toInt))
+        (0 until 256).minBy(b => math.abs(Multimodal.MuLawTable(b) - lin))
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      o.writeBytes("RIFF"); le32(36 + n); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); le32(16); le16(7); le16(1) // µ-law, mono
+      le32(rate); le32(rate); le16(1); le16(8)
+      o.writeBytes("data"); le32(n)
+      s.foreach(v => o.write(compress(v)))
+      bo.toByteArray
+    }
+    val low = sig(Seq(300.0, 700.0))
+    val high = sig(Seq(3000.0))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", "wav", None, None, None, wavPcm16(low)),
+      Multimodal.MediaRow(2L, "audio", "wav", None, None, None, wavMuLaw(low)),
+      Multimodal.MediaRow(3L, "audio", "wav", None, None, None, wavPcm16(high))).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    f.values.foreach(v => assert(v.length === 8)) // all took the decoded path
+    // same waveform, different coding: companding noise only
+    assert(cosineOf(f(1L), f(2L)) > 0.99)
+    // spectrally distinct signals separate decisively
+    assert(cosineOf(f(1L), f(3L)) < 0.5)
   }
 
   test("multimodal: frame sampling explodes video rows only") {
