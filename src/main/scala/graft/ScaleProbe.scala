@@ -199,6 +199,54 @@ object ScaleProbe {
       }
     }
 
+    // Round-10 probes.
+    // (a) SemDeDup one decade further: k ∝ √n at 1×/20×/100× docs — the
+    //     paper's O(n^1.5) curve measured across two decades, and the
+    //     linear semanticDupGroups beside it to locate the crossover
+    //     where the LSH path becomes the recommended one.
+    // (b) Hot-cell guard: an ALL-near-dup corpus collapses k-means into
+    //     one cell — unguarded, the within-cell pair join is n² (walls
+    //     measured at small n to stay runnable); guarded (maxCellSize),
+    //     pair work is n·cap/2, so doubling docs should ~double wall.
+    if (sec("r10ops")) {
+      def semdedupK(df: DataFrame, kCells: Int) = graft.vector.VectorFunctions
+        .semDedup(withVecs(df), "doc_id", "embedding",
+          k = kCells, trainIters = 2, tau = 0.9)
+        .filter(col("kept")).count()
+      def semgroups(df: DataFrame) = graft.vector.VectorFunctions
+        .semanticDupGroups(withVecs(df), "doc_id", "embedding").count()
+      semdedupK(docsSrc, 32); semgroups(docsSrc) // JIT/codegen warm-up
+      println(f"${"op"}%-14s ${"docs"}%8s ${"k"}%6s ${"wall_s"}%8s")
+      Seq(1, 20, 100).foreach { mult =>
+        val docs = synthDocs(5000L * mult)
+        docs.write.mode("overwrite").parquet(s"$base/docs_r10_x$mult")
+        val df = spark.read.parquet(s"$base/docs_r10_x$mult")
+        val kCells = math.max(32, (32 * math.sqrt(mult.toDouble)).toInt)
+        semgroups(df) // warm the parquet/plan path once per size
+        val tg = time(semgroups(df))
+        val ts = time(semdedupK(df, kCells))
+        println(f"semdedup_sqrtk ${5000L * mult}%8d $kCells%6d $ts%8.2f")
+        println(f"semgroups_lsh  ${5000L * mult}%8d ${"-"}%6s $tg%8.2f")
+      }
+      // adversarial corpus: every embedding identical
+      def identVecs(n: Long): DataFrame = spark.range(n)
+        .select(col("id").as("doc_id"),
+          expr("transform(sequence(1, 8), i -> CAST(1.0 AS FLOAT))").as("embedding"))
+      def hot(df: DataFrame, cap: Int) = graft.vector.VectorFunctions
+        .semDedup(df, "doc_id", "embedding",
+          k = 4, trainIters = 1, tau = 0.9, maxCellSize = cap)
+        .filter(col("kept")).count()
+      println(f"${"hotcell"}%-14s ${"docs"}%8s ${"cap"}%8s wall_s")
+      Seq(5000L, 10000L).foreach { n =>
+        val t = time(hot(identVecs(n), Int.MaxValue))
+        println(f"unguarded      $n%8d ${"inf"}%8s $t%8.2f")
+      }
+      Seq(50000L, 100000L).foreach { n =>
+        val t = time(hot(identVecs(n), 200))
+        println(f"guarded        $n%8d ${200}%8d $t%8.2f")
+      }
+    }
+
     // dedup-groups round-count probe: each fixpoint round is one
     // synchronous Spark job, so at 100 TB the ROUND count (not per-round
     // cost, which is linear and amortizes) is the scale lever. Measure it

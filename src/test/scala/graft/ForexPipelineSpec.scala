@@ -228,6 +228,55 @@ class ForexPipelineSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("timestamp", "bid", "ask"))
   }
 
+  test("zip ingestion survives corrupt members, truncated rows, non-UTF-8 bytes") {
+    val dir = Files.createTempDirectory("graft_zip_chaos")
+    def writeZip(name: String, entry: String, bytes: Array[Byte]): Path = {
+      val p = dir.resolve(name)
+      val zos = new ZipOutputStream(Files.newOutputStream(p))
+      zos.putNextEntry(new ZipEntry(entry)); zos.write(bytes)
+      zos.closeEntry(); zos.close()
+      p
+    }
+    // archive 1: clean month
+    writeZip("good.zip", "Exness_EURUSD_2024_01.csv", rawCsv.getBytes("UTF-8"))
+    // archive 2: damaged rows — its OWN header line (must strip, not
+    // null-parse), a truncated row, an empty field, a garbled row, a row
+    // with invalid UTF-8 bytes, and two clean rows
+    val damagedHead = ("Timestamp,Bid,Ask\n" +
+      "2024-03-01 00:00:00.000000,1.20000,1.20010\n" +
+      "2024-03-01 00:00:01.000000,1.2\n" + // truncated: Ask missing
+      "2024-03-01 00:00:02.000000,,1.20010\n" + // empty Bid
+      "not a tick row at all\n").getBytes("UTF-8")
+    val utf8Bad = "2024-03-01 00:00:03.000000,1.2".getBytes("UTF-8") ++
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ ",1.23\n".getBytes("UTF-8")
+    val damagedTail = "2024-03-01 00:00:04.000000,1.20020,1.20030\n".getBytes("UTF-8")
+    writeZip("damaged_rows.zip", "Exness_EURUSD_2024_03.csv",
+      damagedHead ++ utf8Bad ++ damagedTail)
+    // archive 3: a corrupt member — a real archive truncated mid-deflate
+    val bigCsv = ("Timestamp,Bid,Ask\n" + (1 to 5000).map(i =>
+      f"2024-04-01 00:${i / 3600}%02d:${(i / 60) % 60}%02d.${i % 60}%06d,1.$i%05d,1.$i%05d")
+      .mkString("\n")).getBytes("UTF-8")
+    val whole = Files.readAllBytes(
+      writeZip("whole.zip", "Exness_EURUSD_2024_04.csv", bigCsv))
+    Files.delete(dir.resolve("whole.zip"))
+    Files.write(dir.resolve("corrupt.zip"), whole.take(whole.length / 2))
+
+    val res = TickIngest.readZipsWithBadRecords(spark, dir.toString)
+    // good rows survive: 9 clean + 2 clean from the damaged archive, plus
+    // whatever decompressed from the corrupt member before it died
+    val ticks = res.ticks.collect()
+    assert(ticks.count(_.getTimestamp(0).toString.startsWith("2024-03")) === 2)
+    assert(ticks.count(_.getTimestamp(0).toString.startsWith("2024-01")) === 7)
+    assert(ticks.count(_.getTimestamp(0).toString.startsWith("2024-02")) === 2)
+    assert(ticks.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
+    // damage is counted, not fatal: 4 bad rows + exactly 1 corrupt-member
+    // marker (headers are stripped, never counted)
+    val bad = res.badRecords.collect().map(r => Option(r.getString(0)))
+    assert(bad.count(_.exists(_.contains("corrupt_zip_member"))) === 1)
+    assert(bad.length === 5, bad.mkString("; "))
+    assert(res.badRecordCount === 5)
+  }
+
   test("fetcher spools monthly archives from a base URL, skip-if-exists") {
     import graft.ingest.TickFetcher
     // fixture "remote": a file:// tree with the reference URL layout,
