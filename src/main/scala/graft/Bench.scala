@@ -17,25 +17,25 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // LOAD SENTINEL: a fixed calibration workload timed immediately before
-    // and immediately after the suite. On an idle machine the two walls
+    // and immediately after the TIMED suite (both probes run on the
+    // already-warmed JVM — bracketing the warm-up loop too would read
+    // JIT/GC lifecycle drift as load). On an idle machine the two walls
     // agree; concurrent load (another build, a stray executor) slows the
-    // second run. A >25% disagreement marks the WHOLE record contended so
-    // a dirty run can never be recorded silently — the BENCH_r05/r09
+    // second probe. A >25% disagreement marks the WHOLE record contended
+    // so a dirty run can never be recorded silently — the BENCH_r05/r09
     // artifacts were exactly that: fixpoint queries 2-4x their idle band
-    // with zero code change, recorded as if real. min-of-3 per probe keeps
-    // the sentinel itself robust to one-off scheduler blips.
+    // with zero code change, recorded as if real. The probe is a
+    // single-stage no-shuffle scan (min-of-5, pre-warmed) so its own
+    // variance stays well under the threshold.
     def calibrate(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        spark.range(100000000L)
-          .selectExpr("sum(id % 7) AS s", "count(DISTINCT id % 1024) AS c")
-          .collect()
+        spark.range(400000000L).selectExpr("sum(id % 1000003) AS s").collect()
         (System.nanoTime() - t0) / 1e9
       }
       once(); once() // warm (codegen + JIT steady state for this exact plan)
-      (1 to 3).map(_ => once()).min
+      (1 to 5).map(_ => once()).min
     }
-    val calibFirst = calibrate()
     // Optional args: query names to run (default all); SPARK_GRAFT_ITERS
     // repeats each query and keeps the fastest run (profiling aid — the
     // driver invokes with no args / no env, preserving the 1-shot contract).
@@ -51,6 +51,7 @@ object Bench {
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    val calibFirst = calibrate()
     // A query that throws is a FAILURE, never a timing: recording its
     // time-to-exception would make broken queries look like fast ones (the
     // r7 bench artifact did exactly that). Failures are excluded from the
