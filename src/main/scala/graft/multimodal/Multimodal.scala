@@ -21,11 +21,13 @@ import org.apache.spark.sql.types._
   * Feature extraction ([[extractFeatures]]) is REAL too: perceptual
   * hash + color histogram over decoded pixels for images and MJPEG
   * video, Goertzel spectral-band energies over decoded PCM for audio —
-  * re-encodes of the same content collide, distinct media don't. Only
-  * MP3/AAC SAMPLE synthesis and non-MJPEG video pixel decode remain
-  * STUBS — those genuinely need codec libraries this container doesn't
-  * ship; undecodable payloads fall back to the non-perceptual
-  * [[byteHistogram]], clearly marked.
+  * re-encodes of the same content collide, distinct media don't. Image
+  * resize ([[resizeImages]]/[[resizeMeta]]) and AVI frame sampling
+  * ([[sampleFrames]]) are real as well. Only MP3/AAC SAMPLE synthesis
+  * and non-MJPEG video pixel decode remain out of scope — those
+  * genuinely need codec libraries this container doesn't ship; their
+  * payloads take clearly-marked fallbacks (the non-perceptual
+  * [[byteHistogram]] features, the byte-slice sampling branch).
   * Everything around them is the real Spark shape a production decoder
   * plugs into: explicit schema, `Dataset.mapPartitions` (one JVM decoder
   * instance per partition, amortized init — the same batch shape a Pandas
@@ -197,26 +199,48 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val dur = r.duration_ms.getOrElse(0L)
-      val n = ((dur + everyMs - 1) / everyMs).toInt.min(64)
-      (0 until n).map { i =>
-        // STUB frame extraction: deterministic byte slice per frame index
-        val bytes = Option(r.data).getOrElse(Array.emptyByteArray)
-        val sliceLen = if (bytes.isEmpty) 0 else (bytes.length / math.max(n, 1)).max(1)
-        val from = (i * sliceLen).min(bytes.length)
-        val until = ((i + 1) * sliceLen).min(bytes.length)
-        Frame(r.media_id, i, i * everyMs, bytes.slice(from, until))
+      // REAL path: AVI payloads demux ([[parseAviFrames]]) and each sample
+      // instant i·everyMs emits the latest demuxed frame at-or-before it
+      // (the keyframe-seek contract a codec-backed sampler honors), with
+      // the frame's TRUE container offset.
+      val demuxed = parseAviFrames(r.media_id, r.data)
+      if (demuxed.nonEmpty) {
+        val dur = r.duration_ms.getOrElse(demuxed.last.offset_ms + everyMs)
+        val n = ((dur + everyMs - 1) / everyMs).toInt.min(64).max(1)
+        (0 until n).map { i =>
+          val t = i * everyMs
+          val f = demuxed.takeWhile(_.offset_ms <= t).lastOption.getOrElse(demuxed.head)
+          Frame(r.media_id, i, t, f.data)
+        }
+      } else {
+        // FALLBACK for containers without an in-engine demuxer (MP4/MKV
+        // payloads need codec libraries): deterministic byte slice per
+        // frame index — clearly non-decoded, kept so the pipeline shape
+        // (explode, map-side only) is exercised on any payload
+        val dur = r.duration_ms.getOrElse(0L)
+        val n = ((dur + everyMs - 1) / everyMs).toInt.min(64)
+        (0 until n).map { i =>
+          val bytes = Option(r.data).getOrElse(Array.emptyByteArray)
+          val sliceLen = if (bytes.isEmpty) 0 else (bytes.length / math.max(n, 1)).max(1)
+          val from = (i * sliceLen).min(bytes.length)
+          val until = ((i + 1) * sliceLen).min(bytes.length)
+          Frame(r.media_id, i, i * everyMs, bytes.slice(from, until))
+        }
       }
     }
   }
 
-  /** "Resize" metadata transform: pure-column op — the payload is passed
-    * through untouched (STUB: a real resize would re-encode `data`).
+  /** DataFrame-shaped resize over the media schema: image payloads are
+    * REALLY re-encoded through [[resizeImages]] (ImageIO decode → bilinear
+    * scale → PNG), with width/height metadata updated to match the new
+    * payload. Rows whose payload does not decode pass through UNTOUCHED —
+    * stamping w×h metadata on a payload that was not actually resized
+    * (the old behavior) fabricates metadata.
     */
-  def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
-    media
-      .withColumn("width", lit(w))
-      .withColumn("height", lit(h))
+  def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    resizeImages(media.as[MediaRow], w, h).toDF()
+  }
 
   /** Decoded image record: true dimensions + channel-mean features. */
   final case class ImageInfo(

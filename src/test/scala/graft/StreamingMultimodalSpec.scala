@@ -360,6 +360,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.forall(_.data.nonEmpty))
   }
 
+  test("multimodal: frame sampling emits REAL demuxed frames for AVI payloads") {
+    import spark.implicits._
+    val fs = Seq(jpegBytes(0xFF0000), jpegBytes(0x00FF00), jpegBytes(0x0000FF))
+    val media = Seq(Multimodal.MediaRow(
+      1L, "video", "avi", None, None, Some(120L), buildAvi(fs))).toDS()
+    // frames sit at their true container offsets 0/40/80 ms
+    val at40 = Multimodal.sampleFrames(media, everyMs = 40L).collect().sortBy(_.frame_idx)
+    assert(at40.map(_.offset_ms).toSeq === Seq(0L, 40L, 80L))
+    assert(at40.zip(fs).forall { case (s, f) => s.data.toSeq == f.toSeq })
+    // off-grid sampling picks the latest frame at-or-before each instant
+    val at50 = Multimodal.sampleFrames(media, everyMs = 50L).collect().sortBy(_.frame_idx)
+    assert(at50.map(_.offset_ms).toSeq === Seq(0L, 50L, 100L))
+    assert(at50(0).data.toSeq == fs(0).toSeq)
+    assert(at50(1).data.toSeq == fs(1).toSeq) // 40ms frame covers t=50
+    assert(at50(2).data.toSeq == fs(2).toSeq) // 80ms frame covers t=100
+  }
+
+  test("multimodal: resizeMeta re-encodes image payloads, passes others through") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x3070B0)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "png", Some(16), Some(12), None, png(16, 12)),
+      Multimodal.MediaRow(2L, "audio", "bin", None, None, None, Array[Byte](1, 2, 3)))
+      .toDS().toDF()
+    val out = Multimodal.resizeMeta(media, 4, 4).as[Multimodal.MediaRow]
+    val resized = Multimodal.decodeImages(out).collect()
+    assert(resized.length === 1) // only the image row decodes
+    assert(resized.head.width === 4 && resized.head.height === 4)
+    // the undecodable row is untouched — no fabricated metadata
+    val other = out.collect().find(_.media_id == 2L).get
+    assert(other.width.isEmpty && other.data.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("multimodal: G.711 expansion tables agree bit-for-bit with the JDK codec") {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
     def jdkDecode(enc: AudioFormat.Encoding, bytes: Array[Byte]): Array[Short] = {
@@ -451,17 +491,17 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(s.zero_crossings == 0)
   }
 
-  test("multimodal: AVI demux + MJPEG pixel decode (real JPEG frames)") {
-    import spark.implicits._
-    def jpeg(rgb: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(8, 6,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
-      val buf = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", buf)
-      buf.toByteArray
-    }
-    val frames = Seq(jpeg(0xFF0000), jpeg(0x00FF00), jpeg(0x0000FF))
+  private def jpegBytes(rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: hdrl with 40000 µs/frame, movi with `frames`. */
+  private def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(bb)
     def le32(v: Int): Unit = {
@@ -486,7 +526,13 @@ class StreamingMultimodalSpec extends SparkSpec {
     fo.write((inner.length + 4) & 0xff); fo.write(((inner.length + 4) >> 8) & 0xff)
     fo.write(((inner.length + 4) >> 16) & 0xff); fo.write(((inner.length + 4) >>> 24) & 0xff)
     fo.writeBytes("AVI "); fo.write(inner)
-    val avi = full.toByteArray
+    full.toByteArray
+  }
+
+  test("multimodal: AVI demux + MJPEG pixel decode (real JPEG frames)") {
+    import spark.implicits._
+    val frames = Seq(jpegBytes(0xFF0000), jpegBytes(0x00FF00), jpegBytes(0x0000FF))
+    val avi = buildAvi(frames)
 
     val media = Seq(
       Multimodal.MediaRow(1L, "video", "avi", None, None, None, avi),
