@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   * batch replay regenerates N+1 deterministically (same batch → same
   * labels → same index). Labels append to `labelsPath`; replayed batches
   * overwrite their own partition (idempotent via batch_id partitioning).
+  *
+  * Versions are keyed by batch id, so an index/state path is bound to ONE
+  * streaming checkpoint lineage: updaters read the newest complete
+  * version STRICTLY BELOW their own batch id (see [[latestVersion]]), and
+  * restarting against the same path with a fresh checkpoint (batch ids
+  * reset to 0) would ignore and then clobber accumulated versions — use a
+  * new path, or seed it via [[reconcile]].
   */
 object StreamingDedup {
 
@@ -26,7 +33,8 @@ object StreamingDedup {
     StructField("band", IntegerType),
     StructField("bh", LongType)))
 
-  /** Highest COMPLETE index version under `indexPath`, or None.
+  /** Highest COMPLETE index version strictly below `below` under
+    * `indexPath`, or None.
     *
     * Listing goes through the Hadoop FileSystem API so the index can live
     * on any supported store (file://, hdfs://, s3a://) — `java.io.File`
@@ -35,8 +43,21 @@ object StreamingDedup {
     * directory carries the `_SUCCESS` marker Spark writes on commit, so a
     * mid-write crash (partial v=N) falls back to the intact previous
     * version, matching the replay contract in the class doc.
+    *
+    * `below`: every versioned foreachBatch updater reads with
+    * `below = batchId`. Reading the ABSOLUTE latest is wrong for an
+    * updater — in the crash window where v=batchId committed but the
+    * streaming checkpoint did not, the replayed batch would read its own
+    * previous output (folding the batch in twice for merge-style state
+    * like the sketches) and then OVERWRITE the very directory its plan is
+    * lazily reading. Strictly-below makes replay re-derive v=batchId from
+    * the same input version the first attempt used: idempotent, and never
+    * self-overwriting. Readers (queries) use the default unbounded form.
     */
-  private[graft] def latestVersion(spark: SparkSession, indexPath: String): Option[Long] = {
+  private[graft] def latestVersion(
+      spark: SparkSession,
+      indexPath: String,
+      below: Long = Long.MaxValue): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(indexPath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
@@ -44,6 +65,7 @@ object StreamingDedup {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(_ < below)
       .sorted.lastOption
   }
 
@@ -63,7 +85,10 @@ object StreamingDedup {
       keepVersions: Option[Int] = Some(3)
   ): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val index = latestVersion(spark, indexPath) match {
+    // strictly below batchId: see latestVersion — a replayed batch must
+    // label against the same input version its first attempt used, never
+    // against (and then over) its own committed output
+    val index = latestVersion(spark, indexPath, below = batchId) match {
       case Some(v) => spark.read.parquet(s"$indexPath/v=$v")
       case None =>
         spark.createDataFrame(
@@ -130,10 +155,19 @@ object StreamingDedup {
       textCol: String
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val next = latestVersion(spark, indexPath).map(_ + 1).getOrElse(0L)
+    // REPLACE the newest complete version in place rather than appending
+    // latest+1: micro-batch updaters read strictly below their own batch
+    // id, and on a resumed stream the next batch id is latest+1 — an
+    // index written AT latest+1 would be invisible to that batch and then
+    // destroyed when the batch overwrites v=batchId. Overwriting in place
+    // is safe from read-while-overwrite because freshIndex derives from
+    // `corpus` + `staleLabels` only, never from the stored index files; a
+    // crash mid-write leaves v=latest without _SUCCESS, readers fall back
+    // to the previous version (keep >= 2), and reconcile is re-runnable.
+    val target = latestVersion(spark, indexPath).getOrElse(0L)
     val (_, freshIndex, repairs) = graft.text.MinHash
       .reconcileIncremental(corpus, staleLabels, idCol, textCol)
-    freshIndex.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$next")
+    freshIndex.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$target")
     repairs
   }
 }

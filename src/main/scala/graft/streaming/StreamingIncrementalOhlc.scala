@@ -36,7 +36,10 @@ object StreamingIncrementalOhlc {
       keepVersions: Option[Int] = Some(3)
   ): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val next = StreamingDedup.latestVersion(spark, statePath) match {
+    // strictly below batchId (see StreamingDedup.latestVersion): replay
+    // must fold the batch into the same input version as the first
+    // attempt, never into its own committed output
+    val next = StreamingDedup.latestVersion(spark, statePath, below = batchId) match {
       case Some(v) =>
         IncrementalOhlc.applyBatch(
           spark.read.parquet(s"$statePath/v=$v"), batch,

@@ -55,9 +55,16 @@ object StreamingOhlc {
   private final case class SessState(startMicros: Long, lastMicros: Long, n: Long)
 
   /** Gap-based sessionization with custom state
-    * (`flatMapGroupsWithState`): a session closes when no event arrives
-    * within `gapMicros` (by event-time timeout). The batch twin is the
-    * window-function sessionize in SparkEntry (`q_sessionize`).
+    * (`flatMapGroupsWithState`): a key's current session CLOSES — and
+    * emits — when a later event for that key arrives more than
+    * `gapMicros` after the session's last event. No state timeout is
+    * registered (`Point.tsMicros` is a raw long, and event-time timeouts
+    * require a watermarked timestamp column), so a key that simply goes
+    * silent keeps its final session open in the state store until the
+    * stream ends; the batch twin (`q_sessionize`) closes those tails in
+    * reconciliation. The trade is explicit: closure-by-successor keeps
+    * this exactly deterministic, where timeout-based closure would tie
+    * emission to watermark progress.
     */
   def sessionize(
       points: Dataset[Point],

@@ -34,8 +34,10 @@ object StreamingSketches {
     StructField("bucket", LongType),
     StructField("reg", LongType)))
 
-  private def stored(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    StreamingDedup.latestVersion(spark, path) match {
+  private def stored(
+      spark: SparkSession, path: String, schema: StructType,
+      below: Long = Long.MaxValue): DataFrame =
+    StreamingDedup.latestVersion(spark, path, below) match {
       case Some(v) => spark.read.parquet(s"$path/v=$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -53,7 +55,11 @@ object StreamingSketches {
       keepVersions: Option[Int] = Some(3)
   ): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val merged = stored(spark, sketchPath, cmsSchema)
+    // strictly below batchId (see StreamingDedup.latestVersion): a
+    // replayed batch must merge into the same input version as its first
+    // attempt — reading its own committed v=batchId would double-count
+    // the batch and overwrite the directory being read
+    val merged = stored(spark, sketchPath, cmsSchema, below = batchId)
       .unionByName(Sketches.cmsSketch(batch, itemCol, d, w))
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
     merged.write.mode(SaveMode.Overwrite).parquet(s"$sketchPath/v=$batchId")
@@ -71,7 +77,7 @@ object StreamingSketches {
       keepVersions: Option[Int] = Some(3)
   ): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val merged = stored(spark, sketchPath, hllSchema)
+    val merged = stored(spark, sketchPath, hllSchema, below = batchId)
       .unionByName(Sketches.hllRegisters(batch, itemCol, m))
       .groupBy("bucket").agg(max(col("reg")).as("reg"))
     merged.write.mode(SaveMode.Overwrite).parquet(s"$sketchPath/v=$batchId")

@@ -215,4 +215,58 @@ class StreamingDedupSpec extends SparkSpec {
       assert(rows(9L).isEmpty) // left join keeps unmatched stream rows
     } finally q.stop()
   }
+
+  test("dedup batch replay after its index version committed is byte-idempotent") {
+    // crash-window replay (v=batchId committed, checkpoint not): the
+    // updater must label against the version its first attempt read —
+    // reading its own output would self-overwrite the directory mid-scan
+    def doc(seed: Int, extra: String = ""): String =
+      (0 until 60).map(i => s"t${seed}_$i").mkString(" ") + extra
+    val base = java.nio.file.Files.createTempDirectory("dedup_replay").toString
+    val update = graft.streaming.StreamingDedup.incrementalDedupBatch(
+      s"$base/index", s"$base/labels", "doc_id", "text")
+    val b0 = Seq((1L, doc(1)), (10L, doc(77))).toDF("doc_id", "text")
+    val b1 = Seq((20L, doc(1, " y")), (21L, doc(500))).toDF("doc_id", "text")
+    update(b0, 0L); update(b1, 1L)
+    def state() = (
+      spark.read.parquet(s"$base/labels").select("id", "group_rep")
+        .as[(Long, Long)].collect().toMap,
+      spark.read.parquet(s"$base/index/v=1").orderBy("group_rep", "band", "bh")
+        .collect().map(_.toString).toSeq)
+    val before = state()
+    update(b1, 1L) // replay
+    assert(state() === before)
+    assert(before._1 === Map(1L -> 1L, 10L -> 10L, 20L -> 1L, 21L -> 21L))
+  }
+
+  test("reconcile replaces the newest version in place so the NEXT batch sees it") {
+    // the resumed stream's next batch id is latest+1 and reads versions
+    // strictly below itself: a reconciled index appended at latest+1
+    // would be invisible to that batch and then clobbered by it —
+    // reconcile must overwrite the newest complete version instead
+    def doc(seed: Int, extra: String = ""): String =
+      (0 until 60).map(i => s"t${seed}_$i").mkString(" ") + extra
+    val base = java.nio.file.Files.createTempDirectory("reconcile_inplace").toString
+    val update = graft.streaming.StreamingDedup.incrementalDedupBatch(
+      s"$base/index", s"$base/labels", "doc_id", "text")
+    // batch 0 stores the family under rep 2; batch 1 brings lower id 1 —
+    // index merges under 1, but 2's stored label goes stale
+    update(Seq((2L, doc(1, " x")), (10L, doc(77))).toDF("doc_id", "text"), 0L)
+    update(Seq((1L, doc(1))).toDF("doc_id", "text"), 1L)
+    val corpus = Seq((2L, doc(1, " x")), (10L, doc(77)), (1L, doc(1)))
+      .toDF("doc_id", "text")
+    val stale = spark.read.parquet(s"$base/labels").select("id", "group_rep")
+    val repairs = graft.streaming.StreamingDedup.reconcile(
+      corpus, stale, s"$base/index", "doc_id", "text")
+    assert(repairs.select("id", "old_rep", "new_rep")
+      .as[(Long, Long, Long)].collect().toSeq === Seq((2L, 2L, 1L)))
+    // no NEW version appended: v=1 was replaced in place
+    assert(graft.streaming.StreamingDedup.latestVersion(spark, s"$base/index")
+      .contains(1L))
+    // the resumed stream's batch 2 reads the reconciled index (below=2 → v=1)
+    update(Seq((30L, doc(1, " zz"))).toDF("doc_id", "text"), 2L)
+    val labels = spark.read.parquet(s"$base/labels").select("id", "group_rep")
+      .as[(Long, Long)].collect().toMap
+    assert(labels(30L) === 1L, s"batch after reconcile missed the fresh index: $labels")
+  }
 }

@@ -48,4 +48,28 @@ class StreamingIncrementalOhlcSpec extends SparkSpec {
     assert(bar0.getDouble(0) === 1.05 && bar0.getDouble(1) === 1.05 &&
       bar0.getLong(2) === 3L)
   }
+
+  test("batch replay after its version committed does not double-fold ticks") {
+    // crash-window idempotence (see StreamingDedup.latestVersion): the
+    // replayed batch must fold into the version its first attempt read,
+    // not into its own committed output (which would double tick_count
+    // and self-overwrite the directory being read)
+    val dir = Files.createTempDirectory("ohlc_replay").toString
+    val update = StreamingIncrementalOhlc.updateBatch(
+      dir, Seq("instrument"), "ts", "price", "tick_id")
+    def batch(rows: (String, Timestamp, Double, Long)*) =
+      rows.toSeq.toDF("instrument", "ts", "price", "tick_id")
+    val b0 = batch(("EUR", t("2024-01-01 00:00:01"), 1.10, 1L))
+    val b1 = batch(("EUR", t("2024-01-01 00:00:30"), 1.13, 2L),
+      ("EUR", t("2024-01-01 00:01:10"), 1.09, 3L))
+    update(b0, 0L); update(b1, 1L)
+    def bars() = StreamingIncrementalOhlc.readBars(spark, dir)
+      .orderBy("bar_ts").collect().map(_.toString).toSeq
+    val before = bars()
+    update(b1, 1L) // replay batch 1 with v=1 already committed
+    assert(bars() === before)
+    val counts = StreamingIncrementalOhlc.readBars(spark, dir)
+      .select("tick_count").as[Long].collect().sorted.toSeq
+    assert(counts === Seq(1L, 2L)) // not doubled
+  }
 }

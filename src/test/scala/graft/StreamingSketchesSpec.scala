@@ -69,4 +69,23 @@ class StreamingSketchesSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName)
     assert(kept.length <= 3, kept.mkString(","))
   }
+
+  test("batch replay after its version committed does not double-count (crash-window idempotence)") {
+    // foreachBatch is at-least-once: in the crash window where v=batchId
+    // committed but the streaming checkpoint did not, the batch re-runs
+    // with its own output already on disk. Pre-fix the updater read the
+    // ABSOLUTE latest version — folding the batch in twice and
+    // overwriting the directory it was lazily reading. The strict-below
+    // read must make the replay byte-identical instead.
+    val dir = Files.createTempDirectory("cms_replay").toString
+    val update = StreamingSketches.cmsUpdateBatch(dir, "token", d = 3, w = 1024)
+    update(Seq.fill(5)("alpha").toDF("token"), 0L)
+    update((Seq.fill(4)("alpha") ++ Seq.fill(7)("beta")).toDF("token"), 1L)
+    def est() = StreamingSketches
+      .readCmsEstimate(spark, dir, Seq("alpha", "beta").toDF("token"), "token", 3, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est() === Map("alpha" -> 9L, "beta" -> 7L))
+    update((Seq.fill(4)("alpha") ++ Seq.fill(7)("beta")).toDF("token"), 1L) // replay batch 1
+    assert(est() === Map("alpha" -> 9L, "beta" -> 7L)) // NOT 13/14
+  }
 }
