@@ -1,7 +1,6 @@
 package graft.storage
 
-import java.io.File
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -18,8 +17,22 @@ import org.apache.spark.sql.functions._
   * the range-clustered layout [[RangeWriter]] produces so row-group
   * min/max pruning keeps working after compaction.
   *
-  * Safety: writes to a sibling temp dir first, then atomically swaps via
-  * rename — a crash mid-compact leaves the original directory intact.
+  * All filesystem access goes through the Hadoop FileSystem API, so the
+  * table can live on any supported store (file://, hdfs://, s3a://) —
+  * the same portability contract as the streaming state versioning.
+  *
+  * PARTITIONED tables (`col=value` subdirectories) are rejected: reading
+  * one through `spark.read.parquet(dir)` turns partition directories into
+  * plain columns, so a whole-directory rewrite would silently flatten the
+  * layout (and the pre-guard byte count would see no top-level files and
+  * target ONE file). Compact each leaf partition directory instead —
+  * that is also the only granularity at which a swap is atomic-ish.
+  *
+  * Safety: writes to a sibling temp dir first, then swaps via two
+  * renames. The original data is never deleted until the compacted dir
+  * is in place; a crash INSIDE the swap window can leave the table
+  * momentarily at `<dir>.compact-old` (rename it back to recover) — a
+  * crash anywhere else leaves the original directory untouched.
   */
 object Compactor {
 
@@ -30,9 +43,19 @@ object Compactor {
       targetBytes: Long = 128L * 1024 * 1024,
       sortKeys: Seq[String] = Nil
   ): Int = {
-    val d = new File(dir)
-    require(d.isDirectory, s"$dir is not a directory")
-    val bytes = d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.getFileStatus(d).isDirectory, s"$dir is not a directory")
+    val children = fs.listStatus(d).toSeq
+    val partitionDirs = children
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"$dir is a partitioned table (${partitionDirs.head.getPath.getName}, …): " +
+        "compact leaf partition directories individually — a whole-table " +
+        "rewrite would flatten the partition layout")
+    val bytes = children
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
     val out =
@@ -40,18 +63,16 @@ object Compactor {
         df.repartitionByRange(n, sortKeys.map(col): _*)
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.repartition(n)
-    val tmp = dir.stripSuffix("/") + ".compact-tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    val bak = dir.stripSuffix("/") + ".compact-old"
-    val bakF = new File(bak)
-    if (bakF.exists()) { def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(bakF) }
-    if (!d.renameTo(bakF)) sys.error(s"could not move $dir aside")
-    if (!new File(tmp).renameTo(d)) {
-      bakF.renameTo(d) // roll back
+    val tmp = new Path(dir.stripSuffix("/") + ".compact-tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(dir.stripSuffix("/") + ".compact-old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(d, bak)) sys.error(s"could not move $dir aside")
+    if (!fs.rename(tmp, d)) {
+      fs.rename(bak, d) // roll back
       sys.error(s"could not move compacted dir into place")
     }
-    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(bakF)
+    fs.delete(bak, true)
     n
   }
 }

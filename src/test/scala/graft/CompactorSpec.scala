@@ -42,4 +42,18 @@ class CompactorSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compaction refuses partitioned tables instead of flattening them") {
+    // pre-fix: the byte count saw no top-level .parquet files (bytes=0 →
+    // one output file) and the rewrite turned partition directories into
+    // plain columns — silent layout destruction
+    val dir = Files.createTempDirectory("compact3").toString + "/t"
+    spark.range(1000).select(col("id"), (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException](Compactor.compact(spark, dir))
+    assert(e.getMessage.contains("partitioned"))
+    // table untouched: layout + rows intact
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("p=")) === 3)
+    assert(spark.read.parquet(dir).count() === 1000L)
+  }
 }
