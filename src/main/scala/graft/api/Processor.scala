@@ -68,15 +68,28 @@ final class Processor(spark: SparkSession, warehouse: String) {
         estimatedTicks = DryRunResult.TicksPerVariantMonth * missing.size * 2,
         estimatedMb = DryRunResult.MbPerMonth * missing.size))
     }
-    def read(path: String): DataFrame =
-      if (path.endsWith(".zip") || path.contains("*.zip"))
-        TickIngest.readZips(spark, path)
-      else TickIngest.readCsv(spark, path)
-    val rawDf = read(rawSpreadPath).cache()
-    val stdDf = read(standardPath).cache()
+    // ZIP routing also covers a DIRECTORY of spooled archives (the
+    // TickFetcher spool) — suffix matching alone sent those through the
+    // CSV reader, which cannot parse zip bytes
+    def isZipDir(path: String): Boolean = {
+      val f = new java.io.File(path)
+      f.isDirectory && f.listFiles() != null &&
+        f.listFiles().exists(_.getName.toLowerCase.endsWith(".zip"))
+    }
+    def read(path: String): TickIngest.ZipIngestResult =
+      if (path.endsWith(".zip") || path.contains("*.zip") || isZipDir(path))
+        TickIngest.readZipsWithBadRecords(spark, path)
+      else TickIngest.readCsvWithBadRecords(spark, path)
+    val rawIn = read(rawSpreadPath)
+    val stdIn = read(standardPath)
+    val rawDf = rawIn.ticks.cache()
+    val stdDf = stdIn.ticks.cache()
     try {
       val nRaw = TickIngest.writeTicks(rawDf, warehouse, p, "raw_spread")
       val nStd = TickIngest.writeTicks(stdDf, warehouse, p, "standard")
+      // damaged input is counted, never ingested (TickIngest bad-record
+      // contract); the count rides on the result for observability
+      val nBad = rawIn.badRecordCount + stdIn.badRecordCount
       // incremental regeneration (reference: SPIKE_TEST_RESULTS_PHASE1,
       // 7.3× / −86%): rebuild OHLC only for the months THIS batch touched —
       // dynamic partition overwrite leaves every other month's bars in
@@ -86,7 +99,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
         .union(stdDf.select(date_format(col("timestamp"), "yyyyMM").as("m")))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
       val bars = OhlcGenerator.regenerate(spark, warehouse, p, touched)
-      Right(UpdateResult(p, missing.size, nRaw + nStd, bars, missing))
+      Right(UpdateResult(p, missing.size, nRaw + nStd, bars, missing, nBad))
     } finally {
       rawDf.unpersist()
       stdDf.unpersist()

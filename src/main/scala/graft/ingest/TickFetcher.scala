@@ -66,7 +66,13 @@ object TickFetcher {
     val url = monthUrl(base, pair, variant, year, month)
     val part = spoolDir.resolve(target.getFileName.toString + ".part")
     try {
-      val in = URI.create(url).toURL.openStream()
+      // explicit timeouts: a hung remote must fail the month (→ None,
+      // like a 404) rather than stall the whole fetch loop — a timeout
+      // raises SocketTimeoutException, an IOException like any other
+      val conn = URI.create(url).toURL.openConnection()
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(60000)
+      val in = conn.getInputStream
       try Files.copy(in, part, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
       Files.move(part, target,

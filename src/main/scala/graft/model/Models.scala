@@ -33,13 +33,19 @@ final case class CoverageInfo(
     earliest: Option[Timestamp],
     latest: Option[Timestamp])
 
-/** Result of an updateData run (`models.py:125` UpdateResult). */
+/** Result of an updateData run (`models.py:125` UpdateResult).
+  * `badRecords` (engine extension): damaged input rows counted and
+  * skipped across both variants — truncated/garbled CSV rows, non-UTF-8
+  * bytes, one marker per undecodable ZIP member
+  * ([[graft.ingest.TickIngest.readZipsWithBadRecords]]).
+  */
 final case class UpdateResult(
     instrument: String,
     monthsProcessed: Int,
     ticksInserted: Long,
     barsGenerated: Long,
-    missingMonths: Seq[String])
+    missingMonths: Seq[String],
+    badRecords: Long = 0L)
 
 /** Dry-run estimate (`models.py:368` DryRunResult; per-month constants from
   * `processor.py:358-360`).

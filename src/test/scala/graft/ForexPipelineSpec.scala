@@ -277,6 +277,30 @@ class ForexPipelineSpec extends SparkSpec {
     assert(res.badRecordCount === 5)
   }
 
+  test("updateData counts damaged CSV rows, keeps them out of the store, routes zip dirs") {
+    val dir = Files.createTempDirectory("graft_update_bad")
+    // raw side: a spool DIRECTORY of zips (the TickFetcher layout) — must
+    // route through the zip reader, not the csv parser
+    val spool = dir.resolve("spool"); Files.createDirectories(spool)
+    val zos = new ZipOutputStream(Files.newOutputStream(spool.resolve("m1.zip")))
+    zos.putNextEntry(new ZipEntry("Exness_EURUSD_2024_01.csv"))
+    zos.write(rawCsv.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    // std side: plain CSV with two damaged rows among the clean ones
+    val damaged = stdCsv +
+      "2024-02-05 09:01:00.000000,1.08\n" +  // truncated
+      "garbled not a row\n"
+    val std = dir.resolve("std.csv"); Files.writeString(std, damaged)
+    val p = new Processor(spark, dir.resolve("wh").toString)
+    val res = p.updateData("EURUSD", spool.toString, std.toString).toOption.get
+    assert(res.badRecords === 2L, s"badRecords=${res.badRecords}")
+    // stored standard ticks: only the 4 clean rows, nothing null-priced
+    val stored = spark.read.parquet(s"${dir.resolve("wh")}/standard_ticks")
+    assert(stored.count() === 4)
+    assert(stored.filter(col("bid").isNull || col("ask").isNull).count() === 0)
+    // zip-dir routing ingested the raw side (8 after dedup)
+    assert(spark.read.parquet(s"${dir.resolve("wh")}/raw_spread_ticks").count() === 8)
+  }
+
   test("fetcher spools monthly archives from a base URL, skip-if-exists") {
     import graft.ingest.TickFetcher
     // fixture "remote": a file:// tree with the reference URL layout,
