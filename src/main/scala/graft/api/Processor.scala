@@ -70,11 +70,14 @@ final class Processor(spark: SparkSession, warehouse: String) {
     }
     // ZIP routing also covers a DIRECTORY of spooled archives (the
     // TickFetcher spool) — suffix matching alone sent those through the
-    // CSV reader, which cannot parse zip bytes
+    // CSV reader, which cannot parse zip bytes. Hadoop FS, not java.io:
+    // the landing dir can live on any supported store (same portability
+    // contract as the warehouse access below).
     def isZipDir(path: String): Boolean = {
-      val f = new java.io.File(path)
-      f.isDirectory && f.listFiles() != null &&
-        f.listFiles().exists(_.getName.toLowerCase.endsWith(".zip"))
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+        fs.listStatus(p).exists(_.getPath.getName.toLowerCase.endsWith(".zip"))
     }
     def read(path: String): TickIngest.ZipIngestResult =
       if (path.endsWith(".zip") || path.contains("*.zip") || isZipDir(path))
@@ -124,8 +127,14 @@ final class Processor(spark: SparkSession, warehouse: String) {
     gaps.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d").toSeq
   }
 
-  private def tableExists(name: String): Boolean =
-    new java.io.File(s"$warehouse/$name").exists()
+  /** Hadoop FS existence probe — the warehouse can be file://, hdfs://, or
+    * s3a:// (java.io.File would silently report every remote table absent,
+    * zeroing coverage and gap detection on a real cluster).
+    */
+  private def tableExists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouse/$name")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   // ---- queries (processor.py:456-548) -------------------------------------
 

@@ -756,9 +756,12 @@ object VectorFunctions {
       .filter(cosine(col("__va"), col("__vb")) >= tau)
       .select("pa", "pb")
     // transitive closure: each qualifying pair is a 2-member "bucket" in the
-    // shared components fixpoint
-    val edges = pairs.select(col("pa").as("id"), col("pa"), col("pb"))
-      .union(pairs.select(col("pb").as("id"), col("pa"), col("pb")))
+    // shared components fixpoint. Both directions come out of ONE explode —
+    // a two-branch union would run the quadratic pair join twice when the
+    // fixpoint materializes its persisted edge frame (exchange reuse covers
+    // the shuffles, not the join probe + cosine filter).
+    val edges = pairs
+      .select(explode(array(col("pa"), col("pb"))).as("id"), col("pa"), col("pb"))
     val labels = graft.operators.ConnectedComponents
       .labelPropagateWithRounds(edges, "id", Seq("pa", "pb"), maxIters)._1
     val labeled = assigned
