@@ -192,8 +192,10 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: emits every `everyMs` "frame". The
-    * STUB slices the raw bytes; a real implementation seeks keyframes.
+  /** Frame sampling for video payloads: emits one frame per `everyMs`
+    * sample instant. AVI payloads take the REAL path (RIFF demux, latest
+    * frame at-or-before each instant); containers without an in-engine
+    * demuxer fall back to a deterministic byte slice (clearly non-decoded).
     * Output is exploded (one row per frame) but still map-side only.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
