@@ -148,7 +148,7 @@ object SparkEntry {
       val isBatch = pmod(col("event_id"), lit(5)) === 0
       val stored = graft.ohlc.IncrementalOhlc.partialBars(
         all.filter(!isBatch), Seq("event_type"), "ts", "value", "event_id", 1)
-      val state = graft.ohlc.IncrementalOhlc.applyBatch(
+      val state = graft.ohlc.IncrementalOhlc.applyBatchPlan(
         stored, all.filter(isBatch), Seq("event_type"), "ts", "value",
         "event_id", 1)
       graft.ohlc.IncrementalOhlc.finalBars(state)

@@ -75,8 +75,18 @@ object IncrementalOhlc {
   /** Fold a tick batch into stored state touching only affected bars:
     * returns the new state. `stored` and the result carry the witness
     * columns; project them off with [[finalBars]] for readers.
+    *
+    * The batch is aggregated to partial bars ONCE and pinned for the
+    * duration of `run` (the aggregation feeds three plan branches:
+    * touched-key set, merge input, and via both joins the stored scan),
+    * then unpinned — callers that materialized inside `run` leak nothing,
+    * which is what lets a streaming sink call this every trigger
+    * indefinitely.
+    *
+    * @param run materialize the new state (e.g. write it); the pinned
+    *            partial bars are released when it returns
     */
-  def applyBatch(
+  def applyBatch[A](
       stored: DataFrame,
       batch: DataFrame,
       keys: Seq[String],
@@ -84,13 +94,33 @@ object IncrementalOhlc {
       value: String,
       tiebreak: String,
       minutes: Int = 1
-  ): DataFrame = {
-    // the batch aggregation feeds three plan branches (touched-key set,
-    // the merge input, and via both joins the stored scan) — persist it so
-    // the micro-batch source is scanned and aggregated once per trigger,
-    // not once per branch
+  )(run: DataFrame => A): A = {
     val newBars = partialBars(batch, keys, time, value, tiebreak, minutes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try run(mergePlan(stored, newBars, keys))
+    finally newBars.unpersist(blocking = false)
+  }
+
+  /** [[applyBatch]] as a lazy plan WITHOUT pinning the batch aggregation —
+    * for one-shot analytical use where the result is materialized exactly
+    * once (the three-branch recompute of the batch aggregation costs less
+    * than managing cache lifetime outside the call). Streaming sinks use
+    * the scoped [[applyBatch]].
+    */
+  def applyBatchPlan(
+      stored: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String],
+      time: String,
+      value: String,
+      tiebreak: String,
+      minutes: Int = 1
+  ): DataFrame =
+    mergePlan(stored,
+      partialBars(batch, keys, time, value, tiebreak, minutes), keys)
+
+  private def mergePlan(
+      stored: DataFrame, newBars: DataFrame, keys: Seq[String]): DataFrame = {
     val barKeys = (keys :+ "bar_ts").map(col)
     val touchedKeys = newBars.select(barKeys: _*).distinct()
     val touched = stored.join(broadcast(touchedKeys), keys :+ "bar_ts", "left_semi")

@@ -64,15 +64,19 @@ object StreamingDecontaminate {
   }
 
   /** One batch's clean subset: drop batch docs whose verified Jaccard
-    * against ANY benchmark doc reaches `threshold`.
+    * against ANY benchmark doc reaches `threshold`. Scoped like
+    * [[graft.ohlc.IncrementalOhlc.applyBatch]]: `run` materializes the
+    * clean frame (e.g. writes it), after which the batch's pinned
+    * hit-id checkpoint is released — a long-running stream accumulates
+    * nothing in the block manager across triggers.
     */
-  def decontaminateBatch(
+  def decontaminateBatch[A](
       batch: DataFrame,
       prep: PreparedBenchmark,
       idCol: String,
       textCol: String,
       threshold: Double = 0.8
-  ): DataFrame = {
+  )(run: DataFrame => A): A = {
     // the batch's shingle frame feeds TWO plan branches (banding + the
     // verify join) — persist it so each micro-batch shingles once, then
     // materialize the (bounded-by-batch) hit-id set with a lineage cut so
@@ -97,10 +101,11 @@ object StreamingDecontaminate {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
       .select(col("left_id").as(idCol)).distinct()
-    val cutHits = org.apache.spark.sql.graft.bridge.cutLineage(hits)
+    val (cutHits, hitsRdd) = org.apache.spark.sql.graft.bridge.cutLineageTracked(hits)
     cutHits.count()
     shL.unpersist(blocking = false)
-    batch.join(broadcast(cutHits), Seq(idCol), "left_anti")
+    try run(batch.join(broadcast(cutHits), Seq(idCol), "left_anti"))
+    finally hitsRdd.unpersist(blocking = false)
   }
 
   /** The foreachBatch function: wire with
@@ -113,11 +118,13 @@ object StreamingDecontaminate {
       outPath: String,
       threshold: Double = 0.8
   ): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    decontaminateBatch(batch, prep, idCol, textCol, threshold)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(outPath)
+    decontaminateBatch(batch, prep, idCol, textCol, threshold) { clean =>
+      clean
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(outPath)
+    }
   }
 }

@@ -39,15 +39,19 @@ object StreamingIncrementalOhlc {
     // strictly below batchId (see StreamingDedup.latestVersion): replay
     // must fold the batch into the same input version as the first
     // attempt, never into its own committed output
-    val next = StreamingDedup.latestVersion(spark, statePath, below = batchId) match {
+    def write(next: DataFrame): Unit =
+      next.write.mode(SaveMode.Overwrite).parquet(s"$statePath/v=$batchId")
+    StreamingDedup.latestVersion(spark, statePath, below = batchId) match {
       case Some(v) =>
+        // applyBatch pins the batch aggregation for the write and releases
+        // it after — nothing accumulates in the block manager across
+        // triggers of a long-running stream
         IncrementalOhlc.applyBatch(
           spark.read.parquet(s"$statePath/v=$v"), batch,
-          keys, time, value, tiebreak, minutes)
+          keys, time, value, tiebreak, minutes)(write)
       case None =>
-        IncrementalOhlc.partialBars(batch, keys, time, value, tiebreak, minutes)
+        write(IncrementalOhlc.partialBars(batch, keys, time, value, tiebreak, minutes))
     }
-    next.write.mode(SaveMode.Overwrite).parquet(s"$statePath/v=$batchId")
     keepVersions.foreach(k => StreamingDedup.compactIndex(spark, statePath, k))
   }
 

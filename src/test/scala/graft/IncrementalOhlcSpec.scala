@@ -45,12 +45,19 @@ class IncrementalOhlcSpec extends SparkSpec {
     val isBatch = pmod(col("event_id"), lit(7)) === 0
     val stored = IncrementalOhlc.partialBars(t.filter(!isBatch),
       Seq("event_type"), "ts", "value", "event_id", 1)
-    val state = IncrementalOhlc.applyBatch(stored, t.filter(isBatch),
-      Seq("event_type"), "ts", "value", "event_id", 1)
     val full = Ohlc.bars(t, Seq("event_type"), "ts", "value", "event_id", 1)
-    assert(eq(IncrementalOhlc.finalBars(state), full))
-    // an empty batch is the identity on state
-    val idState = IncrementalOhlc.applyBatch(stored, t.filter(lit(false)),
+    // scoped form: materialize inside `run`, and the pinned batch
+    // aggregation must be released when it returns
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val matched = IncrementalOhlc.applyBatch(stored, t.filter(isBatch),
+      Seq("event_type"), "ts", "value", "event_id", 1) { state =>
+      eq(IncrementalOhlc.finalBars(state), full)
+    }
+    assert(matched)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore),
+      "applyBatch must not leak cached RDDs across calls")
+    // an empty batch is the identity on state (lazy plan form)
+    val idState = IncrementalOhlc.applyBatchPlan(stored, t.filter(lit(false)),
       Seq("event_type"), "ts", "value", "event_id", 1)
     assert(eq(idState, stored))
   }

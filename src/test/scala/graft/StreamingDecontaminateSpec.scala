@@ -54,9 +54,15 @@ class StreamingDecontaminateSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("decontam2").toString
     val sink = StreamingDecontaminate.sink(prep, "doc_id", "text", out, threshold = 0.5)
     val batch = Seq((5L, "totally clean text with many distinct words here")).toDF("doc_id", "text")
+    // per-trigger cache hygiene: every batch's pinned frames (shingles +
+    // hit-id checkpoint) must be released when the sink returns, or a
+    // long-running stream accumulates dead blocks trigger by trigger
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     sink(batch, 0L)
     sink(batch, 0L) // replay of the same batch id
     assert(spark.read.parquet(out).count() === 1)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore),
+      "sink must not leak cached RDDs across triggers")
     prep.unpersist()
   }
 }
