@@ -94,14 +94,18 @@ object StreamingDedup {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
     }
-    val (labels, updated) = graft.text.MinHash
-      .nearDupGroupsIncremental(index, batch, idCol, textCol)
-    labels.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(labelsPath)
-    updated.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$batchId")
+    // scoped: both writes join against the batch's band edges — the scoped
+    // form keeps that cache alive across them (and releases it after), so
+    // the micro-batch is shingled once, not once per output
+    graft.text.MinHash.nearDupGroupsIncrementalScoped(
+      index, batch, idCol, textCol) { (labels, updated) =>
+      labels.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(labelsPath)
+      updated.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$batchId")
+    }
     keepVersions.foreach(k => compactIndex(spark, indexPath, k))
   }
 

@@ -473,6 +473,48 @@ object MinHash {
       bands: Int = 4,
       maxIters: Int = 25
   ): (DataFrame, DataFrame) = {
+    val (labels, updated, edges) = incrementalPlans(
+      bucketIndex, newDocs, idCol, textCol, shingleN, k, bands, maxIters)
+    edges.unpersist(blocking = false)
+    (labels, updated)
+  }
+
+  /** [[nearDupGroupsIncremental]] with the batch's shingle/edge cache held
+    * ALIVE until `run` returns: the labels and the updated index both join
+    * against the batch's band edges, so a caller that materializes them
+    * separately (the streaming sink writes two outputs) would otherwise
+    * re-shingle the whole micro-batch once per write. Use from foreachBatch
+    * sinks; the lazy pair form suits one-shot analytical plans.
+    */
+  def nearDupGroupsIncrementalScoped[A](
+      bucketIndex: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      maxIters: Int = 25
+  )(run: (DataFrame, DataFrame) => A): A = {
+    val (labels, updated, edges) = incrementalPlans(
+      bucketIndex, newDocs, idCol, textCol, shingleN, k, bands, maxIters)
+    try run(labels, updated)
+    finally edges.unpersist(blocking = false)
+  }
+
+  /** Shared incremental-labeling body: returns (labels, updatedIndex, the
+    * PERSISTED batch edge frame) — callers decide the cache lifetime.
+    */
+  private def incrementalPlans(
+      bucketIndex: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      maxIters: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     val newEdges = bandEdges(newDocs, idCol, textCol, shingleN, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // A consistent index holds exactly ONE rep per bucket (same bucket ⇒
@@ -505,8 +547,7 @@ object MinHash {
         newEdges.join(joint, Seq("id"))
           .select(col("group_rep"), col("band"), col("bh")))
       .distinct()
-    newEdges.unpersist(blocking = false)
-    (newLabels, updatedIndex)
+    (newLabels, updatedIndex, newEdges)
   }
 
   /** Periodic reconciliation for the incremental-dedup lifecycle: a full
