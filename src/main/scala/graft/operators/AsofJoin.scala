@@ -164,7 +164,13 @@ object AsofJoin {
       floor(unix_micros(t.cast("timestamp")) / (bucketSeconds * 1000000L)).cast("long")
 
     val payloadStruct = struct(payloadCols.map(col): _*)
-    val r = right.select(
+    // NULL right times can never satisfy leftTime >= rightTime — and here
+    // they are doubly poisonous: bucketOf(NULL) is the NULL bucket, which
+    // sorts FIRST in the carry timeline, so an unfiltered NULL-time row's
+    // payload would become the carry-in of the earliest real bucket (left
+    // rows that [[leftAsof]] correctly leaves NULL would get it). Same
+    // guard as the window form.
+    val r = right.filter(col(rightTime).isNotNull).select(
       (on.map(col) :+ col(rightTime).cast("timestamp").as("__t")) :+
         payloadStruct.as("__p"): _*)
       .withColumn("__b", bucketOf(col("__t")))

@@ -58,6 +58,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(plain.exists(_.contains("null")))
   }
 
+  test("bucketed variant ignores NULL right times (no NULL-bucket carry-in leak)") {
+    // a NULL-time right row can never match; unguarded, it lands in the
+    // NULL bucket, which sorts first in the carry timeline and its payload
+    // becomes the carry-in of the earliest real bucket
+    val left = Seq(("A", ts("2024-01-01 00:00:02"), 1)).toDF("k", "t", "id")
+    val right = Seq(
+      ("A", null.asInstanceOf[Timestamp], 666.0),          // must never fill
+      ("A", ts("2024-01-01 00:00:05"), 100.0)              // after the left row
+    ).toDF("k", "t", "v")
+    val plain = AsofJoin.leftAsof(left, right, Seq("k"), "t", "t", Seq("v"), "_r")
+    val bucketed = AsofJoin.leftAsofBucketed(
+      left, right, Seq("k"), "t", "t", Seq("v"), "_r", bucketSeconds = 86400L)
+    assert(plain.select("v_r").head().isNullAt(0))
+    assert(bucketed.select("v_r").head().isNullAt(0))
+  }
+
   test("native physical operator (AsOfJoinExec) matches the window rewrite") {
     val rnd = new scala.util.Random(23)
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
