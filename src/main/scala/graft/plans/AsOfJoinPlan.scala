@@ -116,13 +116,20 @@ case class AsOfJoinExec(
         while (advancing && pendingR != null) {
           val rKey = rKeyProj(pendingR)
           val kc = keyOrdering.compare(rKey, lKey)
+          val rTime = rTimeProj(pendingR)
+          // a NULL right time can never satisfy time >= rightTime (SQL
+          // three-valued comparison), but the natural ascending ordering
+          // sorts NULL smallest — untreated, such a row would be consumed
+          // as "before everything" and its payload would fill left rows
+          // the window rewrite correctly leaves NULL. Skip it without
+          // touching the retained state.
           val take =
-            kc < 0 || (kc == 0 && timeOrdering.compare(rTimeProj(pendingR), lTime) <= 0)
+            kc < 0 || (kc == 0 && timeOrdering.compare(rTime, lTime) <= 0)
           if (take) {
-            if (kc == 0) {
+            if (kc == 0 && !rTime.isNullAt(0)) {
               lastKey = rKey.copy()
               lastPayload = payloadProj(pendingR).copy()
-            } else {
+            } else if (kc != 0) {
               // right row belongs to an earlier key group: drop state
               lastKey = null; lastPayload = null
             }

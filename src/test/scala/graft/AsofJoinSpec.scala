@@ -70,8 +70,17 @@ class AsofJoinSpec extends SparkSpec {
     val plain = AsofJoin.leftAsof(left, right, Seq("k"), "t", "t", Seq("v"), "_r")
     val bucketed = AsofJoin.leftAsofBucketed(
       left, right, Seq("k"), "t", "t", Seq("v"), "_r", bucketSeconds = 86400L)
+    val native = AsofJoin.leftAsofNative(left, right, Seq("k"), "t", "t", Seq("v"), "_r")
     assert(plain.select("v_r").head().isNullAt(0))
     assert(bucketed.select("v_r").head().isNullAt(0))
+    // native: the merge loop must SKIP NULL-time right rows (they sort
+    // first under nulls-first ordering and would otherwise be consumed as
+    // "before everything")
+    assert(native.select("v_r").head().isNullAt(0))
+    // and a later left row still matches the real right row as usual
+    val left2 = Seq(("A", ts("2024-01-01 00:00:09"), 1)).toDF("k", "t", "id")
+    assert(AsofJoin.leftAsofNative(left2, right, Seq("k"), "t", "t", Seq("v"), "_r")
+      .select("v_r").head().getDouble(0) === 100.0)
   }
 
   test("native physical operator (AsOfJoinExec) matches the window rewrite") {
