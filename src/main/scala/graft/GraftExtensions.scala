@@ -77,7 +77,9 @@ object GraftExtensions {
   )
 
   /** Register the functions on an existing session (temp functions), plus
-    * the optimizer rule via the experimental hook (idempotent).
+    * the optimizer rule and the as-of planner strategy via the
+    * experimental hooks (idempotent) — the same surface `withExtensions`
+    * installs at session build.
     */
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
@@ -87,5 +89,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NsTimestampPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NsTimestampPushdown
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }
