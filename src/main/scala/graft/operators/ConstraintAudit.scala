@@ -41,6 +41,10 @@ object ConstraintAudit {
     *         registration order (stable for oracle comparison) */
   def audit(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "constraints must be non-empty")
+    // names key the result rows AND the registration-order re-join below —
+    // a duplicate would silently fan out both, doubling reported counts
+    require(constraints.map(_.name).distinct.size == constraints.size,
+      s"constraint names must be unique: ${constraints.map(_.name).mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
 
