@@ -72,21 +72,36 @@ final class Processor(spark: SparkSession, warehouse: String) {
     // TickFetcher spool) — suffix matching alone sent those through the
     // CSV reader, which cannot parse zip bytes. Hadoop FS, not java.io:
     // the landing dir can live on any supported store (same portability
-    // contract as the warehouse access below).
-    def isZipDir(path: String): Boolean = {
+    // contract as the warehouse access below). A MIXED directory (zips +
+    // plain CSVs) reads each family through its own parser and unions the
+    // accounting — routing the whole dir through the ZIP reader silently
+    // dropped the CSVs (zero entries, zero bad-record rows).
+    def dirNames(path: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.exists(p) && fs.getFileStatus(p).isDirectory &&
-        fs.listStatus(p).exists(_.getPath.getName.toLowerCase.endsWith(".zip"))
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath.getName.toLowerCase)
+      else Nil
     }
-    def read(path: String): TickIngest.ZipIngestResult =
-      if (path.endsWith(".zip") || path.contains("*.zip") || isZipDir(path))
-        TickIngest.readZipsWithBadRecords(spark, path)
+    def read(path: String): TickIngest.ZipIngestResult = {
+      if (path.endsWith(".zip") || path.contains("*.zip"))
+        return TickIngest.readZipsWithBadRecords(spark, path)
+      val names = dirNames(path)
+      val hasZip = names.exists(_.endsWith(".zip"))
+      val hasCsv = names.exists(_.endsWith(".csv"))
+      if (hasZip && hasCsv)
+        TickIngest.readZipsWithBadRecords(spark, s"$path/*.zip")
+          .union(TickIngest.readCsvWithBadRecords(spark, s"$path/*.csv"))
+      else if (hasZip) TickIngest.readZipsWithBadRecords(spark, path)
       else TickIngest.readCsvWithBadRecords(spark, path)
-    val rawIn = read(rawSpreadPath)
-    val stdIn = read(standardPath)
-    val rawDf = rawIn.ticks.cache()
-    val stdDf = stdIn.ticks.cache()
+    }
+    // cache the single PARSED frame per side: ticks (written + touched-month
+    // scan) and the bad-record count are complementary filters over it, so
+    // ingest input is scanned/decompressed once, not once per consumer
+    val rawIn = read(rawSpreadPath).cache()
+    val stdIn = read(standardPath).cache()
+    val rawDf = rawIn.ticks
+    val stdDf = stdIn.ticks
     try {
       val nRaw = TickIngest.writeTicks(rawDf, warehouse, p, "raw_spread")
       val nStd = TickIngest.writeTicks(stdDf, warehouse, p, "standard")
@@ -104,8 +119,8 @@ final class Processor(spark: SparkSession, warehouse: String) {
       val bars = OhlcGenerator.regenerate(spark, warehouse, p, touched)
       Right(UpdateResult(p, missing.size, nRaw + nStd, bars, missing, nBad))
     } finally {
-      rawDf.unpersist()
-      stdDf.unpersist()
+      rawIn.unpersist()
+      stdIn.unpersist()
     }
   }
 

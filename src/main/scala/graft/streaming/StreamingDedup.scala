@@ -83,7 +83,14 @@ object StreamingDedup {
       idCol: String,
       textCol: String,
       keepVersions: Option[Int] = Some(3)
-  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+  ): (DataFrame, Long) => Unit = {
+    // fail at WIRING time, not after N batches: replay reads v=batchId-1,
+    // so keeping a single version would let compaction delete the only
+    // state a crash-replayed batch can read — it would silently relabel
+    // against an empty index
+    require(keepVersions.forall(_ >= 2),
+      "keepVersions must be >= 2 (crash replay reads the previous version)")
+    (batch, batchId) =>
     val spark = batch.sparkSession
     // strictly below batchId: see latestVersion — a replayed batch must
     // label against the same input version its first attempt used, never
@@ -159,19 +166,28 @@ object StreamingDedup {
       textCol: String
   ): DataFrame = {
     val spark = corpus.sparkSession
-    // REPLACE the newest complete version in place rather than appending
-    // latest+1: micro-batch updaters read strictly below their own batch
-    // id, and on a resumed stream the next batch id is latest+1 — an
-    // index written AT latest+1 would be invisible to that batch and then
-    // destroyed when the batch overwrites v=batchId. Overwriting in place
-    // is safe from read-while-overwrite because freshIndex derives from
-    // `corpus` + `staleLabels` only, never from the stored index files; a
-    // crash mid-write leaves v=latest without _SUCCESS, readers fall back
-    // to the previous version (keep >= 2), and reconcile is re-runnable.
+    // REPLACE the newest complete version rather than appending latest+1:
+    // micro-batch updaters read strictly below their own batch id, and on
+    // a resumed stream the next batch id is latest+1 — an index written AT
+    // latest+1 would be invisible to that batch and then destroyed when
+    // the batch overwrites v=batchId. The replacement is staged through a
+    // temp directory (invisible to [[latestVersion]] — no `v=` prefix) and
+    // swapped in with two filesystem metadata ops, so the destructive
+    // window is a rename, not the whole parquet write: a crash mid-WRITE
+    // leaves v=target untouched, and only a crash between the delete and
+    // the rename loses the live copy — with the complete staged index
+    // still on disk under the temp name for manual recovery. Run with the
+    // stream stopped (class doc): a live updater's lazy read of v=target
+    // still races the swap itself.
     val target = latestVersion(spark, indexPath).getOrElse(0L)
     val (_, freshIndex, repairs) = graft.text.MinHash
       .reconcileIncremental(corpus, staleLabels, idCol, textCol)
-    freshIndex.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/v=$target")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_reconcile_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    freshIndex.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val tgt = new org.apache.hadoop.fs.Path(s"$indexPath/v=$target")
+    if (fs.exists(tgt)) fs.delete(tgt, true)
+    require(fs.rename(tmp, tgt), s"rename $tmp -> $tgt failed")
     repairs
   }
 }

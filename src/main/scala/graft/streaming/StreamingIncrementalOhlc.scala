@@ -34,7 +34,11 @@ object StreamingIncrementalOhlc {
       tiebreak: String,
       minutes: Int = 1,
       keepVersions: Option[Int] = Some(3)
-  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+  ): (DataFrame, Long) => Unit = {
+    // see StreamingDedup.incrementalDedupBatch: replay reads v=batchId-1
+    require(keepVersions.forall(_ >= 2),
+      "keepVersions must be >= 2 (crash replay reads the previous version)")
+    (batch, batchId) =>
     val spark = batch.sparkSession
     // strictly below batchId (see StreamingDedup.latestVersion): replay
     // must fold the batch into the same input version as the first

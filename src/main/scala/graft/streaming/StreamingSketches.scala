@@ -53,7 +53,11 @@ object StreamingSketches {
       d: Int,
       w: Int,
       keepVersions: Option[Int] = Some(3)
-  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+  ): (DataFrame, Long) => Unit = {
+    // see StreamingDedup.incrementalDedupBatch: replay reads v=batchId-1
+    require(keepVersions.forall(_ >= 2),
+      "keepVersions must be >= 2 (crash replay reads the previous version)")
+    (batch, batchId) =>
     val spark = batch.sparkSession
     // strictly below batchId (see StreamingDedup.latestVersion): a
     // replayed batch must merge into the same input version as its first
@@ -75,7 +79,11 @@ object StreamingSketches {
       itemCol: String,
       m: Int,
       keepVersions: Option[Int] = Some(3)
-  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+  ): (DataFrame, Long) => Unit = {
+    // see StreamingDedup.incrementalDedupBatch: replay reads v=batchId-1
+    require(keepVersions.forall(_ >= 2),
+      "keepVersions must be >= 2 (crash replay reads the previous version)")
+    (batch, batchId) =>
     val spark = batch.sparkSession
     val merged = stored(spark, sketchPath, hllSchema, below = batchId)
       .unionByName(Sketches.hllRegisters(batch, itemCol, m))

@@ -301,6 +301,53 @@ class ForexPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"${dir.resolve("wh")}/raw_spread_ticks").count() === 8)
   }
 
+  test("mixed landing dir: zips AND plain CSVs both ingested, both counted") {
+    val dir = Files.createTempDirectory("graft_mixed")
+    val mixed = dir.resolve("landing"); Files.createDirectories(mixed)
+    // one archive (7 distinct Jan rows + 1 dup) ...
+    val zos = new ZipOutputStream(Files.newOutputStream(mixed.resolve("m1.zip")))
+    zos.putNextEntry(new ZipEntry("Exness_EURUSD_2024_01.csv"))
+    zos.write(rawCsv.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    // ... plus a plain CSV in the SAME directory with 2 clean + 1 bad row —
+    // the old any-zip routing sent the whole dir through the ZIP reader and
+    // the CSV vanished (not ingested, not counted as damage)
+    Files.writeString(mixed.resolve("extra.csv"),
+      "Timestamp,Bid,Ask\n" +
+        "2024-03-01 00:00:00.000000,1.11000,1.11002\n" +
+        "2024-03-01 00:00:01.000000,1.11010,1.11012\n" +
+        "garbled not a row\n")
+    val std = dir.resolve("std.csv"); Files.writeString(std, stdCsv)
+    val p = new Processor(spark, dir.resolve("wh").toString)
+    val res = p.updateData("EURUSD", mixed.toString, std.toString).toOption.get
+    assert(res.badRecords === 1L, s"badRecords=${res.badRecords}")
+    val stored = spark.read.parquet(s"${dir.resolve("wh")}/raw_spread_ticks")
+    assert(stored.count() === 10) // 8 deduped zip rows + 2 clean csv rows
+    assert(stored.filter(col("yyyymm") === "202403").count() === 2)
+  }
+
+  test("writeTicks reports the batch's rows, not the whole stored instrument") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft_wt").toString
+    val schema = StructType(Seq(
+      StructField("timestamp", TimestampType), StructField("bid", DoubleType),
+      StructField("ask", DoubleType)))
+    def frame(rows: Seq[(String, Double, Double)]) =
+      spark.createDataFrame(
+        rows.map { case (t, b, a) =>
+          Row(java.sql.Timestamp.valueOf(t), b, a) }.asJava, schema)
+    val jan = frame(Seq(
+      ("2024-01-01 00:00:00", 1.1, 1.1), ("2024-01-02 00:00:00", 1.2, 1.2),
+      ("2024-01-02 00:00:00", 1.2, 1.3))) // dup collapses
+    val feb = frame(Seq(("2024-02-01 00:00:00", 1.3, 1.3)))
+    assert(TickIngest.writeTicks(jan, wh, "EURUSD", "raw_spread") === 2L)
+    // second month: the count is THIS batch (1), not batch + stored history
+    // (the old read-back counted every month of the instrument — a
+    // full-instrument scan per monthly ingest and an overstated result)
+    assert(TickIngest.writeTicks(feb, wh, "EURUSD", "raw_spread") === 1L)
+    assert(spark.read.parquet(s"$wh/raw_spread_ticks").count() === 3)
+  }
+
   test("fetcher spools monthly archives from a base URL, skip-if-exists") {
     import graft.ingest.TickFetcher
     // fixture "remote": a file:// tree with the reference URL layout,

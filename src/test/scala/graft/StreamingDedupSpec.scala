@@ -239,6 +239,94 @@ class StreamingDedupSpec extends SparkSpec {
     assert(before._1 === Map(1L -> 1L, 10L -> 10L, 20L -> 1L, 21L -> 21L))
   }
 
+  test("versioned updaters reject keepVersions < 2 at wiring time") {
+    // replay reads v=batchId-1: keeping one version lets compaction delete
+    // the only state a crash-replayed batch can read — fail before the
+    // stream starts, not after N successful batches
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.incrementalDedupBatch(
+        "/tmp/x", "/tmp/y", "doc_id", "text", keepVersions = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSketches.cmsUpdateBatch(
+        "/tmp/x", "tok", 4, 64, keepVersions = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSketches.hllUpdateBatch(
+        "/tmp/x", "tok", 64, keepVersions = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIncrementalOhlc.updateBatch(
+        "/tmp/x", Seq("k"), "ts", "v", "id", keepVersions = Some(1))
+    }
+  }
+
+  test("property: latestVersion/compactIndex invariants hold over random commit/crash/replay interleavings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Model: a batch either commits (v=N with _SUCCESS) or crashes
+    // mid-write (v=N without _SUCCESS) and is then replayed; compaction
+    // with keep>=2 runs at random points. The invariant under test is the
+    // versioned-state contract every foreachBatch updater relies on:
+    //   (a) latestVersion(below=N) = newest COMPLETE version < N — a
+    //       partial v=N never changes what batch N reads (replay reads the
+    //       same input its first attempt used);
+    //   (b) after compaction the replay horizon survives: the newest
+    //       `keep` complete versions and anything newer stay on disk.
+    // Only directory + _SUCCESS structure matters, so the property runs on
+    // the bare filesystem — no Spark jobs.
+    sealed trait Op
+    case class Batch(crashFirst: Boolean) extends Op
+    case class Compact(keep: Int) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> Gen.oneOf(true, false).map(Batch(_)),
+      1 -> Gen.choose(2, 4).map(Compact(_)))
+    val prop = Prop.forAll(Gen.listOfN(12, opGen)) { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("lv_prop").toString
+      def mkVersion(v: Long, complete: Boolean): Unit = {
+        val d = new java.io.File(s"$dir/v=$v"); d.mkdirs()
+        java.nio.file.Files.writeString(d.toPath.resolve("part-0.parquet"), "x")
+        if (complete)
+          java.nio.file.Files.writeString(d.toPath.resolve("_SUCCESS"), "")
+      }
+      def lv(below: Long = Long.MaxValue) =
+        graft.streaming.StreamingDedup.latestVersion(spark, dir, below)
+      var complete = Set.empty[Long] // reference model
+      var nextBatch = 0L
+      var ok = true
+      ops.foreach {
+        case Batch(crashFirst) =>
+          val v = nextBatch
+          val expectedInput = complete.filter(_ < v).maxOption
+          if (crashFirst) {
+            mkVersion(v, complete = false) // crash mid-write
+            // replay must still read the first attempt's input version
+            ok &&= lv(below = v) == expectedInput
+          }
+          ok &&= lv(below = v) == expectedInput
+          mkVersion(v, complete = true) // (re)commit
+          complete += v
+          ok &&= lv() == Some(v)
+          nextBatch = v + 1
+        case Compact(keep) =>
+          graft.streaming.StreamingDedup.compactIndex(spark, dir, keep)
+          if (complete.nonEmpty) {
+            val kept = complete.toSeq.sorted.takeRight(keep).toSet
+            complete = kept
+            // model and disk agree on the surviving complete versions
+            val onDisk = new java.io.File(dir).listFiles()
+              .filter(d => new java.io.File(d, "_SUCCESS").exists())
+              .map(_.getName.stripPrefix("v=").toLong).toSet
+            ok &&= onDisk == kept
+          }
+          ok &&= lv() == complete.maxOption
+      }
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("reconcile replaces the newest version in place so the NEXT batch sees it") {
     // the resumed stream's next batch id is latest+1 and reads versions
     // strictly below itself: a reconciled index appended at latest+1
