@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Canonical bench recording protocol (executable form of the procedure
+# previously described in COVERAGE.md):
+#
+#   1. run the full suite N times (default 3) via graft.Bench — each run
+#      is itself contention-resilient (auto re-pass on a tripped
+#      calibration sentinel, per-query minima across passes);
+#   2. save every run's bench_full.json aside under /tmp/bench_runs/
+#      (Bench overwrites the file in place on each invocation);
+#   3. REJECT runs whose final record is still contended:true (no clean
+#      calibration window found in any pass);
+#   4. install the clean run with the MEDIAN total as bench_full.json —
+#      the number to commit.
+#
+# Usage: tools/bench3.sh [runs]   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+RUNS="${1:-3}"
+export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+OUT=/tmp/bench_runs
+mkdir -p "$OUT"
+for i in $(seq 1 "$RUNS"); do
+  echo "== bench run $i/$RUNS (sf=$SPARK_GRAFT_SF_DIR, cpus=$SPARK_GRAFT_CPUS) =="
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 || true
+  cp bench_full.json "$OUT/run_$i.json"
+done
+python3 - "$OUT" "$RUNS" <<'EOF'
+import json, shutil, sys
+out, runs = sys.argv[1], int(sys.argv[2])
+recs = []
+for i in range(1, runs + 1):
+    path = f"{out}/run_{i}.json"
+    with open(path) as f:
+        d = json.load(f)
+    status = "CONTENDED" if d.get("contended") else "clean"
+    print(f"run {i}: total={d['value']:.2f}s passes={d.get('passes')} "
+          f"calib {d.get('calib_first')}->{d.get('calib_last')} [{status}]")
+    if not d.get("contended") and not d.get("errors"):
+        recs.append((d["value"], path))
+if not recs:
+    sys.exit("no clean (contended:false, error-free) runs — nothing to install")
+recs.sort()
+median = recs[(len(recs) - 1) // 2]
+shutil.copy(median[1], "bench_full.json")
+print(f"installed median clean run ({median[0]:.2f}s) as bench_full.json")
+EOF
