@@ -247,6 +247,85 @@ object ScaleProbe {
       }
     }
 
+    // Round-11 probes.
+    // (a) span-removal EXACT verify cost: r11 replaced the second-hash
+    //     collision check with a literal text compare on the cut path.
+    //     The verify joins are keyed by the candidate rows, so their cost
+    //     must track CANDIDATE volume, not corpus size: at fixed corpus
+    //     size, sweep the share of docs carrying a common duplicated
+    //     60-token chunk (candidates ∝ dup share; 0% isolates the
+    //     verify-free baseline).
+    // (b) leftAsofBucketed under 100× single-key skew: ONE instrument's
+    //     entire history. The plain window form serializes that key into
+    //     a single partition (wall ∝ n, zero parallel absorption); the
+    //     bucketed form splits the key across (key, time-bucket)
+    //     partitions and should absorb the growth near-linearly in
+    //     cores until bucket count saturates them.
+    if (sec("r11ops")) {
+      def spanDocs(n: Long, pct: Int): DataFrame = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) < lit(pct),
+          concat(
+            expr("array_join(transform(sequence(1, 60), i -> concat('d', i)), ' ')"),
+            lit(" "),
+            expr("""array_join(transform(sequence(1, 90),
+                      i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')""")))
+          .otherwise(expr(
+            """array_join(transform(sequence(1, 150),
+                 i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')"""))
+          .as("text"))
+      def spanrm(df: DataFrame) = graft.text.CorpusOps
+        .removeDupSpans(df, "doc_id", "text")
+        .agg(sum("n_removed")).head()
+      spanrm(spanDocs(2000, 30)) // JIT/codegen warm-up
+      println(f"${"span_verify"}%-14s ${"docs"}%8s ${"dup%"}%6s ${"cand≈"}%9s wall_s")
+      Seq(0, 30, 60).foreach { pct =>
+        val n = 20000L
+        val cand = if (pct == 0) 0L else 11L * (n * pct / 100 - 1)
+        val t = time(spanrm(spanDocs(n, pct)))
+        println(f"span_verify    $n%8d $pct%6d $cand%9d $t%8.2f")
+      }
+      // ---- single-key as-of skew ----
+      def skewSides(n: Long): (DataFrame, DataFrame) = {
+        val l = spark.range(n).select(
+          lit("EURUSD").as("instrument"),
+          expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"))
+        val r = spark.range(n).select(
+          lit("EURUSD").as("instrument"),
+          expr("timestamp_micros(1700000000000000 + id * 1000000 + 500000)")
+            .as("ts2"),
+          (col("id") % 1000).cast("double").as("px"))
+        (l, r)
+      }
+      // aggregate over the FILLED payload (count() alone would let column
+      // pruning delete the unused window/merge work — the thing measured)
+      def plainAsof(n: Long): Any = {
+        val (l, r) = skewSides(n)
+        graft.operators.AsofJoin
+          .leftAsof(l, r, Seq("instrument"), "ts", "ts2", Seq("px"), "_r")
+          .agg(sum(col("px_r"))).head()
+      }
+      def bucketedAsof(n: Long): Any = {
+        val (l, r) = skewSides(n)
+        graft.operators.AsofJoin
+          .leftAsofBucketed(l, r, Seq("instrument"), "ts", "ts2", Seq("px"),
+            "_r", bucketSeconds = 3600L)
+          .agg(sum(col("px_r"))).head()
+      }
+      plainAsof(20000L); bucketedAsof(20000L) // warm
+      println(f"${"asof_skew"}%-14s ${"rows/side"}%10s ${"wall_s"}%8s")
+      // plain: one key = ONE window partition, the serializing form the
+      // bucketed variant exists to avoid — measured at the same sizes
+      Seq(100000L, 1000000L, 10000000L).foreach { n =>
+        val t = time(plainAsof(n))
+        println(f"asof_plain     $n%10d $t%8.2f")
+      }
+      Seq(100000L, 1000000L, 10000000L).foreach { n =>
+        val t = time(bucketedAsof(n))
+        println(f"asof_bucketed  $n%10d $t%8.2f")
+      }
+    }
+
     // dedup-groups round-count probe: each fixpoint round is one
     // synchronous Spark job, so at 100 TB the ROUND count (not per-round
     // cost, which is linear and amortizes) is the scale lever. Measure it

@@ -267,11 +267,15 @@ object CorpusOps {
     * and pass through whole. A doc can be cut to the empty string when
     * every position is covered (a pure duplicate tail of another doc).
     *
-    * Collision safety: because this op rewrites text (unlike the grouping
-    * ops, where a hash collision only over-groups), window identity is
-    * verified with an independent 64-bit xxhash64 before any removal —
-    * see the inline note at the occurrence scan. Windows whose identity
-    * hash collides but whose check hash disagrees are kept, never cut.
+    * Collision safety — this op is EXACT, matching the reference
+    * technique (Lee et al. use suffix arrays, whose matches are literal):
+    * because it rewrites text (unlike the grouping ops, where a hash
+    * collision only over-groups), every removal candidate's window TEXT
+    * is compared against the canonical occurrence's window text before
+    * any cut — the hash only proposes, the string compare decides. A
+    * window whose identity hash collides with a different window is kept,
+    * never cut, with probability 1 (not 1 − 2^-123 as in the pre-r11
+    * double-hash form).
     */
   def removeDupSpans(
       docs: DataFrame,
@@ -312,34 +316,43 @@ object CorpusOps {
             sequence(lit(0), size(col("t")) - lit(w)),
             i => array_join(slice(col("t"), i + lit(1), lit(w)), " ")))
             .as(Seq("start", "__g")))
-        .select(col("id"), col("start"),
-          idHash(col("__g")).as("wh"),
-          // independent 64-bit verification hash (xxhash64, a different
-          // family from the polynomial pair): this op REWRITES text, so an
-          // identity-hash collision between two different windows must not
-          // silently cut a non-duplicate span. Removal below additionally
-          // requires the occurrence's check hash to equal the canonical
-          // occurrence's — a collision now needs ~59+64 bits to agree
-          // (birthday horizon ~1e18 windows; at the 100 TB target's ~1e13
-          // windows the spurious-removal expectation is ~1e-11 pairs).
-          // A detected collision is left in place (fails the dedup, never
-          // corrupts text) — the safe direction for a rewriting op.
-          xxhash64(col("__g")).as("whc"))
+        .select(col("id"), col("start"), idHash(col("__g")).as("wh"))
       // canonical occurrence = first in (doc, start) order; all later
       // occurrences of the same window are removed. The canonical pick is
       // a partial-aggregatable min(struct) per hash, NOT a row_number
       // window: on the corpora this operator targets, one hot boilerplate
       // window can occur millions of times, and a window partition would
       // single-reducer-sort all of them — the min-struct combines map-side
-      // and the join back carries one row per distinct hash. The check
-      // hash rides along (ordering is (id, start) first, so it never
-      // influences the pick — occurrences are unique per (id, start)).
+      // and the join back carries one row per distinct hash.
       val canon = occ.groupBy("wh")
-        .agg(min(struct(col("id"), col("start"), col("whc"))).as("__c"))
-      val removed = occ.join(canon, "wh")
+        .agg(min(struct(col("id"), col("start"))).as("__c"))
+      val cand = occ.join(canon, "wh")
         .filter(struct(col("id"), col("start")) =!=
           struct(col("__c.id").as("id"), col("__c.start").as("start")))
-        .filter(col("whc") === col("__c.whc"))
+        .select(col("id"), col("start"),
+          col("__c.id").as("cid"), col("__c.start").as("cstart"))
+      // EXACT verification before any cut: a hash only PROPOSES a removal;
+      // the decision compares the candidate window's literal text against
+      // the canonical occurrence's. Both texts are re-sliced from the token
+      // stream (toks is a narrow stateless map — same recompute-over-pin
+      // posture as above), keyed by the (id, start) / (cid, cstart) the
+      // candidate row already carries. Cost is O(candidate pairs) joined
+      // rows: the non-candidate corpus never enters either join's build
+      // side, and with AQE the (typically tiny) candidate side broadcasts,
+      // so the verify adds no corpus-sized exchange. A collision (equal
+      // identity hash, different text) fails the compare and the window is
+      // left in place — exactness matching the paper's suffix-array form.
+      val candWin = cand.join(toks, Seq("id"))
+        .select(col("id"), col("start"), col("cid"), col("cstart"),
+          array_join(slice(col("t"), col("start") + lit(1), lit(w)), " ")
+            .as("__wtext"))
+      val canonWin = cand.select(col("cid"), col("cstart")).distinct()
+        .join(toks.select(col("id").as("cid"), col("t")), Seq("cid"))
+        .select(col("cid"), col("cstart"),
+          array_join(slice(col("t"), col("cstart") + lit(1), lit(w)), " ")
+            .as("__ctext"))
+      val removed = candWin.join(canonWin, Seq("cid", "cstart"))
+        .filter(col("__wtext") === col("__ctext"))
       // union of covered positions — distinct because overlapping removed
       // windows cover shared positions
       val covered = removed
