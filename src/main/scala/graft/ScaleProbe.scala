@@ -326,6 +326,34 @@ object ScaleProbe {
       }
     }
 
+    // q_triangles stage split: how much of the wall is CONSTRUCTING the
+    // co-purchase edge list (per-order set + in-row pair explode +
+    // distinct) vs the triangle machinery proper (orient + adjacency +
+    // intersection). Decides whether the edge build is worth optimizing.
+    if (sec("tri")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      def edgesOf(minParts: Boolean): DataFrame = {
+        val ps = li.groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        val kept = if (minParts) ps.filter(size(col("ps")) >= 2) else ps
+        kept.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y ->
+                 named_struct('u', x, 'v', y))))""")).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+      }
+      def full(minParts: Boolean) = graft.operators.Triangles
+        .perNodeCounts(edgesOf(minParts), "u", "v")
+        .orderBy(col("n_tri").desc, col("node")).limit(100).count()
+      full(false); full(false) // warm
+      val tEdges = time(edgesOf(false).distinct().count())
+      val tEdgesF = time(edgesOf(true).distinct().count())
+      val tFull = time(full(false))
+      val tFullF = time(full(true))
+      println(f"tri_edges      ${tEdges}%8.2f  (with size>=2 filter ${tEdgesF}%5.2f)")
+      println(f"tri_full       ${tFull}%8.2f  (with size>=2 filter ${tFullF}%5.2f)")
+    }
+
     // dedup-groups round-count probe: each fixpoint round is one
     // synchronous Spark job, so at 100 TB the ROUND count (not per-round
     // cost, which is linear and amortizes) is the scale lever. Measure it
