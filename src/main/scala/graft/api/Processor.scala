@@ -89,9 +89,13 @@ final class Processor(spark: SparkSession, warehouse: String) {
       val names = dirNames(path)
       val hasZip = names.exists(_.endsWith(".zip"))
       val hasCsv = names.exists(_.endsWith(".csv"))
+      // detection is case-insensitive (names are lowercased), so the split
+      // globs must be too: a plain "*.zip" would detect DATA.ZIP yet match
+      // neither family and drop it silently. Hadoop glob character classes
+      // give case-insensitive suffix matching without listing+joining paths.
       if (hasZip && hasCsv)
-        TickIngest.readZipsWithBadRecords(spark, s"$path/*.zip")
-          .union(TickIngest.readCsvWithBadRecords(spark, s"$path/*.csv"))
+        TickIngest.readZipsWithBadRecords(spark, s"$path/*.[zZ][iI][pP]")
+          .union(TickIngest.readCsvWithBadRecords(spark, s"$path/*.[cC][sS][vV]"))
       else if (hasZip) TickIngest.readZipsWithBadRecords(spark, path)
       else TickIngest.readCsvWithBadRecords(spark, path)
     }

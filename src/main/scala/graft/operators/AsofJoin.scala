@@ -223,4 +223,73 @@ object AsofJoin {
     }
     out.drop("__t", "__b", "__src", "__p", "__m")
   }
+
+  /** Measured crossover between the plain and bucketed forms (SCALE.md r11,
+    * 100× single-key skew probe): below ~1M rows on the hottest key the
+    * plain one-shuffle window form wins (the bucketed form's second
+    * shuffle + carry pass is pure overhead); above it the hot key's
+    * serialized in-partition sort dominates (plain grew 46× where bucketed
+    * grew 11× at 100× skew) and bucketing wins outright.
+    */
+  val HotKeyCrossover: Long = 1000000L
+
+  /** Decide which as-of form to run for the given shape: "bucketed" iff the
+    * hottest join key carries more rows than `threshold` (left and right
+    * combined — both sides of the union land in that key's single window
+    * partition and serialize together), else "plain".
+    *
+    * Cost of deciding: one column-pruned scan of each side's key columns
+    * into a map-side-combinable count agg — tiny next to the join itself,
+    * and the scan reuses cached inputs. Exposed separately from
+    * [[leftAsofAuto]] so the dispatch rule itself is spec-pinnable.
+    */
+  def chooseAsofForm(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      threshold: Long = HotKeyCrossover
+  ): String = {
+    val keys = left.select(on.map(col): _*)
+      .unionByName(right.select(on.map(col): _*))
+    val hottest = keys.groupBy(on.map(col): _*).count()
+      .agg(max(col("count"))).head()
+    val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (maxPerKey > threshold) "bucketed" else "plain"
+  }
+
+  /** As-of join that picks the physical form per call: the plain
+    * one-shuffle window form ([[leftAsof]]) for ordinary key distributions,
+    * the skew-resistant (key, time-bucket) form ([[leftAsofBucketed]]) when
+    * any single key exceeds [[HotKeyCrossover]] rows. Both forms produce
+    * identical rows (equivalence-tested), so the choice is purely physical.
+    *
+    * @param mode override knob: "auto" (default) measures and decides;
+    *             "plain" / "bucketed" force the form without the decision
+    *             scan (for callers that already know their shape).
+    */
+  def leftAsofAuto(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      suffix: String = "",
+      mode: String = "auto",
+      hotKeyThreshold: Long = HotKeyCrossover,
+      bucketSeconds: Long = 86400L
+  ): DataFrame = {
+    val form = mode match {
+      case "auto"               => chooseAsofForm(left, right, on, hotKeyThreshold)
+      case "plain" | "bucketed" => mode
+      case other =>
+        throw new IllegalArgumentException(
+          s"mode must be auto|plain|bucketed, got $other")
+    }
+    if (form == "bucketed")
+      leftAsofBucketed(left, right, on, leftTime, rightTime, rightPayload,
+        suffix, bucketSeconds)
+    else
+      leftAsof(left, right, on, leftTime, rightTime, rightPayload, suffix)
+  }
 }

@@ -172,13 +172,21 @@ object StreamingDedup {
     // latest+1 would be invisible to that batch and then destroyed when
     // the batch overwrites v=batchId. The replacement is staged through a
     // temp directory (invisible to [[latestVersion]] — no `v=` prefix) and
-    // swapped in with two filesystem metadata ops, so the destructive
-    // window is a rename, not the whole parquet write: a crash mid-WRITE
-    // leaves v=target untouched, and only a crash between the delete and
-    // the rename loses the live copy — with the complete staged index
-    // still on disk under the temp name for manual recovery. Run with the
-    // stream stopped (class doc): a live updater's lazy read of v=target
-    // still races the swap itself.
+    // swapped in RENAME-FIRST: the live version is renamed aside
+    // (v=target -> _reconcile_old), the staged dir renamed in, and only
+    // then is the old copy deleted — a complete, discoverable v=target
+    // exists at every step. (The earlier delete-then-rename order had a
+    // crash window with NO v=target at all: the next micro-batch would
+    // silently label against stale v=target-1 while the fresh index sat
+    // unreferenced in the temp dir.) A crash between the two renames
+    // leaves latestVersion at target-1 with both _reconcile_old and the
+    // complete staged dir on disk for recovery — stale but loud, never
+    // half-written. NOTE: on object stores (s3a) "rename" is copy+delete,
+    // not a metadata op — these windows widen proportionally to index
+    // size; an s3a deployment should commit via a version manifest
+    // instead of directory renames. Run with the stream stopped (class
+    // doc): a live updater's lazy read of v=target still races the swap
+    // itself.
     val target = latestVersion(spark, indexPath).getOrElse(0L)
     val (_, freshIndex, repairs) = graft.text.MinHash
       .reconcileIncremental(corpus, staleLabels, idCol, textCol)
@@ -186,8 +194,12 @@ object StreamingDedup {
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     freshIndex.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val tgt = new org.apache.hadoop.fs.Path(s"$indexPath/v=$target")
-    if (fs.exists(tgt)) fs.delete(tgt, true)
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/_reconcile_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    val hadLive = fs.exists(tgt)
+    if (hadLive) require(fs.rename(tgt, old), s"rename $tgt -> $old failed")
     require(fs.rename(tmp, tgt), s"rename $tmp -> $tgt failed")
+    if (hadLive) fs.delete(old, true)
     repairs
   }
 }

@@ -114,6 +114,48 @@ class AsofJoinSpec extends SparkSpec {
     df.select("k", "t", "id", "t_r", "v_r").orderBy("k", "t", "id")
       .collect().map(_.toString).toSeq
 
+  test("auto-dispatch: plain below the hot-key crossover, bucketed above, results identical") {
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(10 * 86400) * 1000L)
+    // even shape: 2 keys × ~350 rows — far below any sensible threshold
+    val left = (1 to 400).map(i =>
+      (if (i % 2 == 0) "A" else "B", randTs(), i)).toDF("k", "t", "id")
+    val right = (1 to 300).map(i =>
+      (if (i % 3 == 0) "A" else "B", randTs(), i * 1.0)).toDF("k", "t", "v")
+    assert(AsofJoin.chooseAsofForm(left, right, Seq("k")) === "plain")
+    // skewed shape: one key carries everything — with the threshold scaled
+    // down to test size, the dispatcher must flip to bucketed
+    val hotL = (1 to 400).map(i => ("HOT", randTs(), i)).toDF("k", "t", "id")
+    val hotR = (1 to 300).map(i => ("HOT", randTs(), i * 1.0)).toDF("k", "t", "v")
+    assert(AsofJoin.chooseAsofForm(hotL, hotR, Seq("k"), threshold = 500L)
+      === "bucketed")
+    assert(AsofJoin.chooseAsofForm(hotL, hotR, Seq("k")) === "plain") // default 1M
+    // both dispatch targets produce identical rows on both shapes
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "id", "v_r").orderBy("k", "t", "id")
+        .collect().map(_.toString).toSeq
+    assert(
+      canon(AsofJoin.leftAsofAuto(hotL, hotR, Seq("k"), "t", "t", Seq("v"), "_r",
+        hotKeyThreshold = 500L)) ===
+      canon(AsofJoin.leftAsof(hotL, hotR, Seq("k"), "t", "t", Seq("v"), "_r")))
+    assert(
+      canon(AsofJoin.leftAsofAuto(left, right, Seq("k"), "t", "t", Seq("v"), "_r")) ===
+      canon(AsofJoin.leftAsof(left, right, Seq("k"), "t", "t", Seq("v"), "_r")))
+    // override knob bypasses the decision scan
+    assert(
+      canon(AsofJoin.leftAsofAuto(hotL, hotR, Seq("k"), "t", "t", Seq("v"), "_r",
+        mode = "bucketed")) ===
+      canon(AsofJoin.leftAsof(hotL, hotR, Seq("k"), "t", "t", Seq("v"), "_r")))
+    intercept[IllegalArgumentException] {
+      AsofJoin.leftAsofAuto(left, right, Seq("k"), "t", "t", Seq("v"), "_r",
+        mode = "nope")
+    }
+    // empty right side must not NPE the decision (max(count) over no rows)
+    val emptyR = right.filter(col("v") < 0)
+    assert(AsofJoin.chooseAsofForm(left.limit(0), emptyR, Seq("k")) === "plain")
+  }
+
   test("equal-timestamp right duplicates resolve deterministically (max payload)") {
     val left = Seq(("A", ts("2024-01-01 00:00:05"), 1)).toDF("k", "t", "id")
     val right = Seq(

@@ -325,6 +325,28 @@ class ForexPipelineSpec extends SparkSpec {
     assert(stored.filter(col("yyyymm") === "202403").count() === 2)
   }
 
+  test("mixed landing dir with UPPERCASE extensions: nothing dropped") {
+    // detection lowercases names, so DATA.ZIP/EXTRA.CSV trigger the split
+    // path — the split globs must match them too (case-insensitive glob
+    // classes), else the files are detected yet read by neither family
+    val dir = Files.createTempDirectory("graft_mixed_uc")
+    val mixed = dir.resolve("landing"); Files.createDirectories(mixed)
+    val zos = new ZipOutputStream(Files.newOutputStream(mixed.resolve("M1.ZIP")))
+    zos.putNextEntry(new ZipEntry("Exness_EURUSD_2024_01.csv"))
+    zos.write(rawCsv.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    Files.writeString(mixed.resolve("EXTRA.CSV"),
+      "Timestamp,Bid,Ask\n" +
+        "2024-03-01 00:00:00.000000,1.11000,1.11002\n" +
+        "2024-03-01 00:00:01.000000,1.11010,1.11012\n")
+    val std = dir.resolve("std.csv"); Files.writeString(std, stdCsv)
+    val p = new Processor(spark, dir.resolve("wh").toString)
+    val res = p.updateData("EURUSD", mixed.toString, std.toString).toOption.get
+    assert(res.badRecords === 0L, s"badRecords=${res.badRecords}")
+    val stored = spark.read.parquet(s"${dir.resolve("wh")}/raw_spread_ticks")
+    assert(stored.count() === 10) // 8 deduped ZIP rows + 2 CSV rows
+    assert(stored.filter(col("yyyymm") === "202403").count() === 2)
+  }
+
   test("writeTicks reports the batch's rows, not the whole stored instrument") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -15,8 +15,10 @@ import graft.multimodal.Multimodal
   * over the rounded feature matrix plus the exact grouping, so ANY change
   * to decode, feature math, or grouping semantics fails loudly.
   *
-  * Determinism notes: only lossless codings (PNG/BMP pixels, PCM16/µ-law
-  * samples) — no JPEG, whose encoder varies by JVM. Image features are
+  * Determinism notes: the ABSOLUTE pin covers codings whose decode is
+  * pure byte/table/integer math (PNG/BMP pixels, PCM16/µ-law/IMA-ADPCM
+  * samples) — no JPEG, whose encoder varies by JVM; the MJPEG branch is
+  * covered by the separate byte-exact relative test below. Image features are
   * exact integer-pixel arithmetic; audio features pass through
   * `math.sin`/Goertzel trig, so values are rounded to 5 significant
   * digits before hashing (platform ulp noise is ~1e-16 relative; a real
@@ -46,8 +48,13 @@ class MultimodalOracleSpec extends SparkSpec {
     buf.toByteArray
   }
 
-  // --- audio fixtures: 300+700 Hz mix vs 3000 Hz tone, PCM16 and µ-law ---
-  private val rate = 8000
+  // --- audio fixtures: 400+800 Hz mix vs 3000 Hz tone, PCM16, µ-law and
+  // IMA-ADPCM. Rate 7200 puts the mix tones exactly ON Goertzel bins
+  // ((k+1)·rate/18 = 400, 800, …): off-bin tones leave every band reading
+  // pure spectral leakage, which ADPCM quantization noise swamps — on-bin
+  // tones make the band energies signal-dominated, so re-codings of the
+  // same content stay near-identical in feature space (cosine ≈ 1) ---
+  private val rate = 7200
   private val nSamp = 4000
   private def sig(freqs: Seq[Double]): Array[Double] = Array.tabulate(nSamp) { i =>
     freqs.map(fr => 0.4 * math.sin(2 * math.Pi * fr * i / rate)).sum
@@ -82,6 +89,93 @@ class MultimodalOracleSpec extends SparkSpec {
     bo.toByteArray
   }
 
+  // --- IMA/DVI ADPCM encoder (the public reference algorithm, mirrored
+  // from the spec side so the fixture exercises Multimodal's hand-written
+  // format-0x11 DECODER with an independently-written encoder; pure
+  // integer math, so the decoded features are absolutely pinnable) ---
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaAdvance: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+  /** Mono IMA-ADPCM WAV (format 0x11): blockAlign-byte blocks, 4-byte
+    * header (predictor = the block's first output sample, step index),
+    * then 4-bit codes two-per-byte low-nibble-first.
+    */
+  private def wavImaAdpcm(s: Array[Double], blockAlign: Int = 256): Array[Byte] = {
+    val pcm = s.map(v => math.max(-32768, math.min(32767,
+      math.round(v * 32767).toInt)))
+    val perBlock = 1 + 2 * (blockAlign - 4) // header sample + 2 per payload byte
+    val payload = new java.io.ByteArrayOutputStream()
+    var index = 0
+    pcm.grouped(perBlock).foreach { block =>
+      var predictor = block(0)
+      payload.write(predictor & 0xff); payload.write((predictor >> 8) & 0xff)
+      payload.write(index); payload.write(0)
+      var nibbles = Vector.empty[Int]
+      block.drop(1).foreach { sample =>
+        val step = ImaStep(index)
+        var diff = sample - predictor
+        var code = if (diff < 0) { diff = -diff; 8 } else 0
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { code |= 1 }
+        // reconstruct EXACTLY as the decoder will, so predictor tracks
+        var d = step >> 3
+        if ((code & 1) != 0) d += step >> 2
+        if ((code & 2) != 0) d += step >> 1
+        if ((code & 4) != 0) d += step
+        predictor =
+          if ((code & 8) != 0) math.max(predictor - d, -32768)
+          else math.min(predictor + d, 32767)
+        index = math.min(math.max(index + ImaAdvance(code & 7), 0), 88)
+        nibbles :+= code
+      }
+      nibbles.grouped(2).foreach { pair =>
+        payload.write(pair.head | (pair.lift(1).getOrElse(0) << 4))
+      }
+    }
+    val data = payload.toByteArray
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    o.writeBytes("RIFF"); le32(36 + data.length); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16); le16(0x11); le16(1)
+    le32(rate); le32(rate / 2); le16(blockAlign); le16(4)
+    o.writeBytes("data"); le32(data.length)
+    o.write(data)
+    bo.toByteArray
+  }
+
+  // --- MJPEG AVI fixture: RIFF(AVI ){ LIST hdrl{ avih }, LIST movi{ 00dc… } }
+  private def aviMjpeg(frames: Seq[Array[Byte]], usPerFrame: Long): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    def le32(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    val avihBody = 56 // dwMicroSecPerFrame + 52 reserved/zero bytes
+    val hdrlBody = 4 + 8 + avihBody
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    o.writeBytes("RIFF"); le32(4 + (8 + hdrlBody) + (8 + moviBody))
+    o.writeBytes("AVI ")
+    o.writeBytes("LIST"); le32(hdrlBody); o.writeBytes("hdrl")
+    o.writeBytes("avih"); le32(avihBody); le32(usPerFrame.toInt)
+    o.write(new Array[Byte](52))
+    o.writeBytes("LIST"); le32(moviBody); o.writeBytes("movi")
+    frames.foreach { f =>
+      o.writeBytes("00dc"); le32(f.length); o.write(f)
+      if ((f.length & 1) == 1) o.write(0) // chunks are word-aligned
+    }
+    bo.toByteArray
+  }
+
   test("pinned: parquet media fixture → perceptual features → semDedup grouping") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", "png", None, None, None,
@@ -91,11 +185,15 @@ class MultimodalOracleSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "image", "png", None, None, None,
         enc(pattern(true), "png")),
       Multimodal.MediaRow(4L, "audio", "wav", None, None, None,
-        wavPcm16(sig(Seq(300.0, 700.0)))),
+        wavPcm16(sig(Seq(400.0, 800.0)))),
       Multimodal.MediaRow(5L, "audio", "wav", None, None, None,
-        wavMuLaw(sig(Seq(300.0, 700.0)))),
+        wavMuLaw(sig(Seq(400.0, 800.0)))),
       Multimodal.MediaRow(6L, "audio", "wav", None, None, None,
-        wavPcm16(sig(Seq(3000.0)))))
+        wavPcm16(sig(Seq(3000.0)))),
+      // format 0x11: same 300+700 Hz mix through the hand-written IMA
+      // ADPCM block decoder — integer-exact, so it joins the absolute pin
+      Multimodal.MediaRow(7L, "audio", "wav", None, None, None,
+        wavImaAdpcm(sig(Seq(400.0, 800.0)))))
     // fixture goes THROUGH parquet: the pin covers the real storage
     // plumbing (binary column + nullable metadata roundtrip), not just
     // the in-memory kernels
@@ -130,16 +228,72 @@ class MultimodalOracleSpec extends SparkSpec {
       out.sortBy(_._1).toSeq.map(t => s"${t._1}|rep=${rep(t._2)}|kept=${t._3}")
     }
     val grouping = groupLines("image", 2) ++ groupLines("audio", 2)
-    // semantics readable in-place: re-encodes group together, distinct
-    // content separates, one representative kept per group (the keep rule
-    // is semDedup's centroid-relative pick, not min-id — in the audio
-    // pair it selects the µ-law re-coding, id 5)
+    // semantics readable in-place: re-encodes group together (PCM16,
+    // µ-law AND IMA-ADPCM codings of the same mix land in one group),
+    // distinct content separates, one representative kept per group (the
+    // keep rule is semDedup's centroid-relative pick, not min-id)
     assert(grouping === Seq(
       "1|rep=1|kept=true", "2|rep=1|kept=false", "3|rep=3|kept=true",
-      "4|rep=4|kept=false", "5|rep=4|kept=true", "6|rep=6|kept=true"))
+      "4|rep=4|kept=false", "5|rep=4|kept=false", "6|rep=6|kept=true",
+      "7|rep=4|kept=true"))
 
     val pin = sha((featLines ++ grouping).mkString("\n"))
-    assert(pin === "2f6d35dabad494bb5e2706ddef52526695ad1896a7d36c5a76c8e5bf4bc0e3e1",
+    assert(pin === "81c1a11aac9f61bb3f98cdbbffad5113d0dad5032fe0382ed84d67f3f8550931",
       s"multimodal feature/grouping pin drifted:\n${featLines.mkString("\n")}\npin=$pin")
+  }
+
+  test("byte-exact: MJPEG AVI demux, frame sampling, and the video feature path") {
+    // The MJPEG branch cannot join the absolute pin above (the JPEG
+    // ENCODER producing the fixture frames is the JVM's — its bytes are
+    // not contract). Instead this test is exact RELATIVE to the muxed
+    // bytes, which is strictly stronger than the old cosine tolerances:
+    //   - demux must return each frame's payload BYTE-IDENTICAL, at its
+    //     true offset (a drifted RIFF-walk constant fails with prob. 1);
+    //   - sampleFrames must honor the latest-at-or-before seek contract;
+    //   - the video feature path must BIT-EQUAL the image feature path on
+    //     the same frame bytes (pins the video→image plumbing exactly).
+    val jpgs = Seq(pattern(false), pattern(true), {
+      val g = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) g.setRGB(x, y, (x * 4) << 16 | (y * 5) << 8)
+      g
+    }).map(enc(_, "jpg"))
+    assert(jpgs.forall(_.nonEmpty))
+    val avi = aviMjpeg(jpgs, usPerFrame = 100000L) // 100 ms per frame
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi")
+      .resolve("media.parquet").toString
+    Seq(Multimodal.MediaRow(10L, "video", "avi", None, None, Some(300L), avi))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val media = spark.read.parquet(dir).as[Multimodal.MediaRow]
+
+    // demux: every frame byte-identical to the muxed payload, true offsets
+    val frames = Multimodal.extractAviFrames(media).collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.offset_ms)).toSeq ===
+      Seq((0, 0L), (1, 100L), (2, 200L)))
+    assert(frames.map(f => sha(f.data.map("%02x".format(_)).mkString)).toSeq ===
+      jpgs.map(j => sha(j.map("%02x".format(_)).mkString)))
+
+    // frame sampling: everyMs=100 hits each frame; everyMs=80 replays the
+    // latest frame at-or-before each instant (0,80,160,240 → f0,f0,f1,f2)
+    def sampled(everyMs: Long): Seq[(Long, String)] =
+      Multimodal.sampleFrames(media, everyMs).collect().sortBy(_.frame_idx)
+        .map(f => (f.offset_ms, sha(f.data.map("%02x".format(_)).mkString))).toSeq
+    val js = jpgs.map(j => sha(j.map("%02x".format(_)).mkString))
+    assert(sampled(100L) === Seq((0L, js(0)), (100L, js(1)), (200L, js(2))))
+    assert(sampled(80L) ===
+      Seq((0L, js(0)), (80L, js(0)), (160L, js(1)), (240L, js(2))))
+
+    // feature plumbing: video row features == image-path features of the
+    // FIRST frame's bytes, element-for-element (no tolerance)
+    val videoFeat = Multimodal.extractFeatures(media).collect().head
+    assert(videoFeat.features.length === 88) // decoded path, not byteHistogram
+    val imgRow = Seq(Multimodal.MediaRow(11L, "image", "jpg", None, None, None,
+      jpgs.head)).toDS()
+    val imgFeat = Multimodal.extractFeatures(imgRow).collect().head
+    assert(videoFeat.features.toSeq === imgFeat.features.toSeq)
+
+    // pixel decode of every frame succeeds with true dimensions
+    val decoded = Multimodal.decodeAviFrames(media).collect().sortBy(_.frame_idx)
+    assert(decoded.map(d => (d.width, d.height)).toSeq === Seq.fill(3)((64, 48)))
   }
 }

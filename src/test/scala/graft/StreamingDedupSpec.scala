@@ -356,5 +356,21 @@ class StreamingDedupSpec extends SparkSpec {
     val labels = spark.read.parquet(s"$base/labels").select("id", "group_rep")
       .as[(Long, Long)].collect().toMap
     assert(labels(30L) === 1L, s"batch after reconcile missed the fresh index: $labels")
+    // rename-first swap: neither temp dir survives a successful reconcile,
+    // and a stale _reconcile_old left by a prior crash is cleared by the
+    // NEXT reconcile rather than failing the aside-rename
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/_reconcile_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/_reconcile_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/index/_reconcile_old"))
+    val corpus2 = corpus.union(Seq((30L, doc(1, " zz"))).toDF("doc_id", "text"))
+    val stale2 = spark.read.parquet(s"$base/labels").select("id", "group_rep")
+    graft.streaming.StreamingDedup.reconcile(
+      corpus2, stale2, s"$base/index", "doc_id", "text")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/_reconcile_old")))
+    // batch 2 wrote v=2; the second reconcile replaced it in place
+    assert(graft.streaming.StreamingDedup.latestVersion(spark, s"$base/index")
+      .contains(2L))
   }
 }

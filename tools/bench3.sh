@@ -22,15 +22,26 @@ OUT=/tmp/bench_runs
 mkdir -p "$OUT"
 for i in $(seq 1 "$RUNS"); do
   echo "== bench run $i/$RUNS (sf=$SPARK_GRAFT_SF_DIR, cpus=$SPARK_GRAFT_CPUS) =="
+  # remove the previous record first: if the run dies before writing
+  # bench_full.json, the copy below must fail loudly rather than save the
+  # PREVIOUS run's file as a duplicate record that skews the median
+  rm -f bench_full.json
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 || true
+  if [[ ! -f bench_full.json ]]; then
+    echo "run $i: bench died before writing bench_full.json — skipping" >&2
+    continue
+  fi
   cp bench_full.json "$OUT/run_$i.json"
 done
 python3 - "$OUT" "$RUNS" <<'EOF'
-import json, shutil, sys
+import json, os, shutil, sys
 out, runs = sys.argv[1], int(sys.argv[2])
 recs = []
 for i in range(1, runs + 1):
     path = f"{out}/run_{i}.json"
+    if not os.path.exists(path):
+        print(f"run {i}: no record (bench died) — skipped")
+        continue
     with open(path) as f:
         d = json.load(f)
     status = "CONTENDED" if d.get("contended") else "clean"
