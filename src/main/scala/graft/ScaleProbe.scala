@@ -638,6 +638,70 @@ object ScaleProbe {
         edges.unpersist(blocking = false)
       }
     }
+    // Round-12 probes.
+    // (a) q_dedup_reconcile variance band: clean records range 4.1–6.6 s
+    //     across rounds with ZERO code change (VERDICT r11 #2). Run the
+    //     exact driver query isolated N times in one JVM (steady-state
+    //     JIT), print every wall — the spread plus per-run GC delta
+    //     attributes the band (plan nondeterminism would need differing
+    //     round counts; GC pressure shows up as wall ∝ collection time).
+    if (sec("reconcile")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "6").toInt
+      def gcMillis(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val q = SparkEntry.queries("q_dedup_reconcile")
+      q(spark, sfDir).count() // warm (codegen + JIT for this exact plan)
+      println(f"${"reconcile"}%-14s ${"run"}%4s ${"wall_s"}%8s ${"gc_ms"}%7s")
+      val walls = (1 to iters).map { i =>
+        val g0 = gcMillis()
+        val t = time(q(spark, sfDir).count())
+        println(f"reconcile      $i%4d $t%8.2f ${gcMillis() - g0}%7d")
+        t
+      }
+      println(f"reconcile_band min=${walls.min}%.2f max=${walls.max}%.2f " +
+        f"spread=${walls.max / walls.min}%.2fx")
+    }
+    // (b) span-removal exact-verify at ADVERSARIAL dup share: the r11
+    //     sweep stopped at 60% (where the candidate side still broadcasts
+    //     under AQE). At 90–100% candidates ≈ corpus, the broadcast
+    //     assumption breaks and the verify joins must fall back to
+    //     shuffle joins — measure that worst-case wall and NAME the join
+    //     strategy the final adaptive plan actually picked.
+    if (sec("spanadv")) {
+      def spanDocs(n: Long, pct: Int): DataFrame = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) < lit(pct),
+          concat(
+            expr("array_join(transform(sequence(1, 60), i -> concat('d', i)), ' ')"),
+            lit(" "),
+            expr("""array_join(transform(sequence(1, 90),
+                      i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')""")))
+          .otherwise(expr(
+            """array_join(transform(sequence(1, 150),
+                 i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')"""))
+          .as("text"))
+      def joinMix(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+        val s = plan.toString
+        def n(needle: String) = needle.r.findAllIn(s).size
+        s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+          s"shj=${n("ShuffledHashJoin")}"
+      }
+      graft.text.CorpusOps.removeDupSpans(spanDocs(2000, 90), "doc_id", "text")
+        .agg(sum("n_removed")).head() // warm
+      println(f"${"span_adv"}%-14s ${"docs"}%8s ${"dup%"}%6s ${"wall_s"}%8s joins")
+      Seq((20000L, 60), (20000L, 90), (20000L, 100),
+          (100000L, 100), (200000L, 100)).foreach { case (n, pct) =>
+        val out = graft.text.CorpusOps
+          .removeDupSpans(spanDocs(n, pct), "doc_id", "text")
+          .agg(sum("n_removed"))
+        val t = time(out.head())
+        println(f"span_adv       $n%8d $pct%6d $t%8.2f ${joinMix(out.queryExecution.executedPlan)}")
+      }
+    }
     spark.stop()
   }
 }
