@@ -222,6 +222,27 @@ object SparkEntry {
         .withColumnRenamed("event_id_c", "click_event_id")
         .orderBy("user_id", "ts", "event_id")
     }),
+    // Same as-of semantics through the r12 AUTO-dispatched form
+    // (AsofJoin.leftAsofAuto): one cheap per-key count agg picks the plain
+    // window form here (even key distribution, far below the ~1M-rows-per-
+    // hot-key crossover) or the skew-bucketed form on pathological shapes.
+    // Driver-gating this entry pins that the dispatcher's chosen plan is
+    // row-for-row the ASOF contract, not just spec-equivalent.
+    "q_asof_auto" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin
+        .leftAsofAuto(purchases, clicks, on = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("value", "event_id"), suffix = "_c")
+        .withColumnRenamed("ts_c", "click_ts")
+        .withColumnRenamed("value_c", "click_value")
+        .withColumnRenamed("event_id_c", "click_event_id")
+        .orderBy("user_id", "ts", "event_id")
+    }),
 
     // J2: minute-bucket equi-join (legacy pre-ASOF semantics)
     "q_minute_join" -> ((s, dir) => {
@@ -2770,6 +2791,16 @@ object SparkEntry {
             ORDER BY p.minute""",
 
       "q_asof_join" ->
+        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
+                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
+                   r.event_id AS click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
+            ORDER BY l.user_id, ts, l.event_id""",
+
+      "q_asof_auto" ->
         s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
                    CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
                    r.event_id AS click_event_id

@@ -131,7 +131,14 @@ object Ohlc {
     * Input frames have columns (instrument, timestamp, bid, ask).
     */
   def ticksToOhlc1m(rawSpread: DataFrame, standard: DataFrame): DataFrame = {
-    val joined = AsofJoin.leftAsofNative(
+    // AUTO-dispatched as-of (r12): the join key is instrument ALONE, so at
+    // warehouse scale one major pair's full history is a single hot key —
+    // exactly the shape where the key-partitioned forms serialize and the
+    // (key, time-bucket) form wins (measured crossover ~1M rows/key,
+    // SCALE.md r11/r12). Below the crossover the dispatcher keeps the
+    // native single-pass merge; the decision scan is one key-only
+    // map-side-combinable count agg over the two tick frames.
+    val joined = AsofJoin.leftAsofAuto(
       rawSpread,
       standard.select("instrument", "timestamp", "bid", "ask"),
       on = Seq("instrument"),

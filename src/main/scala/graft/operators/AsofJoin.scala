@@ -238,10 +238,21 @@ object AsofJoin {
     * combined — both sides of the union land in that key's single window
     * partition and serialize together), else "plain".
     *
-    * Cost of deciding: one column-pruned scan of each side's key columns
-    * into a map-side-combinable count agg — tiny next to the join itself,
-    * and the scan reuses cached inputs. Exposed separately from
-    * [[leftAsofAuto]] so the dispatch rule itself is spec-pinnable.
+    * Cost of deciding, two tiers: a QUICK REJECT first — if the two sides
+    * together hold ≤ threshold rows, no key can possibly exceed it. That
+    * total is counted with a per-partition CAP (each partition stops
+    * iterating past threshold+1 rows) over a zero-column projection: one
+    * narrow job, NO shuffle — deliberately not `LIMIT n + count`, whose
+    * physical plan (LocalLimit → single-partition exchange → GlobalLimit)
+    * would move up to splits×threshold rows through one task at cluster
+    * scale. A capped sum understates the true total only when some
+    * partition hit its cap — and then the total already exceeds the
+    * threshold, so the ≤-threshold test stays exact. Only when the probe
+    * saturates (inputs larger than the threshold — the regime where the
+    * join itself dwarfs any decision cost) does the real per-key count agg
+    * run: column-pruned, map-side-combinable, one small shuffle. Exposed
+    * separately from [[leftAsofAuto]] so the dispatch rule itself is
+    * spec-pinnable.
     */
   def chooseAsofForm(
       left: DataFrame,
@@ -251,17 +262,29 @@ object AsofJoin {
   ): String = {
     val keys = left.select(on.map(col): _*)
       .unionByName(right.select(on.map(col): _*))
+    val cappedTotal = keys.select(lit(1).as("__one")).rdd
+      .mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext && n <= threshold) { it.next(); n += 1 }
+        Iterator.single(n)
+      }
+      .collect()
+      .sum
+    if (cappedTotal <= threshold) return "plain"
     val hottest = keys.groupBy(on.map(col): _*).count()
       .agg(max(col("count"))).head()
     val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
     if (maxPerKey > threshold) "bucketed" else "plain"
   }
 
-  /** As-of join that picks the physical form per call: the plain
-    * one-shuffle window form ([[leftAsof]]) for ordinary key distributions,
-    * the skew-resistant (key, time-bucket) form ([[leftAsofBucketed]]) when
-    * any single key exceeds [[HotKeyCrossover]] rows. Both forms produce
-    * identical rows (equivalence-tested), so the choice is purely physical.
+  /** As-of join that picks the physical form per call: the per-key
+    * single-pass native merge exec ([[leftAsofNative]] — the fastest form
+    * when no key dominates) for ordinary key distributions, the
+    * skew-resistant (key, time-bucket) form ([[leftAsofBucketed]]) when
+    * any single key exceeds [[HotKeyCrossover]] rows (both the native and
+    * the window form partition by key alone, so a hot key's whole history
+    * serializes in one partition). All forms produce identical rows
+    * (equivalence-tested), so the choice is purely physical.
     *
     * @param mode override knob: "auto" (default) measures and decides;
     *             "plain" / "bucketed" force the form without the decision
@@ -290,6 +313,6 @@ object AsofJoin {
       leftAsofBucketed(left, right, on, leftTime, rightTime, rightPayload,
         suffix, bucketSeconds)
     else
-      leftAsof(left, right, on, leftTime, rightTime, rightPayload, suffix)
+      leftAsofNative(left, right, on, leftTime, rightTime, rightPayload, suffix)
   }
 }
