@@ -46,7 +46,12 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     require(dampingE6 >= 0L && dampingE6 <= 1000000L,
       "dampingE6 must be in [0, 1e6]")
+    // Persist the caller's edge frame FIRST: both derived frames below
+    // (out-weighted edges, node set) consume it, and the caller's edge
+    // build is often the expensive part (q_pagerank's is a 6-way join) —
+    // without this pin it would execute once per derived frame.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     // static across iterations: edges with their source's total out-weight
@@ -74,6 +79,7 @@ object PageRank {
     }
     ew.unpersist(blocking = false)
     nodesP.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks
   }
 }

@@ -154,6 +154,11 @@ class AsofJoinSpec extends SparkSpec {
     // empty right side must not NPE the decision (max(count) over no rows)
     val emptyR = right.filter(col("v") < 0)
     assert(AsofJoin.chooseAsofForm(left.limit(0), emptyR, Seq("k")) === "plain")
+    // two-tier boundary: 700 total rows saturate the capped-count quick
+    // reject at threshold 600, but the hottest key (~380 rows) is still
+    // under it — the per-key agg tier must run and still answer "plain"
+    assert(AsofJoin.chooseAsofForm(left, right, Seq("k"), threshold = 600L)
+      === "plain")
   }
 
   test("equal-timestamp right duplicates resolve deterministically (max payload)") {
