@@ -955,6 +955,21 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Same join through the r12 AUTO-dispatched form (SkewJoin.autoInnerJoin,
+    // the general-join sibling of AsofJoin.leftAsofAuto): a capped no-shuffle
+    // probe quick-rejects salting here (no hot key at bench SF) and would
+    // size the salt count to the hottest key on pathological shapes.
+    // Driver-gating pins that the dispatcher's chosen plan is row-for-row
+    // the unsalted join, not just spec-equivalent.
+    "q_salted_auto" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      SkewJoin.autoInnerJoin(li, o, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // W-class: ranking-function battery (rank/dense_rank/percent_rank/
     // cume_dist/ntile over a unique total order -> deterministic)
     "q_rank_funcs" -> ((s, dir) => {
@@ -3459,6 +3474,12 @@ object SparkEntry {
            ORDER BY o_orderkey""",
 
       "q_salted_join" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      "q_salted_auto" ->
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -262,15 +262,7 @@ object AsofJoin {
   ): String = {
     val keys = left.select(on.map(col): _*)
       .unionByName(right.select(on.map(col): _*))
-    val cappedTotal = keys.select(lit(1).as("__one")).rdd
-      .mapPartitions { it =>
-        var n = 0L
-        while (it.hasNext && n <= threshold) { it.next(); n += 1 }
-        Iterator.single(n)
-      }
-      .collect()
-      .sum
-    if (cappedTotal <= threshold) return "plain"
+    if (Probes.cappedCount(keys, threshold) <= threshold) return "plain"
     val hottest = keys.groupBy(on.map(col): _*).count()
       .agg(max(col("count"))).head()
     val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)

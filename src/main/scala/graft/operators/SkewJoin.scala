@@ -46,4 +46,82 @@ object SkewJoin {
         l(leftKey) === r(rightKey) && l("__salt_l") === r("__salt_r"))
       .drop("__salt_l", "__salt_r")
   }
+
+  /** Rows on one join key beyond which a single shuffle task becomes the
+    * straggler and salting pays for its dim-side replication. Same order of
+    * magnitude as [[AsofJoin.HotKeyCrossover]] (both forms serialize a hot
+    * key's rows in one task), kept independent so the two operators can be
+    * re-calibrated separately.
+    */
+  val HotKeyThreshold: Long = 1000000L
+
+  /** Decide the salt count for `left`'s key distribution: 1 (no salting)
+    * when no key exceeds `threshold` rows, else just enough salts to split
+    * the hottest key into ≤ threshold-row buckets, capped at `maxSalts`
+    * (each salt replicates the dim side once, so the cap bounds the
+    * replication cost a degenerate key can demand).
+    *
+    * Decision cost, two tiers (same discipline as
+    * [[AsofJoin.chooseAsofForm]]): a QUICK REJECT via [[Probes.cappedCount]]
+    * — if the fact side as a WHOLE holds ≤ threshold rows, no key can
+    * exceed it; one narrow no-shuffle job, cost bounded in input size. Only
+    * when that probe saturates (fact side > threshold rows — the regime
+    * where the join dwarfs any decision cost) does the real per-key count
+    * agg run: column-pruned, map-side-combinable, one small shuffle.
+    * Exposed separately from [[autoInnerJoin]] so the dispatch rule itself
+    * is spec-pinnable.
+    */
+  def chooseSaltCount(
+      left: DataFrame,
+      leftKey: String,
+      threshold: Long = HotKeyThreshold,
+      maxSalts: Int = 32
+  ): Int = {
+    require(threshold >= 1, "threshold must be >= 1")
+    require(maxSalts >= 1, "maxSalts must be >= 1")
+    if (Probes.cappedCount(left.select(leftKey), threshold) <= threshold)
+      return 1
+    val hottest = left.groupBy(col(leftKey)).count()
+      .agg(max(col("count"))).head()
+    val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (maxPerKey <= threshold) 1
+    else math.min(maxSalts.toLong, (maxPerKey + threshold - 1) / threshold).toInt
+  }
+
+  /** Inner equi-join that decides per call whether the fact side needs
+    * salting: the plain join (Catalyst picks broadcast/SMJ/SHJ, AQE splits
+    * sort-merge skew at runtime) when no key is hot, [[saltedInnerJoin]]
+    * with a measured salt count when one is. The salted form exists for the
+    * plans AQE's skew handling does not cover (shuffled-hash joins,
+    * pre-shuffle aggregation pipelines, engines with AQE off), so the
+    * dispatcher makes the hot-key case safe without taxing the common case
+    * with dim-side replication.
+    *
+    * Both branches produce identical rows (the salt only routes rows), so
+    * the choice is purely physical — driver-gated by q_salted_auto against
+    * the unsalted oracle.
+    *
+    * @param mode override knob: "auto" (default) measures and decides;
+    *             a salt count ("1", "8", …) forces the form without the
+    *             decision scan, for callers that already know their shape.
+    */
+  def autoInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      mode: String = "auto",
+      threshold: Long = HotKeyThreshold,
+      maxSalts: Int = 32
+  ): DataFrame = {
+    val salts = mode match {
+      case "auto" => chooseSaltCount(left, leftKey, threshold, maxSalts)
+      case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"mode must be auto or a positive salt count, got $other")
+    }
+    if (salts <= 1) left.join(right, left(leftKey) === right(rightKey))
+    else saltedInnerJoin(left, right, leftKey, rightKey, salts)
+  }
 }

@@ -35,4 +35,56 @@ class SkewSpec extends SparkSpec {
     // hot key accounted in full
     assert(p.find(_._1 == "dim_7").get._2 == 45000L)
   }
+
+  test("chooseSaltCount: quick reject, per-key tier, sizing, and cap") {
+    import spark.implicits._
+    // 900 rows all on ONE key: total under threshold=1000 -> quick reject
+    // answers 1 without ever counting per key
+    val small = spark.range(900).select(lit(7L).as("k"), col("id"))
+    assert(SkewJoin.chooseSaltCount(small, "k", threshold = 1000L) === 1)
+    // two-tier boundary: 1200 total rows saturate the capped-count quick
+    // reject at threshold 1000, but the hottest key (600 rows) is under
+    // it — the per-key tier must run and still answer 1
+    val even = spark.range(1200)
+      .select((col("id") % 2).as("k"), col("id"))
+    assert(SkewJoin.chooseSaltCount(even, "k", threshold = 1000L) === 1)
+    // hot key of 5000 rows at threshold 1000 -> ceil(5000/1000) = 5 salts
+    val hot = spark.range(5500)
+      .select(when(col("id") < 5000, 7L).otherwise(col("id")).as("k"), col("id"))
+    assert(SkewJoin.chooseSaltCount(hot, "k", threshold = 1000L) === 5)
+    // maxSalts bounds the dim-side replication a degenerate key can demand
+    assert(SkewJoin.chooseSaltCount(hot, "k", threshold = 1000L, maxSalts = 3) === 3)
+    // empty fact side must not NPE the decision (max(count) over no rows)
+    assert(SkewJoin.chooseSaltCount(small.filter(col("id") < 0), "k",
+      threshold = 1000L) === 1)
+  }
+
+  test("autoInnerJoin equals plain join on both even and hot-key shapes") {
+    import spark.implicits._
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("name").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    // hot shape: forces the salted branch at threshold 1000
+    val hot = spark.sparkContext.parallelize(0 until 20000, 8)
+      .map(i => (if (i % 10 != 0) 7L else (i % 100).toLong, i.toLong))
+      .toDF("k", "payload")
+    val expectHot = agg(hot.join(dim, col("k") === col("dk")))
+    assert(SkewJoin.chooseSaltCount(hot, "k", threshold = 1000L) > 1)
+    assert(agg(SkewJoin.autoInnerJoin(hot, dim, "k", "dk",
+      threshold = 1000L)).sameElements(expectHot))
+    // even shape: dispatcher picks the plain branch, result unchanged
+    val evenF = spark.range(5000)
+      .select((col("id") % 100).as("k"), col("id").as("payload"))
+    val expectEven = agg(evenF.join(dim, col("k") === col("dk")))
+    assert(agg(SkewJoin.autoInnerJoin(evenF, dim, "k", "dk",
+      threshold = 1000000L)).sameElements(expectEven))
+    // forced mode skips the decision scan and still matches
+    assert(agg(SkewJoin.autoInnerJoin(hot, dim, "k", "dk", mode = "6"))
+      .sameElements(expectHot))
+    intercept[IllegalArgumentException] {
+      SkewJoin.autoInnerJoin(hot, dim, "k", "dk", mode = "salted")
+    }
+  }
 }
