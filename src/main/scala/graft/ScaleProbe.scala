@@ -702,6 +702,61 @@ object ScaleProbe {
         println(f"span_adv       $n%8d $pct%6d $t%8.2f ${joinMix(out.queryExecution.executedPlan)}")
       }
     }
+    // (c) general-join skew dispatcher (SkewJoin.autoInnerJoin, r12).
+    //     What the numbers must establish: (1) the decision cost on the
+    //     even shape — a capped no-shuffle probe plus, once it saturates,
+    //     one per-key count agg — stays a small constant next to the join
+    //     it fronts; (2) the hot-key crossover the salt targets. Both
+    //     sides exceed the broadcast threshold in the regime this
+    //     operator exists for (a broadcastable dim never skews), so
+    //     auto-broadcast is disabled for the section; AQE's runtime skew
+    //     split covers SORT-MERGE plans already, so plain is measured
+    //     with skew handling both ON and OFF — the OFF wall is what
+    //     shuffled-hash or pre-AQE engines would see, the regime the
+    //     planner-independent salted form is for.
+    if (sec("skewjoin")) {
+      val abtWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val skewWas = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def facts(n: Long, hotPct: Int): DataFrame = spark.range(n).select(
+        when(pmod(col("id"), lit(100)) < lit(hotPct), lit(7L))
+          .otherwise(pmod(col("id") * 31 + 11, lit(100000L))).as("k"),
+        (col("id") % 1000).cast("double").as("payload"))
+      val dim = spark.range(100000L).select(col("id").as("dk"),
+        (col("id") % 97).cast("double").as("weight"))
+      def agg(df: DataFrame): Any =
+        df.agg(sum(col("payload") * col("weight"))).head()
+      def plain(n: Long, pct: Int): Any =
+        agg(facts(n, pct).join(dim, col("k") === col("dk")))
+      def auto(n: Long, pct: Int): Any =
+        agg(graft.operators.SkewJoin.autoInnerJoin(
+          facts(n, pct), dim, "k", "dk"))
+      def salted(n: Long, pct: Int, s: Int): Any =
+        agg(graft.operators.SkewJoin.saltedInnerJoin(
+          facts(n, pct), dim, "k", "dk", salts = s))
+      plain(100000L, 90); auto(100000L, 90); salted(100000L, 90, 4) // warm
+      println(f"${"skewjoin"}%-22s ${"rows"}%9s ${"hot%"}%5s ${"wall_s"}%8s")
+      def row(tag: String, n: Long, pct: Int, f: => Any): Unit =
+        println(f"$tag%-22s $n%9d $pct%5d ${time(f)}%8.2f")
+      Seq("true", "false").foreach { skew =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
+        row(s"plain_aqeskew=$skew", 10000000L, 90, plain(10000000L, 90))
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      row("salted9", 10000000L, 90, salted(10000000L, 90, 9))
+      row("auto(->salted)", 10000000L, 90, auto(10000000L, 90))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewWas)
+      // even shape: the dispatcher must not tax the common case — the
+      // delta between these two rows IS the decision cost (quick reject
+      // saturates at 10M rows, so the per-key agg tier runs in full)
+      row("plain_even", 10000000L, 0, plain(10000000L, 0))
+      row("auto_even(->plain)", 10000000L, 0, auto(10000000L, 0))
+      // quick-reject regime: total under the 1M threshold, decision is
+      // one bounded no-shuffle job
+      row("plain_small", 500000L, 90, plain(500000L, 90))
+      row("auto_small(->plain)", 500000L, 90, auto(500000L, 90))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtWas)
+    }
     spark.stop()
   }
 }

@@ -248,11 +248,13 @@ object AsofJoin {
     * scale. A capped sum understates the true total only when some
     * partition hit its cap — and then the total already exceeds the
     * threshold, so the ≤-threshold test stays exact. Only when the probe
-    * saturates (inputs larger than the threshold — the regime where the
-    * join itself dwarfs any decision cost) does the real per-key count agg
-    * run: column-pruned, map-side-combinable, one small shuffle. Exposed
-    * separately from [[leftAsofAuto]] so the dispatch rule itself is
-    * spec-pinnable.
+    * saturates does the per-key tier run — a count agg over a seeded
+    * SAMPLE sized to [[Probes.SampleRowsTarget]] rows per threshold-hot
+    * key (exact below that target), so the decision's shuffle stays
+    * negligible next to the join it fronts at any input size; both forms
+    * are exact, so estimation error near the crossover only flips a
+    * choice between two equal-cost plans. Exposed separately from
+    * [[leftAsofAuto]] so the dispatch rule itself is spec-pinnable.
     */
   def chooseAsofForm(
       left: DataFrame,
@@ -263,10 +265,10 @@ object AsofJoin {
     val keys = left.select(on.map(col): _*)
       .unionByName(right.select(on.map(col): _*))
     if (Probes.cappedCount(keys, threshold) <= threshold) return "plain"
-    val hottest = keys.groupBy(on.map(col): _*).count()
-      .agg(max(col("count"))).head()
-    val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
-    if (maxPerKey > threshold) "bucketed" else "plain"
+    // sampled once threshold > Probes.SampleRowsTarget: the decision must
+    // cost less than either plan it picks (see hottestKeyCount's doc)
+    if (Probes.hottestKeyCount(keys, on, threshold) > threshold) "bucketed"
+    else "plain"
   }
 
   /** As-of join that picks the physical form per call: the per-key

@@ -22,7 +22,11 @@ object Probes {
     * the returned value is exact.
     */
   def cappedCount(df: DataFrame, cap: Long): Long =
-    df.select(lit(1).as("__one")).rdd
+    // queryExecution.toRdd, not .rdd: the public RDD view inserts a
+    // per-row InternalRow→Row converter, which costs more than the scan
+    // itself on a counted-only projection (measured ~0.9 s per 10M rows);
+    // the internal rows are never read here, only counted
+    df.select(lit(1).as("__one")).queryExecution.toRdd
       .mapPartitions { it =>
         var n = 0L
         while (it.hasNext && n <= cap) { it.next(); n += 1 }
@@ -30,4 +34,40 @@ object Probes {
       }
       .collect()
       .sum
+
+  /** Expected sample rows from a key that sits exactly at the dispatch
+    * threshold — large enough that a threshold-hot key's estimate lands
+    * within ~1-2% (binomial CLT), small enough that the sampled agg's
+    * shuffle is negligible next to the join being dispatched.
+    */
+  val SampleRowsTarget: Double = 10000.0
+
+  /** Row count of the hottest key in `df`, estimated from a seeded sample
+    * when `threshold` is large. Measured (SCALE.md r12): the EXACT per-key
+    * count agg the dispatchers first shipped cost more than the even-shape
+    * join it was protecting (1.6 s agg vs 1.3 s join at 10M rows) — a
+    * dispatcher must cost strictly less than the cheapest plan it picks.
+    * Sampling at `SampleRowsTarget / threshold` keeps the full scan but
+    * shrinks the agg's shuffle by the same factor; a key AT the threshold
+    * yields ~10k sampled rows, so the estimate's error is ~1%. Both
+    * dispatch branches are exact, so estimation error can only flip the
+    * PHYSICAL choice near the crossover — where the two forms cost the
+    * same anyway. Small thresholds (< SampleRowsTarget) keep the exact
+    * agg, so boundary-pinning specs stay deterministic.
+    */
+  def hottestKeyCount(
+      df: DataFrame,
+      keyCols: Seq[String],
+      threshold: Long,
+      seed: Long = 42L
+  ): Long = {
+    val keys = df.select(keyCols.map(col): _*)
+    val frac = math.min(1.0, SampleRowsTarget / threshold.toDouble)
+    val src =
+      if (frac < 1.0) keys.sample(withReplacement = false, frac, seed) else keys
+    val hottest = src.groupBy(keyCols.map(col): _*).count()
+      .agg(max(col("count"))).head()
+    val maxSampled = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (frac < 1.0) (maxSampled / frac).toLong else maxSampled
+  }
 }

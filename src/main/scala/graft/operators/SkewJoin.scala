@@ -65,11 +65,14 @@ object SkewJoin {
     * [[AsofJoin.chooseAsofForm]]): a QUICK REJECT via [[Probes.cappedCount]]
     * — if the fact side as a WHOLE holds ≤ threshold rows, no key can
     * exceed it; one narrow no-shuffle job, cost bounded in input size. Only
-    * when that probe saturates (fact side > threshold rows — the regime
-    * where the join dwarfs any decision cost) does the real per-key count
-    * agg run: column-pruned, map-side-combinable, one small shuffle.
-    * Exposed separately from [[autoInnerJoin]] so the dispatch rule itself
-    * is spec-pinnable.
+    * when that probe saturates does the per-key tier run — a count agg
+    * over a seeded SAMPLE sized to [[Probes.SampleRowsTarget]] rows per
+    * threshold-hot key (exact below that target), so the decision's
+    * shuffle stays negligible next to the join it fronts at any input
+    * size; both branches are exact, so estimation error near the
+    * crossover only flips a choice between two equal-cost plans. Exposed
+    * separately from [[autoInnerJoin]] so the dispatch rule itself is
+    * spec-pinnable.
     */
   def chooseSaltCount(
       left: DataFrame,
@@ -81,9 +84,9 @@ object SkewJoin {
     require(maxSalts >= 1, "maxSalts must be >= 1")
     if (Probes.cappedCount(left.select(leftKey), threshold) <= threshold)
       return 1
-    val hottest = left.groupBy(col(leftKey)).count()
-      .agg(max(col("count"))).head()
-    val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    // sampled once threshold > Probes.SampleRowsTarget: the decision must
+    // cost less than either plan it picks (see hottestKeyCount's doc)
+    val maxPerKey = Probes.hottestKeyCount(left, Seq(leftKey), threshold)
     if (maxPerKey <= threshold) 1
     else math.min(maxSalts.toLong, (maxPerKey + threshold - 1) / threshold).toInt
   }

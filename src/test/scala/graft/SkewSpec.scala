@@ -59,6 +59,22 @@ class SkewSpec extends SparkSpec {
       threshold = 1000L) === 1)
   }
 
+  test("sampled per-key tier (threshold above SampleRowsTarget) sizes correctly") {
+    // threshold 20k > SampleRowsTarget 10k -> the per-key tier samples at
+    // frac 0.5. Hot key of 50k rows estimates ~50k ± ~1%, so the salt
+    // count ceil(est/20k) is 3 for any estimate in (40k, 60k] — sizes are
+    // chosen away from the ceil boundaries so sampling noise cannot flip
+    // the assertion. Even shape: hottest key ~300 rows estimates far below
+    // 20k -> plain.
+    import spark.implicits._
+    val hot = spark.range(80000)
+      .select(when(col("id") < 50000, 7L)
+        .otherwise(pmod(col("id"), lit(100))).as("k"), col("id"))
+    assert(SkewJoin.chooseSaltCount(hot, "k", threshold = 20000L) === 3)
+    val even = spark.range(30000).select(pmod(col("id"), lit(100)).as("k"), col("id"))
+    assert(SkewJoin.chooseSaltCount(even, "k", threshold = 20000L) === 1)
+  }
+
   test("autoInnerJoin equals plain join on both even and hot-key shapes") {
     import spark.implicits._
     val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("dk", "name")
