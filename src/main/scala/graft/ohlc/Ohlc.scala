@@ -136,8 +136,10 @@ object Ohlc {
     // exactly the shape where the key-partitioned forms serialize and the
     // (key, time-bucket) form wins (measured crossover ~1M rows/key,
     // SCALE.md r11/r12). Below the crossover the dispatcher keeps the
-    // native single-pass merge; the decision scan is one key-only
-    // map-side-combinable count agg over the two tick frames.
+    // native single-pass merge; the decision is a capped no-shuffle row
+    // scan of the two key columns and, only past 1M combined rows, a
+    // second sampled per-key count agg (small shuffle) — both constant
+    // next to the join they front (Probes.cappedCount/hottestKeyCount).
     val joined = AsofJoin.leftAsofAuto(
       rawSpread,
       standard.select("instrument", "timestamp", "bid", "ask"),

@@ -82,11 +82,17 @@ object SkewJoin {
   ): Int = {
     require(threshold >= 1, "threshold must be >= 1")
     require(maxSalts >= 1, "maxSalts must be >= 1")
-    if (Probes.cappedCount(left.select(leftKey), threshold) <= threshold)
+    // NULL keys never skew an INNER join — Catalyst's IsNotNull inference
+    // prunes them before the shuffle — so a null-heavy optional FK must
+    // not read as a hot key and buy pointless dim replication. (The as-of
+    // dispatcher deliberately KEEPS nulls: its window forms partition
+    // left-side NULL keys into one real partition.)
+    val keys = left.select(leftKey).filter(col(leftKey).isNotNull)
+    if (Probes.cappedCount(keys, threshold) <= threshold)
       return 1
     // sampled once threshold > Probes.SampleRowsTarget: the decision must
     // cost less than either plan it picks (see hottestKeyCount's doc)
-    val maxPerKey = Probes.hottestKeyCount(left, Seq(leftKey), threshold)
+    val maxPerKey = Probes.hottestKeyCount(keys, Seq(leftKey), threshold)
     if (maxPerKey <= threshold) 1
     else math.min(maxSalts.toLong, (maxPerKey + threshold - 1) / threshold).toInt
   }
@@ -119,10 +125,12 @@ object SkewJoin {
   ): DataFrame = {
     val salts = mode match {
       case "auto" => chooseSaltCount(left, leftKey, threshold, maxSalts)
-      case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt
       case other =>
-        throw new IllegalArgumentException(
-          s"mode must be auto or a positive salt count, got $other")
+        // strict parse: "0" and out-of-int-range digit strings violate the
+        // positive-salt-count contract just as much as "salted" does
+        scala.util.Try(other.toInt).toOption.filter(_ >= 1).getOrElse(
+          throw new IllegalArgumentException(
+            s"mode must be auto or a positive salt count, got $other"))
     }
     if (salts <= 1) left.join(right, left(leftKey) === right(rightKey))
     else saltedInnerJoin(left, right, leftKey, rightKey, salts)

@@ -190,7 +190,7 @@ class MultimodalOracleSpec extends SparkSpec {
         wavMuLaw(sig(Seq(400.0, 800.0)))),
       Multimodal.MediaRow(6L, "audio", "wav", None, None, None,
         wavPcm16(sig(Seq(3000.0)))),
-      // format 0x11: same 300+700 Hz mix through the hand-written IMA
+      // format 0x11: same 400+800 Hz mix through the hand-written IMA
       // ADPCM block decoder — integer-exact, so it joins the absolute pin
       Multimodal.MediaRow(7L, "audio", "wav", None, None, None,
         wavImaAdpcm(sig(Seq(400.0, 800.0)))))

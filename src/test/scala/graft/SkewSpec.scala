@@ -75,6 +75,46 @@ class SkewSpec extends SparkSpec {
     assert(SkewJoin.chooseSaltCount(even, "k", threshold = 20000L) === 1)
   }
 
+  test("hottestKeyCount: sampled path handles an empty sample (max over no rows)") {
+    // threshold far above SampleRowsTarget -> fraction < 1; an empty input
+    // reaches the agg with zero rows, so max(count) is NULL — the
+    // isNullAt guard must answer 0, not NPE. (chooseSaltCount's quick
+    // reject short-circuits before this code on empty inputs, so the
+    // guard is only reachable through the probe directly.)
+    val empty = spark.range(10).filter(col("id") < 0).select(col("id").as("k"))
+    assert(graft.operators.Probes.hottestKeyCount(
+      empty, Seq("k"), threshold = 1000000L) === 0L)
+  }
+
+  test("NULL fact keys neither count as hot nor change the dispatched result") {
+    import spark.implicits._
+    // 5k NULL keys (an optional FK) + an even real distribution: inner
+    // joins prune NULL keys before the shuffle, so the dispatcher must
+    // answer 1 (plain), not read the NULL group as a hot key
+    val facts = spark.range(6000).select(
+      when(col("id") < 5000, lit(null).cast("long"))
+        .otherwise(pmod(col("id"), lit(50))).as("k"),
+      col("id").as("payload"))
+    assert(SkewJoin.chooseSaltCount(facts, "k", threshold = 1000L) === 1)
+    // and the joined result matches the plain join exactly
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    val plain = facts.join(dim, col("k") === col("dk")).count()
+    assert(SkewJoin.autoInnerJoin(facts, dim, "k", "dk",
+      threshold = 1000L).count() === plain)
+  }
+
+  test("mode=\"0\" and out-of-range digit strings are rejected, not silently plain") {
+    import spark.implicits._
+    val f = spark.range(100).select(col("id").as("k"), col("id").as("payload"))
+    val d = (0L until 10L).map(k => (k, s"d$k")).toDF("dk", "name")
+    intercept[IllegalArgumentException] {
+      SkewJoin.autoInnerJoin(f, d, "k", "dk", mode = "0")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.autoInnerJoin(f, d, "k", "dk", mode = "99999999999")
+    }
+  }
+
   test("autoInnerJoin equals plain join on both even and hot-key shapes") {
     import spark.implicits._
     val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("dk", "name")

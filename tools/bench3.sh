@@ -24,8 +24,11 @@ for i in $(seq 1 "$RUNS"); do
   echo "== bench run $i/$RUNS (sf=$SPARK_GRAFT_SF_DIR, cpus=$SPARK_GRAFT_CPUS) =="
   # remove the previous record first: if the run dies before writing
   # bench_full.json, the copy below must fail loudly rather than save the
-  # PREVIOUS run's file as a duplicate record that skews the median
-  rm -f bench_full.json
+  # PREVIOUS run's file as a duplicate record that skews the median.
+  # Same for the saved-aside slot: a stale run_$i.json from an EARLIER
+  # bench3.sh invocation (possibly different code or SF) must not be
+  # counted as this invocation's run when this run dies
+  rm -f bench_full.json "$OUT/run_$i.json"
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 || true
   if [[ ! -f bench_full.json ]]; then
     echo "run $i: bench died before writing bench_full.json — skipping" >&2
@@ -47,10 +50,13 @@ for i in range(1, runs + 1):
     status = "CONTENDED" if d.get("contended") else "clean"
     print(f"run {i}: total={d['value']:.2f}s passes={d.get('passes')} "
           f"calib {d.get('calib_first')}->{d.get('calib_last')} [{status}]")
-    if not d.get("contended") and not d.get("errors"):
+    # flaky (a query that threw in one pass and timed in another) is as
+    # disqualifying as errors where official records are accepted — the
+    # surviving minimum may have raced whatever killed the other pass
+    if not d.get("contended") and not d.get("errors") and not d.get("flaky"):
         recs.append((d["value"], path))
 if not recs:
-    sys.exit("no clean (contended:false, error-free) runs — nothing to install")
+    sys.exit("no clean (contended:false, error- and flake-free) runs — nothing to install")
 recs.sort()
 median = recs[(len(recs) - 1) // 2]
 shutil.copy(median[1], "bench_full.json")
