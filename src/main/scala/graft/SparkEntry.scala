@@ -244,6 +244,27 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Same as-of semantics through the union + ordered-window rewrite —
+    // the portable form (no custom strategy registration) callers outside
+    // the extension-installed session use. With this entry all three
+    // physical forms AND the dispatcher are driver-gated against the one
+    // DuckDB ASOF oracle, not just spec-equivalent to each other.
+    "q_asof_window" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      AsofJoin
+        .leftAsof(purchases, clicks, on = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("value", "event_id"), suffix = "_c")
+        .withColumnRenamed("ts_c", "click_ts")
+        .withColumnRenamed("value_c", "click_value")
+        .withColumnRenamed("event_id_c", "click_event_id")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Same as-of semantics through the skew-resistant (key, time-bucket)
     // form — the branch leftAsofAuto dispatches to past the ~1M-rows/key
     // crossover, i.e. the plan the flagship RELIES on at warehouse scale.
@@ -2841,6 +2862,16 @@ object SparkEntry {
             ORDER BY l.user_id, ts, l.event_id""",
 
       "q_asof_auto" ->
+        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
+                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
+                   r.event_id AS click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
+            ORDER BY l.user_id, ts, l.event_id""",
+
+      "q_asof_window" ->
         s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
                    CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
                    r.event_id AS click_event_id
