@@ -43,6 +43,37 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
 
+  /** Shared body of the q_asof_* family (purchases ← latest click
+    * at-or-before), parameterized by the as-of form under test. The body
+    * lives ONCE so a schema tweak changes every gated form together; all
+    * four entries share [[asofEventsOracleSql]].
+    */
+  private def asofEventsQuery(s: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    join(purchases, clicks)
+      .withColumnRenamed("ts_c", "click_ts")
+      .withColumnRenamed("value_c", "click_value")
+      .withColumnRenamed("event_id_c", "click_event_id")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** One DuckDB ASOF oracle for the whole q_asof_* family — every
+    * physical form must return byte-identical rows. */
+  private val asofEventsOracleSql: String =
+    """SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
+              CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
+              r.event_id AS click_event_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+         ON l.user_id = r.user_id
+        AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
+       ORDER BY l.user_id, ts, l.event_id"""
+
   /** Forex-shaped tick frames (instrument, timestamp, bid, ask) carved from
     * `events`: purchase rows play Raw_Spread ticks, click rows Standard
     * ticks (the q_asof_join pairing), instrument alternates by user parity.
@@ -204,91 +235,37 @@ object SparkEntry {
       graft.calendar.TradingCalendar.holidaysDf(s, 2020 to 2030)
         .orderBy("exchange", "date", "holiday_name")),
 
-    // J1+W1: as-of backward join (purchases ← latest click at-or-before),
-    // executed by the native AsOfJoinExec physical operator (the window
-    // rewrite AsofJoin.leftAsof is its equivalence-tested fallback)
-    "q_asof_join" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select("user_id", "ts", "event_id", "value")
-      AsofJoin
-        .leftAsofNative(purchases, clicks, on = Seq("user_id"),
-          leftTime = "ts", rightTime = "ts",
-          rightPayload = Seq("value", "event_id"), suffix = "_c")
-        .withColumnRenamed("ts_c", "click_ts")
-        .withColumnRenamed("value_c", "click_value")
-        .withColumnRenamed("event_id_c", "click_event_id")
-        .orderBy("user_id", "ts", "event_id")
-    }),
-    // Same as-of semantics through the r12 AUTO-dispatched form
-    // (AsofJoin.leftAsofAuto): one cheap per-key count agg picks the plain
-    // window form here (even key distribution, far below the ~1M-rows-per-
-    // hot-key crossover) or the skew-bucketed form on pathological shapes.
-    // Driver-gating this entry pins that the dispatcher's chosen plan is
-    // row-for-row the ASOF contract, not just spec-equivalent.
-    "q_asof_auto" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select("user_id", "ts", "event_id", "value")
-      AsofJoin
-        .leftAsofAuto(purchases, clicks, on = Seq("user_id"),
-          leftTime = "ts", rightTime = "ts",
-          rightPayload = Seq("value", "event_id"), suffix = "_c")
-        .withColumnRenamed("ts_c", "click_ts")
-        .withColumnRenamed("value_c", "click_value")
-        .withColumnRenamed("event_id_c", "click_event_id")
-        .orderBy("user_id", "ts", "event_id")
-    }),
-
-    // Same as-of semantics through the union + ordered-window rewrite —
-    // the portable form (no custom strategy registration) callers outside
-    // the extension-installed session use. With this entry all three
-    // physical forms AND the dispatcher are driver-gated against the one
-    // DuckDB ASOF oracle, not just spec-equivalent to each other.
-    "q_asof_window" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select("user_id", "ts", "event_id", "value")
-      AsofJoin
-        .leftAsof(purchases, clicks, on = Seq("user_id"),
-          leftTime = "ts", rightTime = "ts",
-          rightPayload = Seq("value", "event_id"), suffix = "_c")
-        .withColumnRenamed("ts_c", "click_ts")
-        .withColumnRenamed("value_c", "click_value")
-        .withColumnRenamed("event_id_c", "click_event_id")
-        .orderBy("user_id", "ts", "event_id")
-    }),
-
-    // Same as-of semantics through the skew-resistant (key, time-bucket)
-    // form — the branch leftAsofAuto dispatches to past the ~1M-rows/key
-    // crossover, i.e. the plan the flagship RELIES on at warehouse scale.
-    // q_asof_auto gates the dispatcher but picks plain at bench SF, so
-    // without this entry the bucketed rewrite (per-bucket carry-in rows,
-    // NULL-time-bucket guard) would be spec-only, never DuckDB-gated.
-    // bucketSeconds=3600 over a multi-day span forces real carry-in
-    // traffic across ~hundreds of buckets per user.
-    "q_asof_bucketed" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "event_id", "value")
-      val clicks = e.filter(col("event_type") === "click")
-        .select("user_id", "ts", "event_id", "value")
-      AsofJoin
-        .leftAsofBucketed(purchases, clicks, on = Seq("user_id"),
-          leftTime = "ts", rightTime = "ts",
-          rightPayload = Seq("value", "event_id"), suffix = "_c",
-          bucketSeconds = 3600L)
-        .withColumnRenamed("ts_c", "click_ts")
-        .withColumnRenamed("value_c", "click_value")
-        .withColumnRenamed("event_id_c", "click_event_id")
-        .orderBy("user_id", "ts", "event_id")
-    }),
+    // J1+W1: as-of backward join (purchases ← latest click at-or-before)
+    // through EVERY physical form plus the dispatcher — one shared body
+    // (asofEventsQuery) parameterized by the join, all four gated against
+    // the single shared DuckDB ASOF oracle:
+    //  - q_asof_join: the native AsOfJoinExec single-pass merge operator;
+    //  - q_asof_auto: leftAsofAuto — the two-tier probe (capped no-shuffle
+    //    count, then a sampled per-key tier) picks native here (even keys,
+    //    far below the ~1M-rows/key crossover) or bucketed on hot-key
+    //    shapes, pinning the dispatcher's CHOSEN plan row-for-row;
+    //  - q_asof_window: the union + ordered-window rewrite, the portable
+    //    form for sessions without the custom strategy registered;
+    //  - q_asof_bucketed: the skew-resistant (key, time-bucket) form the
+    //    flagship relies on at warehouse scale — bucketSeconds=3600 over a
+    //    multi-day span forces real per-bucket carry-in traffic.
+    "q_asof_join" -> ((s, dir) => asofEventsQuery(s, dir)(
+      AsofJoin.leftAsofNative(_, _, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("value", "event_id"), suffix = "_c"))),
+    "q_asof_auto" -> ((s, dir) => asofEventsQuery(s, dir)(
+      AsofJoin.leftAsofAuto(_, _, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("value", "event_id"), suffix = "_c"))),
+    "q_asof_window" -> ((s, dir) => asofEventsQuery(s, dir)(
+      AsofJoin.leftAsof(_, _, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("value", "event_id"), suffix = "_c"))),
+    "q_asof_bucketed" -> ((s, dir) => asofEventsQuery(s, dir)(
+      AsofJoin.leftAsofBucketed(_, _, on = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("value", "event_id"), suffix = "_c",
+        bucketSeconds = 3600L))),
 
     // J2: minute-bucket equi-join (legacy pre-ASOF semantics)
     "q_minute_join" -> ((s, dir) => {
@@ -2851,45 +2828,10 @@ object SparkEntry {
             FROM p LEFT JOIN c ON p.minute = c.minute
             ORDER BY p.minute""",
 
-      "q_asof_join" ->
-        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
-                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
-                   r.event_id AS click_event_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id
-             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
-            ORDER BY l.user_id, ts, l.event_id""",
-
-      "q_asof_auto" ->
-        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
-                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
-                   r.event_id AS click_event_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id
-             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
-            ORDER BY l.user_id, ts, l.event_id""",
-
-      "q_asof_window" ->
-        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
-                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
-                   r.event_id AS click_event_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id
-             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
-            ORDER BY l.user_id, ts, l.event_id""",
-
-      "q_asof_bucketed" ->
-        s"""SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
-                   CAST(r.ts AS TIMESTAMP) AS click_ts, r.value AS click_value,
-                   r.event_id AS click_event_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id
-             AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
-            ORDER BY l.user_id, ts, l.event_id""",
+      "q_asof_join" -> asofEventsOracleSql,
+      "q_asof_auto" -> asofEventsOracleSql,
+      "q_asof_window" -> asofEventsOracleSql,
+      "q_asof_bucketed" -> asofEventsOracleSql,
 
       "q_dedup" ->
         s"""SELECT user_id, minute, event_id, ts, value FROM (
