@@ -84,7 +84,11 @@ final class Processor(spark: SparkSession, warehouse: String) {
       else Nil
     }
     def read(path: String): TickIngest.ZipIngestResult = {
-      if (path.endsWith(".zip") || path.contains("*.zip"))
+      // extension checks are case-insensitive end to end: a DATA.ZIP file
+      // (or a "*.ZIP" glob) fed to the CSV reader would "succeed" with
+      // zero ticks and every binary line counted as damage
+      val lower = path.toLowerCase
+      if (lower.endsWith(".zip") || lower.contains("*.zip"))
         return TickIngest.readZipsWithBadRecords(spark, path)
       val names = dirNames(path)
       val hasZip = names.exists(_.endsWith(".zip"))
@@ -93,39 +97,62 @@ final class Processor(spark: SparkSession, warehouse: String) {
       // globs must be too: a plain "*.zip" would detect DATA.ZIP yet match
       // neither family and drop it silently. Hadoop glob character classes
       // give case-insensitive suffix matching without listing+joining paths.
+      // Single-family dirs glob too — a bare dir fed to binaryFiles would
+      // ingest EVERY file as a ZIP (a leftover .part spool, a README), so
+      // stray files would pollute the damage accounting. A dir with
+      // neither family keeps the bare-path CSV fallback (extensionless
+      // layouts stay readable).
       if (hasZip && hasCsv)
         TickIngest.readZipsWithBadRecords(spark, s"$path/*.[zZ][iI][pP]")
           .union(TickIngest.readCsvWithBadRecords(spark, s"$path/*.[cC][sS][vV]"))
-      else if (hasZip) TickIngest.readZipsWithBadRecords(spark, path)
+      else if (hasZip) TickIngest.readZipsWithBadRecords(spark, s"$path/*.[zZ][iI][pP]")
+      else if (hasCsv) TickIngest.readCsvWithBadRecords(spark, s"$path/*.[cC][sS][vV]")
       else TickIngest.readCsvWithBadRecords(spark, path)
     }
     // cache the single PARSED frame per side: ticks (written + touched-month
     // scan) and the bad-record count are complementary filters over it, so
-    // ingest input is scanned/decompressed once, not once per consumer
+    // ingest input is scanned/decompressed once, not once per consumer.
+    // Nested try: if the SECOND read throws, the first cache registration
+    // must still be released (a flat try starting after both reads leaked it)
     val rawIn = read(rawSpreadPath).cache()
-    val stdIn = read(standardPath).cache()
-    val rawDf = rawIn.ticks
-    val stdDf = stdIn.ticks
     try {
-      val nRaw = TickIngest.writeTicks(rawDf, warehouse, p, "raw_spread")
-      val nStd = TickIngest.writeTicks(stdDf, warehouse, p, "standard")
-      // damaged input is counted, never ingested (TickIngest bad-record
-      // contract); the count rides on the result for observability
-      val nBad = rawIn.badRecordCount + stdIn.badRecordCount
-      // incremental regeneration (reference: SPIKE_TEST_RESULTS_PHASE1,
-      // 7.3× / −86%): rebuild OHLC only for the months THIS batch touched —
-      // dynamic partition overwrite leaves every other month's bars in
-      // place. A full-history rebuild is `OhlcGenerator.regenerate(...,
-      // months = Nil)`.
-      val touched = rawDf.select(date_format(col("timestamp"), "yyyyMM").as("m"))
-        .union(stdDf.select(date_format(col("timestamp"), "yyyyMM").as("m")))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
-      val bars = OhlcGenerator.regenerate(spark, warehouse, p, touched)
-      Right(UpdateResult(p, missing.size, nRaw + nStd, bars, missing, nBad))
-    } finally {
-      rawIn.unpersist()
-      stdIn.unpersist()
-    }
+      val stdIn = read(standardPath).cache()
+      try {
+        val rawDf = rawIn.ticks
+        val stdDf = stdIn.ticks
+        // months THIS batch touches, computed from the cached parse BEFORE
+        // any write: it doubles as the empty-batch guard below
+        val touched = rawDf.select(date_format(col("timestamp"), "yyyyMM").as("m"))
+          .union(stdDf.select(date_format(col("timestamp"), "yyyyMM").as("m")))
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
+        // per-side empty guard: writing an empty frame to a FRESH warehouse
+        // creates a _SUCCESS-only table dir that every later read of the
+        // table fails on ("unable to infer schema"), with tableExists now
+        // true — coverage/gap detection on that warehouse would throw
+        val nRaw =
+          if (rawDf.isEmpty) 0L
+          else TickIngest.writeTicks(rawDf, warehouse, p, "raw_spread")
+        val nStd =
+          if (stdDf.isEmpty) 0L
+          else TickIngest.writeTicks(stdDf, warehouse, p, "standard")
+        // damaged input is counted, never ingested (TickIngest bad-record
+        // contract); the count rides on the result for observability
+        val nBad = rawIn.badRecordCount + stdIn.badRecordCount
+        // incremental regeneration (reference: SPIKE_TEST_RESULTS_PHASE1,
+        // 7.3× / −86%): rebuild OHLC only for the months THIS batch
+        // touched — dynamic partition overwrite leaves every other month's
+        // bars in place. months = Nil means FULL-history rebuild, so an
+        // empty/all-damaged batch must skip the call entirely, not fall
+        // into the most expensive path
+        val bars =
+          if (touched.isEmpty) 0L
+          else OhlcGenerator.regenerate(spark, warehouse, p, touched)
+        // monthsProcessed = months this run actually ingested/rebuilt;
+        // missingMonths = the PRE-ingest gap list (what the run set out
+        // to fill), matching the dry-run report
+        Right(UpdateResult(p, touched.size, nRaw + nStd, bars, missing, nBad))
+      } finally stdIn.unpersist()
+    } finally rawIn.unpersist()
   }
 
   /** Months with no stored raw_spread ticks, from the earliest stored month
@@ -137,10 +164,16 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val stored = TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))
     val range = stored.agg(min("timestamp"), max("timestamp")).head()
     if (range.isNullAt(0)) return Nil
-    val startMonth = range.getTimestamp(0).toLocalDateTime.toLocalDate.withDayOfMonth(1)
+    // UTC-pin both series endpoints (same bug class availableDates fixes):
+    // toLocalDateTime renders in the JVM default zone, which can shift the
+    // start month on non-UTC JVMs and make the series disagree with the
+    // Spark-side months (session zone, UTC) — a spurious leading gap; a
+    // default-zone "now" mirrors it at the series end
+    val startMonth = range.getTimestamp(0).toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
     val gaps = QueryEngine
       .missingMonths(stored, "timestamp", startMonth.toString,
-        java.time.LocalDate.now().withDayOfMonth(1).toString)
+        java.time.LocalDate.now(java.time.ZoneOffset.UTC).withDayOfMonth(1).toString)
       .collect()
       .map(_.getDate(0).toLocalDate)
     gaps.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d").toSeq
@@ -251,20 +284,32 @@ final class Processor(spark: SparkSession, warehouse: String) {
     */
   def getCoverage(pair: String): CoverageInfo = {
     val p = validatePair(pair)
-    def countOf(table: String): Long =
-      if (!tableExists(table)) 0L
-      else spark.read.parquet(s"$warehouse/$table")
-        .filter(col("instrument") === p).count()
-    val (earliest, latest) =
-      if (!tableExists("raw_spread_ticks")) (None, None)
-      else {
-        val r = TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))
-          .agg(min("timestamp"), max("timestamp")).head()
-        if (r.isNullAt(0)) (None, None)
-        else (Some(r.getTimestamp(0)), Some(r.getTimestamp(1)))
-      }
-    CoverageInfo(p, countOf("raw_spread_ticks"), countOf("standard_ticks"),
-      countOf("ohlc_1m"), earliest, latest)
+    // ONE tagged-union pass (QueryEngine.coverage — the same operator
+    // q_coverage gates) over whichever tables exist, instead of four
+    // driver-blocking jobs (3 counts + a min/max agg); tables absent from
+    // the warehouse keep the reference's zero/None fallbacks
+    val sources = Seq(
+      ("raw_spread_ticks",
+        () => TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))),
+      ("standard_ticks",
+        () => TickIngest.readTicks(spark, warehouse, "standard", Some(p))),
+      ("ohlc_1m",
+        () => spark.read.parquet(s"$warehouse/ohlc_1m")
+          .filter(col("instrument") === p)))
+      .filter { case (t, _) => tableExists(t) }
+      .map { case (t, f) => (t, f(), "timestamp") }
+    val rows: Map[String, (Long, Option[Timestamp], Option[Timestamp])] =
+      if (sources.isEmpty) Map.empty
+      else QueryEngine.coverage(sources).collect().map { r =>
+        r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
+          if (r.isNullAt(3)) None else Some(r.getTimestamp(3))))
+      }.toMap
+    def cnt(t: String): Long = rows.get(t).map(_._1).getOrElse(0L)
+    val (earliest, latest) = rows.get("raw_spread_ticks")
+      .map(v => (v._2, v._3)).getOrElse((None, None))
+    CoverageInfo(p, cnt("raw_spread_ticks"), cnt("standard_ticks"),
+      cnt("ohlc_1m"), earliest, latest)
   }
 
   def getInstruments: Seq[String] =

@@ -75,8 +75,17 @@ object TickFetcher {
       val in = conn.getInputStream
       try Files.copy(in, part, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
-      Files.move(part, target,
+      // atomic publish preferred; filesystems without atomic-move support
+      // (some FUSE/CIFS/object-store mounts) throw
+      // AtomicMoveNotSupportedException — without the plain-move fallback
+      // the completed download would be DELETED by the catch below and the
+      // month reported absent forever, indistinguishable from a 404
+      try Files.move(part, target,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      }
       Some(target)
     } catch {
       case _: IOException | _: IllegalArgumentException =>

@@ -55,31 +55,65 @@ object TickIngest {
     */
   private[ingest] val CorruptMemberMarker = "\u0000__graft_corrupt_zip_member__"
 
-  /** Iterator guard for one archive: an IOException from the underlying
-    * ZIP/deflate stream (mid-entry or between entries) ends the archive's
-    * iteration with a single [[CorruptMemberMarker]] line instead of
-    * killing the task — the reference downloader tolerates partial months
-    * the same way (`downloader.py:40-83` returns None on failure).
+  /** Line iterator over one archive's `*.csv` members with PER-MEMBER
+    * failure isolation: an IOException mid-member emits one
+    * [[CorruptMemberMarker]] for that member and then ATTEMPTS to advance
+    * to the next entry — an intact member after a damaged one survives
+    * (the pre-r12 guard ended the whole archive at the first failure,
+    * silently dropping every later good member while counting one bad
+    * record). When advancement itself fails (the usual truncated-download
+    * case — there IS nothing after the corruption), the archive ends with
+    * exactly the marker already emitted: one underlying corruption is
+    * never double-counted. The reference downloader tolerates partial
+    * months the same way (`downloader.py:40-83` returns None on failure).
     */
-  private final class SafeLines(underlying: Iterator[String]) extends Iterator[String] {
-    private var done = false
-    private var loaded = false
-    private var line: String = _
-    private def advance(): Unit =
-      if (!loaded && !done) {
-        try {
-          if (underlying.hasNext) { line = underlying.next(); loaded = true }
-          else done = true
-        } catch {
-          case _: java.io.IOException | _: IllegalArgumentException =>
-            line = CorruptMemberMarker; loaded = true; done = true
+  private final class ArchiveLines(zis: ZipInputStream) extends Iterator[String] {
+    private var reader: BufferedReader = _
+    private var pending: String = _
+    private var finished = false
+    private var markers = 0
+    private def emitMarker(): Unit = { pending = CorruptMemberMarker; markers += 1 }
+    private def openNextEntry(): Unit =
+      try {
+        var e = zis.getNextEntry
+        while (e != null && (e.isDirectory || !e.getName.toLowerCase.endsWith(".csv")))
+          e = zis.getNextEntry
+        if (e == null) finished = true
+        else reader = new BufferedReader(
+          new InputStreamReader(zis, StandardCharsets.UTF_8))
+      } catch {
+        case _: java.io.IOException | _: IllegalArgumentException =>
+          // enumeration is broken past this point; the marker is only for
+          // archives that die WITHOUT a preceding member marker (corrupt
+          // central/local header before any member error) — after a
+          // member failure it would double-count the same corruption
+          if (markers == 0) emitMarker()
+          finished = true
+      }
+    def hasNext: Boolean = {
+      if (pending != null) return true
+      while (!finished) {
+        if (reader == null) {
+          openNextEntry()
+          if (pending != null) return true
+        } else {
+          try {
+            val l = reader.readLine()
+            if (l == null) reader = null // member exhausted → next entry
+            else { pending = l; return true }
+          } catch {
+            case _: java.io.IOException | _: IllegalArgumentException =>
+              reader = null // member damaged → marker, then try to recover
+              emitMarker()
+              return true
+          }
         }
       }
-    def hasNext: Boolean = { advance(); loaded }
+      false
+    }
     def next(): String = {
-      advance()
-      if (!loaded) throw new NoSuchElementException("empty archive iterator")
-      loaded = false; line
+      if (!hasNext) throw new NoSuchElementException("empty archive iterator")
+      val l = pending; pending = null; l
     }
   }
 
@@ -132,31 +166,42 @@ object TickIngest {
     val lines = spark.sparkContext
       .binaryFiles(path)
       .flatMap { case (_, stream) =>
-        val zis = new ZipInputStream(stream.open())
-        val entryLines = Iterator
-          .continually(zis.getNextEntry)
-          .takeWhile(_ != null)
-          .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
-          .flatMap { _ =>
-            val r = new BufferedReader(
-              new InputStreamReader(zis, StandardCharsets.UTF_8))
-            Iterator.continually(r.readLine()).takeWhile(_ != null)
+        // signature probe BEFORE handing the stream to ZipInputStream:
+        // the JDK's getNextEntry returns null (not an exception) on a
+        // stream that never was a zip, so a stray non-archive file would
+        // contribute zero rows AND zero bad records — silent loss with no
+        // accounting. Real archives start "PK" (\x03\x04 members,
+        // \x05\x06 the empty-zip end record, which legitimately yields
+        // no entries and no marker).
+        val raw = new java.io.PushbackInputStream(stream.open(), 4)
+        val head = new Array[Byte](4)
+        var got = 0
+        try {
+          var r = 0
+          while (got < 4 && { r = raw.read(head, got, 4 - got); r > 0 }) got += r
+          raw.unread(head, 0, got)
+        } catch { case _: java.io.IOException => () }
+        if (got < 4 || head(0) != 'P'.toByte || head(1) != 'K'.toByte) {
+          try raw.close() catch { case _: java.io.IOException => () }
+          Iterator.single(CorruptMemberMarker)
+        } else {
+          val zis = new ZipInputStream(raw)
+          // close the archive when the iterator exhausts — relying on GC
+          // leaks one descriptor per archive per task ("too many open
+          // files" on long-lived executors); also guard against tasks that
+          // stop early (e.g. the CSV header probe's take(1))
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ =>
+              try zis.close() catch { case _: java.io.IOException => () }))
+          val safe = new ArchiveLines(zis)
+          new Iterator[String] {
+            def hasNext: Boolean = {
+              val h = safe.hasNext
+              if (!h) try zis.close() catch { case _: java.io.IOException => () }
+              h
+            }
+            def next(): String = safe.next()
           }
-        // close the archive when the iterator exhausts — relying on GC
-        // leaks one descriptor per archive per task ("too many open
-        // files" on long-lived executors); also guard against tasks that
-        // stop early (e.g. the CSV header probe's take(1))
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ =>
-            try zis.close() catch { case _: java.io.IOException => () }))
-        val safe = new SafeLines(entryLines)
-        new Iterator[String] {
-          def hasNext: Boolean = {
-            val h = safe.hasNext
-            if (!h) try zis.close() catch { case _: java.io.IOException => () }
-            h
-          }
-          def next(): String = safe.next()
         }
       }
       .toDS()
@@ -164,7 +209,12 @@ object TickIngest {
     // `header=true` dropped only the first line of the whole union and
     // let later entries' headers fall through as all-null rows. Strip
     // them explicitly (no valid data row starts with a header token).
-    val dataLines = lines.filter(l => !l.toLowerCase.startsWith("timestamp,"))
+    // A UTF-8 BOM (Windows tooling) rides in front of the first line and
+    // would defeat the header match — one spurious bad record per BOM'd
+    // member — so strip it first.
+    val dataLines = lines
+      .map(l => if (l.nonEmpty && l.charAt(0) == '\uFEFF') l.substring(1) else l)
+      .filter(l => !l.toLowerCase.startsWith("timestamp,"))
     ZipIngestResult(spark.read
       .schema(csvSchema.add(StructField("_corrupt", StringType, nullable = true)))
       .option("header", "false")

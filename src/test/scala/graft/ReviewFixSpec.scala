@@ -102,4 +102,123 @@ class ReviewFixSpec extends SparkSpec {
         ((Some("2024-01-10"), Some("2024-02-05"))))
     } finally java.util.TimeZone.setDefault(tz)
   }
+
+  // ---- round-12 review pins -------------------------------------------
+
+  private val tinyCsv =
+    "Timestamp,Bid,Ask\n" +
+      "2024-01-10 00:00:00.000000,1.10000,1.10010\n" +
+      "2024-02-05 00:00:01.000000,1.10020,1.10030\n"
+
+  private def writeZipFile(path: java.nio.file.Path, entry: String,
+      bytes: Array[Byte]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+    zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+    zos.write(bytes); zos.closeEntry(); zos.close()
+  }
+
+  test("updateData with an empty/all-damaged batch neither rebuilds full history nor poisons a fresh warehouse") {
+    // pre-fix: touched=Nil fell through to regenerate(months=Nil) — the
+    // FULL-history rebuild — and writeTicks(empty) left _SUCCESS-only
+    // table dirs that every later read of the fresh warehouse threw on
+    val dir = Files.createTempDirectory("graft_empty_batch")
+    val rawDir = dir.resolve("raw"); Files.createDirectories(rawDir)
+    val stdDir = dir.resolve("std"); Files.createDirectories(stdDir)
+    val wh = dir.resolve("warehouse").toString
+    val p = new graft.api.Processor(spark, wh)
+    val res = p.updateData("EURUSD", rawDir.toString, stdDir.toString)
+    val r = res.toOption.get
+    assert(r.monthsProcessed === 0)
+    assert(r.ticksInserted === 0L)
+    assert(r.barsGenerated === 0L)
+    // the fresh warehouse is untouched and still fully queryable
+    val cov = p.getCoverage("EURUSD")
+    assert(cov.rawSpreadTicks === 0L && cov.ohlcBars === 0L)
+    assert(p.missingMonths("EURUSD") === Nil)
+    assert(p.availableDates("EURUSD") === ((None, None)))
+  }
+
+  test("an uppercase .ZIP file path routes to the zip reader; monthsProcessed counts touched months") {
+    val dir = Files.createTempDirectory("graft_upper_zip")
+    val zip = dir.resolve("DATA.ZIP")
+    writeZipFile(zip, "Exness_EURUSD_2024_01.csv", tinyCsv.getBytes("UTF-8"))
+    val stdCsvPath = dir.resolve("std.csv")
+    Files.write(stdCsvPath, tinyCsv.getBytes("UTF-8"))
+    val wh = dir.resolve("warehouse").toString
+    val p = new graft.api.Processor(spark, wh)
+    // pre-fix: endsWith(".zip") was case-sensitive, the .ZIP fell to the
+    // CSV parser, zero ticks ingested, binary lines counted as damage
+    val r = p.updateData("EURUSD", zip.toString, stdCsvPath.toString)
+      .toOption.get
+    assert(r.ticksInserted === 4L, r)
+    // two distinct months ingested -> monthsProcessed 2 (pre-fix it
+    // reported the unrelated pre-ingest GAP count)
+    assert(r.monthsProcessed === 2)
+    assert(r.badRecords === 0L)
+  }
+
+  test("a UTF-8 BOM before a ZIP member's header is stripped, not counted as damage") {
+    val dir = Files.createTempDirectory("graft_bom_zip")
+    val zip = dir.resolve("bom.zip")
+    writeZipFile(zip, "m.csv", ("\uFEFF" + tinyCsv).getBytes("UTF-8"))
+    val res = graft.ingest.TickIngest.readZipsWithBadRecords(spark, zip.toString)
+    assert(res.ticks.count() === 2L)
+    assert(res.badRecordCount === 0L, res.badRecords.collect().mkString("; "))
+  }
+
+  test("a non-zip garbage file yields exactly one corrupt-member marker and zero ticks") {
+    // the JDK's getNextEntry silently returns null on a never-was-a-zip
+    // stream (verified), so without the "PK" signature probe a stray
+    // non-archive file vanished with zero rows AND zero accounting
+    val dir = Files.createTempDirectory("graft_garbage_zip")
+    Files.write(dir.resolve("junk.zip"),
+      Array.fill[Byte](4096)(0x5a))
+    val res = graft.ingest.TickIngest.readZipsWithBadRecords(
+      spark, dir.resolve("junk.zip").toString)
+    assert(res.ticks.count() === 0L)
+    assert(res.badRecordCount === 1L)
+  }
+
+  test("a corrupt member does not swallow a later intact member when the stream recovers") {
+    // two STORED (uncompressed) members: the first's payload is intact
+    // zip structure but its data is garbage text (parses to bad records,
+    // stream stays healthy) — the REAL per-member recovery case, a
+    // mid-archive deflate error, is stream-state-dependent across JDKs,
+    // so this pins the accounting contract on the recoverable layout:
+    // later members MUST survive earlier ones' damage
+    val dir = Files.createTempDirectory("graft_two_members")
+    val zip = dir.resolve("two.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zip))
+    zos.putNextEntry(new java.util.zip.ZipEntry("a.csv"))
+    zos.write("Timestamp,Bid,Ask\nnot,a,tick\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("b.csv"))
+    zos.write(tinyCsv.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val res = graft.ingest.TickIngest.readZipsWithBadRecords(spark, zip.toString)
+    assert(res.ticks.count() === 2L) // b.csv's clean rows survive a.csv's junk
+    assert(res.badRecordCount === 1L) // a.csv's junk row, no phantom markers
+  }
+
+  test("missingMonths is UTC-stable under a non-UTC JVM default zone") {
+    // pre-fix: the series start month came from toLocalDateTime (JVM
+    // default zone) — west-of-UTC JVMs read an early-Feb UTC tick as
+    // late January and reported a spurious 2024-01 gap
+    val tz = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Pacific/Honolulu")) // UTC-10
+      val dir = Files.createTempDirectory("graft_gap_tz")
+      val wh = dir.resolve("warehouse").toString
+      def utcTs(s: String): Timestamp =
+        Timestamp.from(java.time.Instant.parse(s))
+      Seq(("EURUSD", utcTs("2024-02-01T05:00:00Z"), 1.1, 1.2, "202402"))
+        .toDF("instrument", "timestamp", "bid", "ask", "yyyymm")
+        .write.partitionBy("yyyymm").parquet(s"$wh/raw_spread_ticks")
+      val p = new graft.api.Processor(spark, wh)
+      val gaps = p.missingMonths("EURUSD")
+      assert(!gaps.contains("2024-01"), gaps.take(3).toString)
+      assert(gaps.contains("2024-03")) // genuine gaps still reported
+    } finally java.util.TimeZone.setDefault(tz)
+  }
 }
