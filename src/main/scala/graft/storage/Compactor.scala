@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   * target ONE file). Compact each leaf partition directory instead —
   * that is also the only granularity at which a swap is atomic-ish.
   *
-  * Safety: writes to a sibling temp dir first, then swaps via two
-  * renames. The original data is never deleted until the compacted dir
-  * is in place; a crash INSIDE the swap window can leave the table
-  * momentarily at `<dir>.compact-old` (rename it back to recover) — a
-  * crash anywhere else leaves the original directory untouched.
+  * Safety: writes to a HIDDEN sibling temp dir first (`.<name>
+  * .compact-tmp` — dot-prefixed so concurrent parent-table readers and
+  * partition discovery never see it), then swaps via two renames. The
+  * original data is never deleted until the compacted dir is in place; a
+  * crash INSIDE the swap window can leave the table momentarily at
+  * `.<name>.compact-old` (rename it back to recover) — a crash anywhere
+  * else leaves the original directory untouched. Underscore-prefixed
+  * sidecar files (delivery manifests etc.) are carried across the swap.
   */
 object Compactor {
 
@@ -63,15 +66,39 @@ object Compactor {
         df.repartitionByRange(n, sortKeys.map(col): _*)
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.repartition(n)
-    val tmp = new Path(dir.stripSuffix("/") + ".compact-tmp")
+    // HIDDEN sibling names (leading dot): Spark/Hadoop data-source listing
+    // and partition discovery ignore dot- and underscore-prefixed paths, so
+    // a concurrent reader of the PARENT table never sees the temp/backup
+    // dirs — a bare "<dir>.compact-tmp" sibling previously surfaced as a
+    // bogus partition value (month=5.compact-tmp) mid-compaction, and a
+    // crashed swap's leftover ".compact-old" as a phantom partition; the
+    // dot also keeps "v=" versioned-state listings from tripping on them
+    val parent = d.getParent
+    val tmp = new Path(parent, "." + d.getName + ".compact-tmp")
     out.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(dir.stripSuffix("/") + ".compact-old")
+    val bak = new Path(parent, "." + d.getName + ".compact-old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(d, bak)) sys.error(s"could not move $dir aside")
     if (!fs.rename(tmp, d)) {
       fs.rename(bak, d) // roll back
       sys.error(s"could not move compacted dir into place")
     }
+    // sidecar preservation: the rewrite carries only what
+    // spark.read.parquet sees, so underscore-prefixed sidecars (e.g.
+    // Manifest's _manifest) ride along from the original dir. _SUCCESS is
+    // the rewrite's own, and .crc checksum files must not be copied (they
+    // would mismatch the rewritten data files).
+    fs.listStatus(bak)
+      .filter { st =>
+        val name = st.getPath.getName
+        st.isFile && name.startsWith("_") && name != "_SUCCESS" &&
+          !fs.exists(new Path(d, name))
+      }
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(d, st.getPath.getName), false,
+          spark.sessionState.newHadoopConf())
+      }
     fs.delete(bak, true)
     n
   }

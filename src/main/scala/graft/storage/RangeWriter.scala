@@ -39,7 +39,18 @@ object RangeWriter {
     * every file's parquet min/max statistics are tight in BOTH columns and
     * scans filtering on either prune to a few files — where a plain
     * lexicographic sort only prunes on its leading column. The z key is
-    * computed on the fly (masked to `bits`) and not written.
+    * computed on the fly and not written.
+    *
+    * Each dimension is RANGE-NORMALIZED into its `bits`-wide grid from the
+    * column's observed min/max (one small aggregation job). The previous
+    * form wrapped values with `pmod(x, 2^bits)` — for a column whose span
+    * exceeds 2^bits (epoch-microsecond timestamps vs a 20-bit grid) that
+    * keeps only the LOW bits, scattering consecutive values uniformly
+    * across all files: every file's min/max spanned the whole dataset and
+    * the promised pruning silently degraded to a full scan (negative
+    * values additionally wrapped to the top of the grid, inverting their
+    * order). Normalization is monotone per dimension, so clustering and
+    * min/max tightness hold for ANY value range.
     */
   def writeZOrdered(
       df: DataFrame,
@@ -50,9 +61,27 @@ object RangeWriter {
       numFiles: Int
   ): Unit = {
     require(numFiles >= 1)
+    val b = df.agg(
+      min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
+    if (b.isNullAt(0)) {
+      // empty input (or all-NULL dims): nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val grid = (1L << bits).toDouble
+    def cell(c: String, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo) // degenerate single-value dim -> cell 0
+      // double ratio then clamp: (x-lo)*grid in LONG overflows for wide
+      // dims (1e15 span × 2^20); the double rounding only blurs cell
+      // boundaries, never breaks monotonicity at clustering granularity
+      least(lit((1L << bits) - 1),
+        floor((col(c).cast("long") - lit(lo)).cast("double") / span * grid)
+          .cast("long"))
+    }
     val z = graft.functions.exprs.zValue(
-      pmod(col(xCol).cast("long"), lit(1L << bits)),
-      pmod(col(yCol).cast("long"), lit(1L << bits)),
+      cell(xCol, b.getLong(0), b.getLong(1)),
+      cell(yCol, b.getLong(2), b.getLong(3)),
       bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

@@ -54,11 +54,7 @@ object StreamingDecontaminate {
     val sh = benchmark.select(
       col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("sh")).persist(lvl)
-    val banded = MinHash.signatureDf(sh, "id", "sh", k)
-      .select(col("id"),
-        posexplode(MinHash.bandHashes(col("sig"), bands, k / bands))
-          .as(Seq("band", "bh")))
-      .persist(lvl)
+    val banded = MinHash.bandRows(sh, k, bands).persist(lvl)
     banded.count() // materialize both once, before the stream starts
     PreparedBenchmark(sh, banded, shingleN, k, bands)
   }
@@ -85,10 +81,7 @@ object StreamingDecontaminate {
         col(idCol).as("id"),
         TextFunctions.wordShingles(col(textCol), prep.shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedL = MinHash.signatureDf(shL, "id", "sh", prep.k)
-      .select(col("id"),
-        posexplode(MinHash.bandHashes(col("sig"), prep.bands, prep.k / prep.bands))
-          .as(Seq("band", "bh")))
+    val bandedL = MinHash.bandRows(shL, prep.k, prep.bands)
     val hits = bandedL
       .join(broadcast(prep.banded.select(
         col("band"), col("bh"), col("id").as("right_id"))), Seq("band", "bh"))

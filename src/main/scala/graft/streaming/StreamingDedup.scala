@@ -62,11 +62,20 @@ object StreamingDedup {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
     else fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      // strictly numeric after the prefix: a non-numeric v=* sibling
+      // (external tooling, a leftover temp dir) must be ignored, not
+      // crash every subsequent read with NumberFormatException
+      .filter(st => st.isDirectory && isVersionDir(st.getPath.getName))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
       .filter(_ < below)
       .sorted.lastOption
+  }
+
+  private def isVersionDir(name: String): Boolean = {
+    val digits = name.stripPrefix("v=")
+    name.startsWith("v=") && digits.nonEmpty && digits.length <= 18 &&
+      digits.forall(_.isDigit)
   }
 
   /** The foreachBatch function: wire with
@@ -134,7 +143,7 @@ object StreamingDedup {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return Nil
     val versioned = fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => st.isDirectory && isVersionDir(st.getPath.getName))
       .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
       .sortBy(-_._1)
     val complete = versioned.filter { case (_, p) =>

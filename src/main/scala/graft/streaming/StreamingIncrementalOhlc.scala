@@ -59,11 +59,25 @@ object StreamingIncrementalOhlc {
     keepVersions.foreach(k => StreamingDedup.compactIndex(spark, statePath, k))
   }
 
-  /** Current bars ([[graft.ohlc.Ohlc.bars]] schema) from the stored state. */
-  def readBars(spark: SparkSession, statePath: String): DataFrame =
+  /** Current bars ([[graft.ohlc.Ohlc.bars]] schema) from the stored state.
+    *
+    * @param emptySchema bars schema to use BEFORE the first version commits
+    *        (the state is caller-shaped — key column names — so a fresh
+    *        path cannot derive it); without it the pre-first-batch result
+    *        is the zero-column emptyDataFrame, whose column references
+    *        throw AnalysisException instead of returning zero rows
+    */
+  def readBars(
+      spark: SparkSession,
+      statePath: String,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None
+  ): DataFrame =
     StreamingDedup.latestVersion(spark, statePath) match {
       case Some(v) =>
         IncrementalOhlc.finalBars(spark.read.parquet(s"$statePath/v=$v"))
-      case None => spark.emptyDataFrame
+      case None => emptySchema
+        .map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.emptyDataFrame)
     }
 }

@@ -20,15 +20,23 @@ object StreamingOhlc {
   /** Streaming 1-minute OHLC bars over a point stream (ts, value, keys).
     * Append-mode compatible: bars emit once their window is older than the
     * watermark.
+    *
+    * @param tiebreak column breaking equal-timestamp ties for open/close —
+    *                 pass the batch twin's tiebreak (e.g. event_id) to make
+    *                 streaming bars reconcile with `Ohlc.bars` exactly.
+    *                 Default: the value column itself, so equal-timestamp
+    *                 ties are still DETERMINISTIC (min_by/max_by on the
+    *                 bare timestamp picked an arbitrary winner per run).
     */
   def bars1m(
       stream: DataFrame,
       keys: Seq[String],
       time: String,
       value: String,
-      watermark: String = "2 minutes"
+      watermark: String = "2 minutes",
+      tiebreak: Option[String] = None
   ): DataFrame = {
-    val ord = col(time)
+    val ord = struct(col(time), col(tiebreak.getOrElse(value)))
     stream
       .withWatermark(time, watermark)
       .groupBy((keys.map(col) :+ window(col(time), "1 minute").as("w")): _*)
@@ -52,7 +60,11 @@ object StreamingOhlc {
       endMicros: Long,
       nEvents: Long)
 
-  private final case class SessState(startMicros: Long, lastMicros: Long, n: Long)
+  // NOT private: the streaming state store's encoder codegen (janino)
+  // needs public accessor resolution on the state class — batch-mode
+  // flatMapGroupsWithState never exercised that path, so the restriction
+  // only surfaced once a MemoryStream test carried state across batches
+  final case class SessState(startMicros: Long, lastMicros: Long, n: Long)
 
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): a key's current session CLOSES — and
@@ -80,8 +92,23 @@ object StreamingOhlc {
           val closed = Seq.newBuilder[Session]
           sorted.foreach { p =>
             cur match {
-              case Some(s) if p.tsMicros - s.lastMicros <= gapMicros =>
-                cur = Some(s.copy(lastMicros = p.tsMicros, n = s.n + 1))
+              // in-session, possibly LATE (cross-batch arrival order is
+              // not event order): the bounds ABSORB the point — min/max,
+              // never assignment, so a late event can neither regress
+              // lastMicros (which would corrupt the gap test for the
+              // next on-time point) nor sit outside [start, end]
+              case Some(s) if p.tsMicros >= s.startMicros - gapMicros &&
+                  p.tsMicros - s.lastMicros <= gapMicros =>
+                cur = Some(SessState(
+                  math.min(s.startMicros, p.tsMicros),
+                  math.max(s.lastMicros, p.tsMicros), s.n + 1))
+              // watermark-expired: predates the OPEN session by more than
+              // a gap, i.e. belongs to an earlier, already-emitted
+              // session this state shape can no longer amend — dropped,
+              // exactly Structured Streaming's late-data contract (the
+              // batch twin q_sessionize reconciles on re-run)
+              case Some(s) if p.tsMicros < s.startMicros - gapMicros =>
+                ()
               case Some(s) =>
                 closed += Session(key, s.startMicros, s.lastMicros, s.n)
                 cur = Some(SessState(p.tsMicros, p.tsMicros, 1))

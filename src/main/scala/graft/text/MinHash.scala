@@ -418,14 +418,24 @@ object MinHash {
       k: Int = 16,
       bands: Int = 4
   ): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val rows = k / bands
     val sh = docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh"))
+    bandRows(sh, k, bands)
+  }
+
+  /** (id, band, bh) banding rows from an already-shingled `(id, sh)`
+    * frame — THE one place the signature → band-hash pipeline lives. Every
+    * family member (bandEdges, the streaming decontamination sinks) bands
+    * through here, so the bucket scheme cannot silently drift between
+    * batch and streaming forms.
+    */
+  private[graft] def bandRows(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
     signatureDf(sh, "id", "sh", k)
       .select(col("id"),
-        posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+        posexplode(bandHashes(col("sig"), bands, k / bands))
+          .as(Seq("band", "bh")))
   }
 
   /** Label a NEW batch of docs against an already-deduplicated corpus

@@ -56,4 +56,37 @@ class CompactorSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("p=")) === 3)
     assert(spark.read.parquet(dir).count() === 1000L)
   }
+
+  test("leaf-partition compaction hides its work dirs from the parent table and keeps sidecars") {
+    // pre-fix: temp/backup dirs were bare siblings ("month=5.compact-tmp")
+    // that parent-table partition discovery read as bogus partitions, and
+    // the backup delete destroyed underscore sidecars like _manifest
+    val table = Files.createTempDirectory("compact4").toString + "/t"
+    spark.range(2000).select(col("id"), lit(1).as("month"))
+      .repartition(16).write.parquet(s"$table/month=1")
+    spark.range(500).select(col("id") + 10000, lit(2).as("month"))
+      .write.parquet(s"$table/month=2")
+    // a delivery-manifest sidecar in the leaf being compacted
+    Files.write(java.nio.file.Paths.get(s"$table/month=1/_manifest"),
+      "rows=2000".getBytes("UTF-8"))
+    // a leftover backup from a CRASHED earlier compaction (of ANOTHER
+    // leaf, so this run won't clean it up) must be invisible to partition
+    // discovery (dot-prefixed)
+    val stale = new java.io.File(s"$table/.month=2.compact-old")
+    stale.mkdirs()
+    Files.write(stale.toPath.resolve("junk.txt"), "x".getBytes("UTF-8"))
+
+    Compactor.compact(spark, s"$table/month=1", targetBytes = 16L * 1024 * 1024)
+    assert(stale.exists()) // untouched by compacting a different leaf
+
+    // sidecar survived the swap
+    assert(Files.exists(java.nio.file.Paths.get(s"$table/month=1/_manifest")))
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$table/month=1/_manifest")), "UTF-8") === "rows=2000")
+    // parent partition discovery sees EXACTLY the two real partitions
+    val parent = spark.read.parquet(table)
+    assert(parent.select("month").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(1, 2))
+    assert(parent.count() === 2500L)
+  }
 }

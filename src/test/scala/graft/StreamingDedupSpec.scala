@@ -373,4 +373,26 @@ class StreamingDedupSpec extends SparkSpec {
     assert(graft.streaming.StreamingDedup.latestVersion(spark, s"$base/index")
       .contains(2L))
   }
+
+  test("non-numeric v=* siblings are ignored, not a NumberFormatException crash") {
+    // pre-fix: latestVersion/compactIndex mapped stripPrefix("v=").toLong
+    // over every v=* directory, so external tooling's leftovers
+    // (v=3.compact-old, v=backup) crashed every subsequent batch and read
+    val base = java.nio.file.Files.createTempDirectory("graft_vjunk").toString
+    val idx = s"$base/index"
+    def mk(name: String, success: Boolean): Unit = {
+      val d = new java.io.File(s"$idx/$name"); d.mkdirs()
+      if (success)
+        java.nio.file.Files.write(d.toPath.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+    mk("v=3", success = true)
+    mk("v=3.compact-old", success = true) // non-numeric suffix
+    mk("v=backup", success = true)        // non-numeric entirely
+    mk("v=99999999999999999999", success = true) // > Long.MaxValue digits
+    assert(graft.streaming.StreamingDedup.latestVersion(spark, idx)
+      .contains(3L))
+    // compactIndex walks the same listing and must not throw either
+    assert(graft.streaming.StreamingDedup.compactIndex(spark, idx, keep = 2)
+      === Nil)
+  }
 }

@@ -58,6 +58,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sessions.head.nEvents === 2L)
   }
 
+  test("sessionize absorbs cross-batch late events and drops watermark-expired ones") {
+    // pre-fix: the gap test had no lower bound, so a late event ASSIGNED
+    // lastMicros backwards (corrupting the next on-time gap test and
+    // emitting end < start); an event older than the whole open session
+    // merged into it instead of being dropped
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOhlc.Point]
+    val q = StreamingOhlc.sessionize(mem.toDS(), gapMicros = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_out").start()
+    try {
+      // batch 1: open session [1000, 1050]
+      mem.addData(StreamingOhlc.Point(1L, 1000L, 1.0),
+        StreamingOhlc.Point(1L, 1050L, 1.0))
+      q.processAllAvailable()
+      // batch 2: an expired point (500 < start - gap: dropped), a LATE
+      // in-session point (960: absorbed, lowers start, cannot regress
+      // end), then a far point that closes the session
+      mem.addData(StreamingOhlc.Point(1L, 500L, 1.0),
+        StreamingOhlc.Point(1L, 960L, 1.0),
+        StreamingOhlc.Point(1L, 5000L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_late_out")
+        .as[StreamingOhlc.Session].collect()
+      assert(out.length === 1)
+      assert(out.head.startMicros === 960L)
+      assert(out.head.endMicros === 1050L)
+      assert(out.head.nEvents === 3L) // 2 on-time + the absorbed late one
+    } finally q.stop()
+  }
+
   test("multimodal: real PNG decode + resize via javax.imageio") {
     import spark.implicits._
     // build genuine PNG payloads: solid-color 8x6 images

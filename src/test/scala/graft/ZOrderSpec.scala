@@ -65,6 +65,36 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered stays tight when a dimension's span exceeds the 2^bits grid") {
+    // pre-fix: dimensions were wrapped with pmod(x, 2^bits), so a column
+    // whose values exceed the grid (epoch-microsecond timestamps vs 6
+    // bits) kept only its LOW bits — consecutive values scattered across
+    // all files and every file's min/max spanned the whole dataset,
+    // silently defeating the promised pruning. Range normalization keeps
+    // clustering for any value range.
+    val dir = java.nio.file.Files.createTempDirectory("zorder_wide").toString
+    val base = 1700000000000000L // epoch-microseconds scale
+    val pts = (for (xi <- 0 until 64; y <- 0 until 64)
+      yield (base + xi * 37L, y.toLong)).toDF("x", "y")
+    graft.storage.RangeWriter.writeZOrdered(pts, s"$dir/out", "x", "y",
+      bits = 6, numFiles = 16)
+    val spreads = spark.read.parquet(s"$dir/out")
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .as[(String, Long, Long)].collect()
+    assert(spreads.length == 16)
+    // per-file x-range ≤ a 16-cell tile of the 63*37 span (pre-fix: ≈ the
+    // whole 2331 span in every file)
+    spreads.foreach { case (f, dx, dy) =>
+      assert(dx <= 16 * 37L && dy <= 15, s"file $f spreads dx=$dx dy=$dy")
+    }
+    // empty input: no crash, empty output dir readable
+    graft.storage.RangeWriter.writeZOrdered(pts.filter(col("x") < 0),
+      s"$dir/empty", "x", "y", bits = 6, numFiles = 4)
+    assert(spark.read.parquet(s"$dir/empty").count() === 0L)
+  }
+
   test("ZValue expression matches the kernel and is SQL-registered") {
     val df = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("x", "y")
     val viaExpr = df.select(exprs.zValue(col("x"), col("y"), 10).as("z"))
