@@ -25,7 +25,10 @@ import org.apache.spark.sql.types._
   * timestamp, `docs/DATABASE_SCHEMA.md` OHLC definition) for a UNIQUE
   * `ord`: open/close tie-break behavior on duplicate `ord` values is
   * unspecified, exactly like `min_by`/`max_by` — callers pass a composite
-  * (time, id) struct for total order (`Ohlc.bars` convention).
+  * (time, id) struct for total order (`Ohlc.bars` convention). NULL
+  * handling is the composition's, slot by slot: open/close skip only
+  * null-ord rows (and can themselves be NULL when the winning row's value
+  * is), high/low skip only null values, `n` counts every row.
   */
 case class OhlcAgg(value: Expression, ord: Expression)
     extends DeclarativeAggregate with BinaryLike[Expression] {
@@ -66,15 +69,23 @@ case class OhlcAgg(value: Expression, ord: Expression)
     Literal(0L))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val skip = value.isNull || ord.isNull
+    // EXACT composed-null semantics (the class doc's min_by/max_by/max/
+    // min/count equivalence is load-bearing for the oracle): min_by/max_by
+    // skip only null-ORD rows and can return a null value; max/min skip
+    // only null VALUES regardless of ord; count counts every row. The old
+    // single `skip = value.isNull || ord.isNull` silently dropped a
+    // null-value row from open/close (where the composition returns NULL)
+    // and a null-ord row from high/low/n (where the composition keeps it).
+    val takeOpen = ord.isNotNull && (openOrd.isNull || ord < openOrd)
+    val takeClose = ord.isNotNull && (closeOrd.isNull || ord > closeOrd)
     Seq(
-      If(skip, openOrd, If(openOrd.isNull || ord < openOrd, ord, openOrd)),
-      If(skip, open, If(openOrd.isNull || ord < openOrd, value, open)),
-      If(skip, high, If(high.isNull || value > high, value, high)),
-      If(skip, low, If(low.isNull || value < low, value, low)),
-      If(skip, closeOrd, If(closeOrd.isNull || ord > closeOrd, ord, closeOrd)),
-      If(skip, close, If(closeOrd.isNull || ord > closeOrd, value, close)),
-      If(skip, n, n + 1L))
+      If(takeOpen, ord, openOrd),
+      If(takeOpen, value, open),
+      If(value.isNotNull && (high.isNull || value > high), value, high),
+      If(value.isNotNull && (low.isNull || value < low), value, low),
+      If(takeClose, ord, closeOrd),
+      If(takeClose, value, close),
+      n + 1L)
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {

@@ -32,8 +32,10 @@ import TypeChecks.{isFloatArray, isLongArray, isDoubleArray}
   * `PolyBase`/`PolyPow`/`DotProduct`/`CosineSim` generate a single static
   * call inside whole-stage codegen — the per-row work is one tight JVM
   * loop instead of one interpreted Catalyst lambda tree per element.
-  * `HyperplaneBuckets` carries a per-instance plane matrix and uses
-  * CodegenFallback (its cost is the O(tables·nbits·dim) loop itself).
+  * `HyperplaneBuckets` codegens the same way: its plane matrix is a
+  * static cache in `VectorKernels` keyed by (nbits, tables, dim), so the
+  * generated code is one static call too (no per-instance state, no
+  * CodegenFallback).
   */
 case class PolyBase(child: Expression)
     extends UnaryExpression {

@@ -112,11 +112,25 @@ object SimHashKernel {
 
 object VectorKernels {
 
+  /** Same-length guard shared by the pairwise kernels: the composed
+    * zip_with form NULL-pads a ragged pair (and the fold then yields
+    * NULL); a silent min-length truncation instead produced a PARTIAL
+    * similarity that ranked results wrong with no error — e.g. 384-dim
+    * query vectors joined against 768-dim docs after a model change. An
+    * exception beats both: dimension mismatch in an ANN corpus is always
+    * a pipeline bug upstream.
+    */
+  private def requireSameLength(a: ArrayData, b: ArrayData, op: String): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$op: vector dimensions differ (${a.numElements()} vs ${b.numElements()})")
+
   /** Sequential left-to-right dot product of two float arrays in double
     * precision (≙ aggregate(zip_with(a,b,(x,y)->x*y), 0.0, +)).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLength(a, b, "dot")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -132,7 +146,8 @@ object VectorKernels {
     * SQL oracle reproduces it bit-for-bit.
     */
   def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLength(a, b, "l2sq")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -152,10 +167,22 @@ object VectorKernels {
     */
   def adc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
+    // UnsafeArrayData.getDouble has NO bounds checks: an out-of-range code
+    // (an index built with a different ksub, a corrupted row) would read
+    // adjacent memory and return garbage distances with no error. One O(1)
+    // shape check plus a per-code range check turns silent corruption
+    // into a clear failure.
+    if (lut.numElements() != m * ksub)
+      throw new IllegalArgumentException(
+        s"adc: LUT length ${lut.numElements()} != m*ksub = ${m * ksub}")
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc = acc + lut.getDouble(s * ksub + codes.getLong(s).toInt)
+      val c = codes.getLong(s)
+      if (c < 0L || c >= ksub)
+        throw new IllegalArgumentException(
+          s"adc: code $c at subspace $s outside [0, $ksub)")
+      acc = acc + lut.getDouble(s * ksub + c.toInt)
       s += 1
     }
     acc
@@ -165,7 +192,8 @@ object VectorKernels {
     * 64 dims × 127² < 2^21 per pair).
     */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLength(a, b, "dotLong")
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {

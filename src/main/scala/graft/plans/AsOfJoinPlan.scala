@@ -40,6 +40,11 @@ case class AsOfJoinPlan(
       s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
+  // ClusteredDistribution(Nil) fails deep inside physical planning with an
+  // opaque "requirement failed" — surface the limitation here instead
+  require(leftKeys.nonEmpty,
+    "native as-of join requires at least one key column; for a keyless " +
+      "(global) as-of use the window rewrite AsofJoin.leftAsof")
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -72,6 +77,15 @@ case class AsOfJoinExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  // the merge streams left partitions 1:1 (rows in order, payload appended),
+  // so the left child's partitioning and this node's required left ordering
+  // SURVIVE the join. Without these overrides the exec reported
+  // UnknownPartitioning and downstream same-key operators — the flagship's
+  // as-of → groupBy(instrument) OHLC aggregation — inserted a second full
+  // shuffle and sort of data already partitioned and sorted correctly.
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   // each side sorted by (keys, time[, payload]) within its partitions; the
   // trailing payload order on the right makes equal-time winners the max

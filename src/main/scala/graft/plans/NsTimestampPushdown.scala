@@ -81,9 +81,23 @@ object NsTimestampPushdown extends Rule[LogicalPlan] {
     * rounds negative raws UP, so the threshold extends 999 ns lower —
     * without this, pre-epoch rows would be wrongly excluded by the
     * derived bounds.
+    *
+    * None when µs·1000 overflows Long (timestamp literals outside the
+    * ns-representable ~1677-2262 range): a WRAPPED threshold is an
+    * arbitrary number, not a bound — `ts <= timestamp'3000-01-01'` used
+    * to derive `raw < -4.39e18`, silently dropping every row — and a
+    * CLAMPED one is not exact either (`raw < Long.MaxValue` excludes a
+    * legitimate raw == MaxValue). No derivation just means no extra
+    * pushdown; the original predicate still filters correctly.
     */
-  private def minRawNs(m: Long): Long =
-    if (m > 0) m * 1000L else m * 1000L - 999L
+  private def minRawNs(m: Long): Option[Long] =
+    try {
+      val p = Math.multiplyExact(m, 1000L)
+      Some(if (m > 0) p else Math.subtractExact(p, 999L))
+    } catch { case _: ArithmeticException => None }
+
+  private def plusOne(m: Long): Option[Long] =
+    if (m == Long.MaxValue) None else Some(m + 1)
 
   /** Stored-domain implication of one conjunct, if derivable. All ns
     * bounds are expressed through [[minRawNs]] thresholds (trunc is
@@ -91,43 +105,58 @@ object NsTimestampPushdown extends Rule[LogicalPlan] {
     */
   private def derive(e: Expression): Option[Expression] = e match {
     case GreaterThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
-      Some(dom match {
-        case NsLong => GreaterThanOrEqual(r, Literal(minRawNs(micros(l))))
-        case MicrosNtz => GreaterThanOrEqual(r, ntz(l))
-      })
-    case GreaterThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
-      Some(dom match {
-        case NsLong => GreaterThanOrEqual(r, Literal(minRawNs(micros(l) + 1)))
-        case MicrosNtz => GreaterThan(r, ntz(l))
-      })
-    case LessThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
-      Some(dom match {
-        case NsLong => LessThan(r, Literal(minRawNs(micros(l) + 1)))
-        case MicrosNtz => LessThanOrEqual(r, ntz(l))
-      })
-    case LessThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
-      Some(dom match {
-        case NsLong => LessThan(r, Literal(minRawNs(micros(l))))
-        case MicrosNtz => LessThan(r, ntz(l))
-      })
-    case EqualTo(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
-      Some(dom match {
+      dom match {
         case NsLong =>
-          And(
-            GreaterThanOrEqual(r, Literal(minRawNs(micros(l)))),
-            LessThan(r, Literal(minRawNs(micros(l) + 1))))
-        case MicrosNtz => EqualTo(r, ntz(l))
-      })
-    // mirrored literal-first forms
-    case GreaterThanOrEqual(l @ Literal(_, TimestampType), a) =>
+          minRawNs(micros(l)).map(t => GreaterThanOrEqual(r, Literal(t)))
+        case MicrosNtz => Some(GreaterThanOrEqual(r, ntz(l)))
+      }
+    case GreaterThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      dom match {
+        case NsLong =>
+          plusOne(micros(l)).flatMap(minRawNs)
+            .map(t => GreaterThanOrEqual(r, Literal(t)))
+        case MicrosNtz => Some(GreaterThan(r, ntz(l)))
+      }
+    case LessThanOrEqual(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      dom match {
+        case NsLong =>
+          plusOne(micros(l)).flatMap(minRawNs)
+            .map(t => LessThan(r, Literal(t)))
+        case MicrosNtz => Some(LessThanOrEqual(r, ntz(l)))
+      }
+    case LessThan(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      dom match {
+        case NsLong => minRawNs(micros(l)).map(t => LessThan(r, Literal(t)))
+        case MicrosNtz => Some(LessThan(r, ntz(l)))
+      }
+    case EqualTo(SessionTs(r, dom), l @ Literal(_, TimestampType)) =>
+      dom match {
+        case NsLong =>
+          for {
+            lo <- minRawNs(micros(l))
+            hi <- plusOne(micros(l)).flatMap(minRawNs)
+          } yield And(
+            GreaterThanOrEqual(r, Literal(lo)), LessThan(r, Literal(hi)))
+        case MicrosNtz => Some(EqualTo(r, ntz(l)))
+      }
+    // mirrored literal-first forms — guarded non-literal on the other
+    // side: two timestamp literals (possible when the rule runs before
+    // constant folding, e.g. direct application in tests or a changed
+    // extraOptimizations order) would otherwise mutually recurse forever
+    case GreaterThanOrEqual(l @ Literal(_, TimestampType), a)
+        if !a.isInstanceOf[Literal] =>
       derive(LessThanOrEqual(a, l))
-    case GreaterThan(l @ Literal(_, TimestampType), a) =>
+    case GreaterThan(l @ Literal(_, TimestampType), a)
+        if !a.isInstanceOf[Literal] =>
       derive(LessThan(a, l))
-    case LessThanOrEqual(l @ Literal(_, TimestampType), a) =>
+    case LessThanOrEqual(l @ Literal(_, TimestampType), a)
+        if !a.isInstanceOf[Literal] =>
       derive(GreaterThanOrEqual(a, l))
-    case LessThan(l @ Literal(_, TimestampType), a) =>
+    case LessThan(l @ Literal(_, TimestampType), a)
+        if !a.isInstanceOf[Literal] =>
       derive(GreaterThan(a, l))
-    case EqualTo(l @ Literal(_, TimestampType), a) =>
+    case EqualTo(l @ Literal(_, TimestampType), a)
+        if !a.isInstanceOf[Literal] =>
       derive(EqualTo(a, l))
     case _ => None
   }

@@ -161,6 +161,36 @@ class AsofJoinSpec extends SparkSpec {
       === "plain")
   }
 
+  test("native as-of rejects an empty key list with a clear message") {
+    // pre-fix: ClusteredDistribution(Nil) failed deep inside physical
+    // planning with an opaque "requirement failed"
+    val left = Seq(("A", ts("2024-01-01 00:00:05"), 1)).toDF("k", "t", "id")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.leftAsofNative(left, left.withColumn("v", col("id") * 1.0),
+        Seq.empty, "t", "t", Seq("v"), "_r").collect()
+    }
+    assert(e.getMessage.contains("window rewrite"))
+  }
+
+  test("native as-of output feeds a same-key aggregate without a second exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AsOfJoinExec reports left partitioning + ordering, so the flagship
+    // as-of → groupBy(keys) pattern plans exactly the join's two input
+    // exchanges — pre-fix UnknownPartitioning inserted a third for the agg
+    val left = (1 to 200).map(i =>
+      (s"K${i % 3}", ts(f"2024-01-01 00:${i % 60}%02d:00"), i)).toDF("k", "t", "id")
+    val right = (1 to 100).map(i =>
+      (s"K${i % 3}", ts(f"2024-01-01 00:${i % 60}%02d:30"), i * 1.0)).toDF("k", "t", "v")
+    val agged = AsofJoin
+      .leftAsofNative(left, right, Seq("k"), "t", "t", Seq("v"), "_r")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum(col("v_r")).as("s"))
+    val exchanges = agged.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.length === 2, agged.queryExecution.executedPlan.toString)
+    assert(agged.count() === 3)
+  }
+
   test("equal-timestamp right duplicates resolve deterministically (max payload)") {
     val left = Seq(("A", ts("2024-01-01 00:00:05"), 1)).toDF("k", "t", "id")
     val right = Seq(

@@ -28,16 +28,38 @@ class OhlcAggSpec extends SparkSpec {
     assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty)
   }
 
-  test("ohlc_agg ignores null values and returns null struct for empty groups") {
+  test("ohlc_agg null handling matches the composition slot by slot") {
     import spark.implicits._
-    val df = Seq[(Long, Option[Double], Long)](
-      (1L, Some(3.0), 1L), (1L, None, 2L), (1L, Some(5.0), 3L),
-      (2L, None, 1L)
+    // r12 contract (the class doc's load-bearing equivalence): open/close
+    // ≙ min_by/max_by — skip only null-ORD rows, may RETURN null when the
+    // winning row's value is null; high/low ≙ max/min — skip only null
+    // VALUES; n ≙ count(1) — every row (the flagship's tick_count).
+    // The pre-fix single skip dropped a null-value row everywhere, so
+    // open read 3.0 where the composition returns NULL.
+    val df = Seq[(Long, Option[Double], Option[Long])](
+      (1L, None, Some(1L)),      // wins open: null VALUE, earliest ord
+      (1L, Some(3.0), Some(2L)),
+      (1L, Some(5.0), Some(3L)), // wins close
+      (1L, Some(9.0), None),     // null ORD: high only, not open/close
+      (2L, None, Some(1L))       // single null-value row
     ).toDF("k", "v", "o")
     val out = df.groupBy("k").agg(OhlcAgg(col("v"), col("o")).as("b"))
-      .orderBy("k").select("b.open", "b.close", "b.n").collect()
-    assert(out(0).getDouble(0) == 3.0 && out(0).getDouble(1) == 5.0 && out(0).getLong(2) == 2L)
-    assert(out(1).isNullAt(0) && out(1).isNullAt(2) == false || out(1).isNullAt(0))
+      .orderBy("k")
+      .select("b.open", "b.close", "b.high", "b.low", "b.n").collect()
+    assert(out(0).isNullAt(0), "open: winning row's null value returned")
+    assert(out(0).getDouble(1) == 5.0, "close skips the null-ord row")
+    assert(out(0).getDouble(2) == 9.0, "high includes the null-ord row")
+    assert(out(0).getDouble(3) == 3.0)
+    assert(out(0).getLong(4) == 4L, "n counts every row")
+    assert(out(1).isNullAt(0) && out(1).isNullAt(2) && out(1).getLong(4) == 1L)
+    // bit-for-bit vs the actual composition on the same data
+    val composed = df.groupBy("k").agg(
+        min_by(col("v"), col("o")).as("open"),
+        max_by(col("v"), col("o")).as("close"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        count(lit(1)).as("n"))
+      .orderBy("k").select("open", "close", "high", "low", "n").collect()
+    assert(out.map(_.toString).sameElements(composed.map(_.toString)))
   }
 
   test("ohlc_agg merge path: many partitions, per-partition partials combine") {

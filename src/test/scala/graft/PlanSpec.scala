@@ -90,6 +90,30 @@ class PlanSpec extends SparkSpec {
     // and the manual-bound path agrees
     assert(graft.catalog.Tables.events(spark, base,
       start = Some("2024-01-01 01:00:00")).count() == 940)
+
+    // out-of-ns-range literals (year 3000: µs·1000 overflows Long) must
+    // derive NOTHING rather than a wrapped bound — the pre-fix rule
+    // appended raw < -4.39e18 and silently returned ZERO rows
+    val wide = graft.catalog.Tables.events(spark, base)
+      .filter(col("ts") <= lit("3000-01-01 00:00:00").cast("timestamp"))
+    assert(wide.count() == 1000, "year-3000 upper bound keeps every row")
+    val wideLow = graft.catalog.Tables.events(spark, base)
+      .filter(col("ts") >= lit("0001-01-01 00:00:00").cast("timestamp"))
+    assert(wideLow.count() == 1000, "year-1 lower bound keeps every row")
+  }
+
+  test("NsTimestampPushdown: literal-literal comparisons do not recurse forever") {
+    // the mirrored literal-first derive cases used to mutually recurse on
+    // a timestamp-literal-vs-timestamp-literal comparison (possible when
+    // the rule runs before constant folding) until StackOverflowError
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val lit1 = Literal(1704067200000000L, org.apache.spark.sql.types.TimestampType)
+    val lit2 = Literal(1704067200000001L, org.apache.spark.sql.types.TimestampType)
+    val plan = LocalRelation().where(GreaterThanOrEqual(lit1, lit2)).analyze
+    // must return (unchanged), not stack-overflow
+    assert(graft.plans.NsTimestampPushdown(plan) == plan)
   }
 
   test("instant-adjusted TIMESTAMP us events layout: reads as-is with pushed bounds") {
