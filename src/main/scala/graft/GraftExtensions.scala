@@ -30,50 +30,70 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", null, name, usage, "")
 
+  /** Arity gate for the SQL builders: without it a wrong argument count
+    * surfaced as IndexOutOfBoundsException from `es(1)` with no mention
+    * of the function or its usage.
+    */
+  private def expecting(name: String, usage: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${es.length}; usage: $usage")
+      f(es)
+    }
+
+  /** Literal-int argument extraction with a foldability check: a COLUMN
+    * passed where a literal is required used to hit eval(null) and throw
+    * an unhelpful NPE/UnsupportedOperation at plan time.
+    */
+  private def intOf(name: String, argName: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name: $argName must be a literal integer, got ${e.sql}")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("poly_base",
       info("poly_base", "poly_base(str) - rolling polynomial hash base (mod 1e9+7)"),
-      (es: Seq[Expression]) => PolyBase(es.head)),
+      expecting("poly_base", "poly_base(str)", 1)(es => PolyBase(es.head))),
     ("poly_base2",
       info("poly_base2",
         "poly_base2(str) - independent second rolling hash (base 137 mod 998244353)"),
-      (es: Seq[Expression]) => PolyBase2(es.head)),
+      expecting("poly_base2", "poly_base2(str)", 1)(es => PolyBase2(es.head))),
     ("poly_pow",
       info("poly_pow", "poly_pow(str) - 131^length(str) mod 1e9+7"),
-      (es: Seq[Expression]) => PolyPow(es.head)),
+      expecting("poly_pow", "poly_pow(str)", 1)(es => PolyPow(es.head))),
     ("dot_product",
       info("dot_product", "dot_product(a, b) - sequential double dot product of float arrays"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+      expecting("dot_product", "dot_product(a, b)", 2)(es => DotProduct(es.head, es(1)))),
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays"),
-      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+      expecting("cosine_sim", "cosine_sim(a, b)", 2)(es => CosineSim(es.head, es(1)))),
     ("dot_product_long",
       info("dot_product_long",
         "dot_product_long(a, b) - exact integer dot product of bigint arrays"),
-      (es: Seq[Expression]) => DotProductLong(es.head, es(1))),
+      expecting("dot_product_long", "dot_product_long(a, b)", 2)(es => DotProductLong(es.head, es(1)))),
     ("l2_sq",
       info("l2_sq", "l2_sq(a, b) - sequential double squared-L2 distance of float arrays"),
-      (es: Seq[Expression]) => L2Sq(es.head, es(1))),
+      expecting("l2_sq", "l2_sq(a, b)", 2)(es => L2Sq(es.head, es(1)))),
     ("ohlc_agg",
       info("ohlc_agg",
         "ohlc_agg(value, ord) - fused (open, high, low, close, n) aggregate over ord order"),
-      (es: Seq[Expression]) => OhlcAgg(es.head, es(1)).toAggregateExpression()),
+      expecting("ohlc_agg", "ohlc_agg(value, ord)", 2)(es => OhlcAgg(es.head, es(1)).toAggregateExpression())),
     ("hyperplane_buckets",
       info("hyperplane_buckets",
         "hyperplane_buckets(vec, nbits, tables) - multi-table random-hyperplane LSH bucket ids"),
-      (es: Seq[Expression]) => {
-        def intOf(e: Expression): Int =
-          e.eval(null).asInstanceOf[Number].intValue()
-        HyperplaneBuckets(es.head, intOf(es(1)), intOf(es(2)))
-      }),
+      expecting("hyperplane_buckets", "hyperplane_buckets(vec, nbits, tables)", 3)(
+        es => HyperplaneBuckets(es.head,
+          intOf("hyperplane_buckets", "nbits", es(1)),
+          intOf("hyperplane_buckets", "tables", es(2))))),
     ("z_value",
       info("z_value",
         "z_value(x, y, bits) - Z-order (Morton) interleave of the low bits of two bigints"),
-      (es: Seq[Expression]) => {
-        def intOf(e: Expression): Int =
-          e.eval(null).asInstanceOf[Number].intValue()
-        ZValue(es.head, es(1), intOf(es(2)))
-      })
+      expecting("z_value", "z_value(x, y, bits)", 3)(
+        es => ZValue(es.head, es(1), intOf("z_value", "bits", es(2)))))
   )
 
   /** Register the functions on an existing session (temp functions), plus

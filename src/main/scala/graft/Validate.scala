@@ -88,21 +88,38 @@ object Validate {
       struct(vals.map(c => col(c).cast("double").as(c)): _*).as("__l"))
     val r = right.select(col(keyCol).as("__k"),
       struct(vals.map(c => col(c).cast("double").as(c)): _*).as("__r"))
+    // persist the narrow projections: the pre-join counts and the join
+    // both consume them, so each store is scanned ONCE from source (the
+    // unpersisted form scanned both stores twice — four full input scans
+    // on what the scaladoc pitches at 100 TB)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lp = l.persist(lvl)
+    val rp = r.persist(lvl)
     // true per-side row counts BEFORE the join: duplicate join keys fan the
     // full-outer join out (every joined count becomes pair-based and two
     // identical stores could read as mismatched), so validation requires
     // unique keys — detected below by comparing these against the joined
     // frame's distinct key counts, and reported as an explicit error.
-    val trueL = left.count()
-    val trueR = right.count()
-    val joined = l.join(r, Seq("__k"), "full_outer")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trueL = lp.count()
+    val trueR = rp.count()
+    val joined = lp.join(rp, Seq("__k"), "full_outer")
+      .persist(lvl)
     try {
       val inL = col("__l").isNotNull
       val inR = col("__r").isNotNull
-      def mismatch(c: String) = inL && inR &&
-        (abs(col(s"__l.$c") - col(s"__r.$c")) > priceTolerance ||
-          (col(s"__l.$c").isNull =!= col(s"__r.$c").isNull))
+      def mismatch(c: String) = {
+        val lc = col(s"__l.$c")
+        val rc = col(s"__r.$c")
+        // equality goes through <=> first: both-null, both-NaN (Spark
+        // treats NaN = NaN as true), and exactly-equal pairs never
+        // mismatch. Without it, abs(NaN - NaN) > tol reads TRUE under
+        // Spark's NaN-is-largest ordering, so identical stores carrying
+        // the same NaN rows FAILED validation (numpy's abs(nan-nan) > tol
+        // is False — the reference validator passes those).
+        inL && inR && !(lc <=> rc) &&
+          (lc.isNull || rc.isNull || isnan(lc) || isnan(rc) ||
+            abs(lc - rc) > priceTolerance)
+      }
       // coalesce: sum over an empty join (both stores empty) is NULL, and
       // the verdict must read 0 rows, not NPE
       def cnt(cond: org.apache.spark.sql.Column) =
@@ -128,7 +145,7 @@ object Validate {
       def lng(n: String) = row.getLong(row.fieldIndex(n))
       def str(n: String) =
         Option(row.get(row.fieldIndex(n))).map(_.toString)
-      val colReports = vals.zipWithIndex.map { case (c, _) =>
+      val colReports = vals.map { c =>
         val mm = lng(s"mm_$c")
         val samples =
           if (mm == 0) Nil
@@ -185,7 +202,11 @@ object Validate {
       ValidationResult(lRows, rRows, lng("matched"), lng("only_l"),
         lng("only_r"), str("l_min"), str("l_max"), str("r_min"), str("r_max"),
         colReports, errors.toSeq)
-    } finally joined.unpersist(blocking = false)
+    } finally {
+      joined.unpersist(blocking = false)
+      lp.unpersist(blocking = false)
+      rp.unpersist(blocking = false)
+    }
   }
 
   /** CLI: `graft.Validate <leftParquet> <rightParquet> [keyCol] [valueCols

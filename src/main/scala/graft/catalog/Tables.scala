@@ -50,7 +50,13 @@ object Tables {
       end: Option[String] = None
   ): DataFrame = {
     // Legacy TIMESTAMP(NANOS) files surface ts as a raw ns long under this
-    // flag; µs-precision files are unaffected by it.
+    // flag; µs-precision files are unaffected by it. Deliberately a
+    // SESSION-level set with no restore: the returned frame is lazy, so
+    // the flag must still hold when the scan executes — a set/restore
+    // window around this call would break every later action on the
+    // frame. Other TIMESTAMP(NANOS) datasets read in the same session
+    // inherit the raw-long surfacing; normalize them the way this
+    // function does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var raw = table(spark, dir, "events")
     // parse as UTC (matching the session TZ), not the JVM default zone
@@ -58,16 +64,38 @@ object Tables {
       java.time.LocalDateTime.parse(s.replace(' ', 'T'))
     raw.schema("ts").dataType match {
       case LongType => // ns-long storage: bound in ns, then truncate ns → µs
-        def ns(s: String): Long = {
+        def us(s: String): Long = {
           val inst = ldt(s).toInstant(java.time.ZoneOffset.UTC)
-          inst.getEpochSecond * 1000000000L + inst.getNano
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
         }
-        start.foreach(s => raw = raw.filter(col("ts") >= ns(s)))
-        end.foreach(e => raw = raw.filter(col("ts") < ns(e) + 1000)) // inclusive at µs
+        // smallest raw ns whose `div 1000` (trunc toward ZERO, not floor)
+        // lands at-or-after µs m — mirrors plans.NsTimestampPushdown:
+        // trunc rounds negative raws UP, so thresholds at or below zero
+        // extend 999 ns lower. The plain ns(bound) form wrongly excluded
+        // pre-epoch raws in [-999, -1] from a 1970-01-01 start (they
+        // convert to exactly that µs) and symmetrically over-included at
+        // the end bound.
+        def minRawNs(m: Long): Long =
+          if (m > 0) m * 1000L else m * 1000L - 999L
+        start.foreach(s => raw = raw.filter(col("ts") >= minRawNs(us(s))))
+        end.foreach(e => raw = raw.filter(col("ts") < minRawNs(us(e) + 1))) // inclusive at µs
         raw = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case tsType @ (TimestampNTZType | TimestampType) =>
         // native µs storage: bound with a literal of the STORED type so the
         // comparison is a bare-column predicate the parquet reader prunes on
+        if (tsType == TimestampNTZType) {
+          // the NTZ → TimestampType cast below reinterprets the stored
+          // UTC wall-clock in the SESSION zone: only UTC keeps the three
+          // physical layouts convergent (the ns-long branch converts
+          // instant-exactly regardless) — fail loudly instead of shifting
+          // every instant by the zone offset
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(
+            java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+            s"events(): TIMESTAMP_NTZ storage requires a UTC session " +
+              s"timezone (spark.sql.session.timeZone = $tz) — the NTZ cast " +
+              "would reinterpret stored UTC wall-clock in that zone")
+        }
         def bound(s: String): Column =
           if (tsType == TimestampNTZType) lit(ldt(s))
           else lit(java.sql.Timestamp.from(ldt(s).toInstant(java.time.ZoneOffset.UTC)))

@@ -78,4 +78,30 @@ class EventsLayoutSpec extends SparkSpec {
       .orderBy("event_id").collect().map(_.toSeq).toSeq
     assert(a == post)
   }
+
+  test("ns-long bounds honor trunc-toward-zero on pre-epoch raws") {
+    // raw ns in [-999, -1] truncate (toward zero) to µs 0 = 1970-01-01
+    // 00:00:00.000000 exactly — a start bound of that instant must KEEP
+    // them (the plain raw >= 0 form dropped them), and an end bound one µs
+    // earlier must EXCLUDE them
+    val dir = java.nio.file.Files.createTempDirectory("ev_preepoch").toString
+    spark.range(4).select(
+      col("id").as("event_id"),
+      // raws: -1500 (µs -1), -500 (µs 0), 0 (µs 0), 1500 (µs 1)
+      (col("id") * 1000L - 1500L).as("ts"),
+      lit(0L).as("user_id"), lit("click").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def ids(start: Option[String], end: Option[String]) =
+      graft.catalog.Tables.events(spark, dir, start, end)
+        .select("event_id").orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids(Some("1970-01-01 00:00:00"), None) === Seq(1L, 2L, 3L))
+    assert(ids(None, Some("1969-12-31 23:59:59.999999")) === Seq(0L))
+    // converted values agree with the bounds story
+    val all = graft.catalog.Tables.events(spark, dir)
+      .select("event_id", "ts").orderBy("event_id")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(all(1L) === 0L && all(2L) === 0L) // both land on the epoch µs
+  }
 }

@@ -92,4 +92,23 @@ class ValidateSpec extends SparkSpec {
     assert(r.errors.exists(e => e.contains("left store has 1 duplicate")))
     assert(r.errors.exists(e => e.contains("left store has 1 NULL ts keys")))
   }
+
+  test("identical stores carrying NaN rows still pass; NaN-vs-number fails") {
+    // pre-fix: abs(NaN - NaN) > tol reads TRUE under Spark's
+    // NaN-is-largest ordering, so two byte-identical stores failed on
+    // every shared NaN row (numpy's abs(nan-nan) > tol is False — the
+    // reference validator passes them)
+    val withNaN = ticks(Seq((1L, 1.0, 1.0005), (2L, Double.NaN, 1.0006),
+      (3L, 1.2, Double.NaN)))
+    val same = Validate.compareStores(withNaN, withNaN)
+    assert(same.passed, same.errors.mkString("; "))
+    assert(same.columns.forall(_.mismatches == 0))
+    // a one-sided NaN is still a genuine mismatch
+    val other = ticks(Seq((1L, 1.0, 1.0005), (2L, 1.1, 1.0006),
+      (3L, 1.2, Double.NaN)))
+    val diff = Validate.compareStores(withNaN, other)
+    assert(!diff.passed)
+    assert(diff.columns.find(_.column == "bid").get.mismatches == 1)
+    assert(diff.columns.find(_.column == "ask").get.mismatches == 0)
+  }
 }

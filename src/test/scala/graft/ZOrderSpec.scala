@@ -95,6 +95,22 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/empty").count() === 0L)
   }
 
+  test("SQL builders reject wrong arity and non-literal int args with named errors") {
+    // pre-fix: z_value(x, y) threw IndexOutOfBoundsException from es(2)
+    // with no mention of the function; a column passed for bits hit
+    // eval(null) with an unhelpful runtime exception
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT z_value(1L, 2L)").collect()
+    }
+    assert(e1.getMessage.contains("z_value") &&
+      e1.getMessage.contains("3 argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.range(3).selectExpr("z_value(id, id, id)").collect()
+    }
+    assert(e2.getMessage.contains("literal integer"), e2.getMessage)
+  }
+
   test("ZValue expression matches the kernel and is SQL-registered") {
     val df = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("x", "y")
     val viaExpr = df.select(exprs.zValue(col("x"), col("y"), 10).as("z"))
