@@ -116,6 +116,13 @@ object Validate {
         // Spark's NaN-is-largest ordering, so identical stores carrying
         // the same NaN rows FAILED validation (numpy's abs(nan-nan) > tol
         // is False — the reference validator passes those).
+        // INTENTIONAL DIVERGENCE for MIXED pairs (NaN vs a number, or NULL
+        // vs a number): the reference's numpy comparison would silently
+        // PASS them too (abs(nan - x) > tol is False for any x); here they
+        // COUNT as mismatches. One side losing a value while the other
+        // holds a number is exactly the disagreement a cross-store
+        // validator exists to surface — matching the reference byte-for-
+        // byte would hide it. Only the both-NaN case restores parity.
         inL && inR && !(lc <=> rc) &&
           (lc.isNull || rc.isNull || isnan(lc) || isnan(rc) ||
             abs(lc - rc) > priceTolerance)

@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   * crash INSIDE the swap window can leave the table momentarily at
   * `.<name>.compact-old` (rename it back to recover) — a crash anywhere
   * else leaves the original directory untouched. Underscore-prefixed
-  * sidecar files (delivery manifests etc.) are carried across the swap.
+  * sidecars (delivery manifests etc. — files AND directories) are carried
+  * across the swap; a [[Manifest]]-written `_manifest` is then REBUILT
+  * against the compacted files, since the carried one's per-file rows and
+  * key min/max describe files that no longer exist.
   */
 object Compactor {
 
@@ -84,14 +87,17 @@ object Compactor {
       sys.error(s"could not move compacted dir into place")
     }
     // sidecar preservation: the rewrite carries only what
-    // spark.read.parquet sees, so underscore-prefixed sidecars (e.g.
-    // Manifest's _manifest) ride along from the original dir. _SUCCESS is
-    // the rewrite's own, and .crc checksum files must not be copied (they
-    // would mismatch the rewritten data files).
+    // spark.read.parquet sees, so underscore-prefixed sidecars ride along
+    // from the original dir — FILES and DIRECTORIES both ([[Manifest]]
+    // writes _manifest as a Spark JSON output DIRECTORY; a file-only
+    // filter used to silently delete it with the backup). _SUCCESS is the
+    // rewrite's own, and .crc checksum files must not be copied (they
+    // would mismatch the rewritten data files; dot-prefixed, so the
+    // startsWith("_") filter never matches them).
     fs.listStatus(bak)
       .filter { st =>
         val name = st.getPath.getName
-        st.isFile && name.startsWith("_") && name != "_SUCCESS" &&
+        name.startsWith("_") && name != "_SUCCESS" &&
           !fs.exists(new Path(d, name))
       }
       .foreach { st =>
@@ -100,6 +106,19 @@ object Compactor {
           spark.sessionState.newHadoopConf())
       }
     fs.delete(bak, true)
+    // A carried [[Manifest]] is STALE after the rewrite: its per-file rows
+    // and key min/max describe the old files. The manifest is
+    // self-describing (key_col column), so rebuild it in place against the
+    // compacted files. A foreign _manifest (hand-written file, or a dir
+    // without key_col) is left as carried — we can't know its key.
+    val manifestPath = new Path(d, "_manifest")
+    if (fs.exists(manifestPath) && fs.getFileStatus(manifestPath).isDirectory) {
+      val old = Manifest.read(spark, d.toString)
+      if (old.columns.contains("key_col")) {
+        val key = old.select("key_col").head().getString(0)
+        Manifest.write(spark, d.toString, key)
+      }
+    }
     n
   }
 }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
 object Manifest {
 
   /** One row per file of the dataset at `path`:
-    * (file, rows, min_key, max_key), ordered by min_key then file.
+    * (file, rows, min_key, max_key, key_col), ordered by min_key then file.
+    * `key_col` records WHICH column the min/max describe — self-describing,
+    * and it lets [[Compactor]] rebuild a manifest after a rewrite without
+    * being told the key (the carried stats would be stale for new files).
     */
   def build(spark: SparkSession, path: String, keyCol: String): DataFrame =
     spark.read.parquet(path)
@@ -31,6 +34,7 @@ object Manifest {
         count(lit(1)).as("rows"),
         min(col(keyCol)).as("min_key"),
         max(col(keyCol)).as("max_key"))
+      .withColumn("key_col", lit(keyCol))
       .orderBy("min_key", "file")
 
   /** Write the manifest as JSON under `<path>/_manifest` (one part file —

@@ -64,19 +64,23 @@ object RangeWriter {
     val b = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
-    if (b.isNullAt(0)) {
-      // empty input (or all-NULL dims): nothing to cluster, write as-is
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input, or EITHER dimension entirely NULL (min/max of an
+      // all-NULL column is NULL): nothing to cluster on, write as-is
       df.write.mode("overwrite").parquet(path)
       return
     }
     val grid = (1L << bits).toDouble
     def cell(c: String, lo: Long, hi: Long): Column = {
-      val span = math.max(1L, hi - lo) // degenerate single-value dim -> cell 0
-      // double ratio then clamp: (x-lo)*grid in LONG overflows for wide
-      // dims (1e15 span × 2^20); the double rounding only blurs cell
-      // boundaries, never breaks monotonicity at clustering granularity
+      // span and the per-row delta are computed entirely in DOUBLE:
+      // hi - lo (and x - lo) in Long overflow when lo is very negative and
+      // hi very positive (span > Long.MaxValue), which used to collapse
+      // every row into one clamped cell via math.max(1, negative). Double
+      // subtraction of longs cannot overflow; the rounding only blurs cell
+      // boundaries, never breaks monotonicity at clustering granularity.
+      val span = math.max(1.0, hi.toDouble - lo.toDouble)
       least(lit((1L << bits) - 1),
-        floor((col(c).cast("long") - lit(lo)).cast("double") / span * grid)
+        floor((col(c).cast("double") - lit(lo.toDouble)) / span * grid)
           .cast("long"))
     }
     val z = graft.functions.exprs.zValue(

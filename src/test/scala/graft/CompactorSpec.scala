@@ -66,8 +66,11 @@ class CompactorSpec extends SparkSpec {
       .repartition(16).write.parquet(s"$table/month=1")
     spark.range(500).select(col("id") + 10000, lit(2).as("month"))
       .write.parquet(s"$table/month=2")
-    // a delivery-manifest sidecar in the leaf being compacted
-    Files.write(java.nio.file.Paths.get(s"$table/month=1/_manifest"),
+    // a REAL delivery-manifest sidecar (Manifest.write → a DIRECTORY of
+    // Spark JSON output; the pre-fix isFile filter silently deleted it)
+    graft.storage.Manifest.write(spark, s"$table/month=1", "id")
+    // plus a foreign plain-file sidecar, exercising the file-copy path
+    Files.write(java.nio.file.Paths.get(s"$table/month=1/_delivery.txt"),
       "rows=2000".getBytes("UTF-8"))
     // a leftover backup from a CRASHED earlier compaction (of ANOTHER
     // leaf, so this run won't clean it up) must be invisible to partition
@@ -79,10 +82,20 @@ class CompactorSpec extends SparkSpec {
     Compactor.compact(spark, s"$table/month=1", targetBytes = 16L * 1024 * 1024)
     assert(stale.exists()) // untouched by compacting a different leaf
 
-    // sidecar survived the swap
-    assert(Files.exists(java.nio.file.Paths.get(s"$table/month=1/_manifest")))
+    // foreign plain-file sidecar survived the swap byte-for-byte
     assert(new String(Files.readAllBytes(
-      java.nio.file.Paths.get(s"$table/month=1/_manifest")), "UTF-8") === "rows=2000")
+      java.nio.file.Paths.get(s"$table/month=1/_delivery.txt")), "UTF-8") === "rows=2000")
+    // the Manifest sidecar survived AND was REBUILT against the compacted
+    // files: every file it names must exist in the new dir (the carried
+    // manifest named the 16 pre-compaction files), and the totals must hold
+    val m = graft.storage.Manifest.read(spark, s"$table/month=1").collect()
+    val liveFiles = new java.io.File(s"$table/month=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val manifestFiles = m.map(r =>
+      new java.io.File(r.getAs[String]("file").stripPrefix("file:")).getName).toSet
+    assert(manifestFiles === liveFiles, "manifest must describe the compacted files")
+    assert(m.map(_.getAs[Long]("rows")).sum === 2000L)
+    assert(m.head.getAs[String]("key_col") === "id")
     // parent partition discovery sees EXACTLY the two real partitions
     val parent = spark.read.parquet(table)
     assert(parent.select("month").distinct().collect()

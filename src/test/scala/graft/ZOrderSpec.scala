@@ -95,6 +95,50 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/empty").count() === 0L)
   }
 
+  test("writeZOrdered: all-NULL y dimension falls back to a plain write, no NPE") {
+    // pre-fix: the empty/all-null guard checked only b.isNullAt(0) (x min),
+    // so a non-empty frame whose yCol was entirely NULL passed the guard
+    // and b.getLong(2) threw NullPointerException instead of writing as-is
+    val dir = java.nio.file.Files.createTempDirectory("zorder_nully").toString
+    val pts = (0 until 100).map(i => (i.toLong, None: Option[Long]))
+      .toDF("x", "y")
+    graft.storage.RangeWriter.writeZOrdered(pts, s"$dir/out", "x", "y",
+      bits = 6, numFiles = 4)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 100L)
+    assert(back.filter(col("y").isNotNull).count() === 0L)
+  }
+
+  test("writeZOrdered: a dimension spanning more than Long.MaxValue still clusters") {
+    // pre-fix: span = hi - lo and (x - lo) were computed in Long; for
+    // lo ≈ Long.MinValue/2·1.5 and hi ≈ Long.MaxValue/2·1.5 both overflow,
+    // math.max(1, negative-span) read 1, and every row clamped into the
+    // top cell — clustering silently collapsed with no error. Double
+    // arithmetic cannot overflow here.
+    val dir = java.nio.file.Files.createTempDirectory("zorder_span").toString
+    val lo = -6000000000000000000L // hi ≈ +6e18: span ≈ 12e18 > Long.MaxValue
+    val step = 2930000000000000L   // 4095 steps ≈ 11.998e18 span
+    val pts = (for (i <- 0 until 4096)
+      yield (lo + i * step, (i % 64).toLong)).toDF("x", "y")
+    graft.storage.RangeWriter.writeZOrdered(pts, s"$dir/out", "x", "y",
+      bits = 6, numFiles = 8)
+    val spreads = spark.read.parquet(s"$dir/out")
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(count(lit(1)).as("n"),
+        (max("x").cast("double") - min("x").cast("double")).as("dx"))
+      .as[(String, Long, Double)].collect()
+    assert(spreads.length == 8)
+    // pre-fix every file spanned the whole range; post-fix each file's
+    // x-range is a fraction of the total span (z-tiles: ≤ half with 6-bit
+    // grids and 8 files), and rows are evenly spread, not one hot file
+    val total = 4095.0 * step
+    spreads.foreach { case (f, n, dx) =>
+      assert(dx <= total / 2, s"file $f spans dx=$dx of $total")
+      assert(n <= 4096 / 2, s"file $f holds $n rows — clustering collapsed")
+    }
+  }
+
   test("SQL builders reject wrong arity and non-literal int args with named errors") {
     // pre-fix: z_value(x, y) threw IndexOutOfBoundsException from es(2)
     // with no mention of the function; a column passed for bits hit
