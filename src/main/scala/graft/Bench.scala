@@ -36,6 +36,43 @@ object Bench {
       once(); once() // warm (codegen + JIT steady state for this exact plan)
       (1 to 5).map(_ => once()).min
     }
+    // I/O-SHAPED SENTINEL: the CPU probe above does zero I/O, so
+    // page-cache eviction / disk contention — which slows the parquet-
+    // scan-heavy suite 3-5× — is invisible to it (the r12 official record
+    // shipped 23% inflated with calib drift of only 12%). This probe is a
+    // full-width parquet scan+decode (hash(*) touches every column of
+    // every row) of a FIXED file, same min-of-5 pre-warmed bracket
+    // discipline, so cache/disk pressure moves it the same way it moves
+    // the suite.
+    val ioProbeFile = {
+      val fixed = "/root/testdata/sf0.1/lineitem.parquet"
+      if (new java.io.File(fixed).isFile) fixed else s"$sfDir/lineitem.parquet"
+    }
+    def calibrateIo(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(ioProbeFile)
+          .selectExpr("sum(cast(hash(*) as bigint)) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once()
+      (1 to 5).map(_ => once()).min
+    }
+    // REFERENCE BAND CHECK: per-query walls of the last committed clean
+    // record (bench_full.json is read BEFORE this run overwrites it) — a
+    // pass with ≥5 queries at ≥2× their committed wall, or the shared
+    // total at ≥1.2×, is treated as contended even when both calibration
+    // probes sat still. Only applies when the record measured the same SF.
+    val refTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (BenchSentinel.recordSf(s).contains(sfDir))
+          BenchSentinel.parseQueryTimes(s)
+        else Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
     // Optional args: query names to run (default all); SPARK_GRAFT_ITERS
     // repeats each query and keeps the fastest run (profiling aid — the
     // driver invokes with no args / no env, preserving the 1-shot contract).
@@ -57,15 +94,22 @@ object Bench {
     // per-query map, listed in an explicit "errors" field, and force a
     // nonzero exit so the calling harness can't mistake the run for valid.
     var errors = Vector.empty[String]
-    // One calibration-bracketed pass over the selected queries.
+    // One calibration-bracketed pass over the selected queries. All three
+    // sentinel signals (CPU drift, I/O drift, reference band) are pure
+    // functions in [[BenchSentinel]] — unit-tested against the recorded
+    // r12 contamination episode.
     final case class Pass(times: Map[String, Double],
-                          calibFirst: Double, calibLast: Double) {
+                          calibFirst: Double, calibLast: Double,
+                          ioFirst: Double, ioLast: Double) {
+      def bandHits: Seq[String] = BenchSentinel.bandExceeders(times, refTimes)
       def contended: Boolean =
-        math.abs(calibLast - calibFirst) /
-          math.min(calibFirst, calibLast) > 0.25
+        BenchSentinel.calibDrift(calibFirst, calibLast) ||
+          BenchSentinel.calibDrift(ioFirst, ioLast) ||
+          BenchSentinel.bandContended(times, refTimes)
     }
     def runPass(): Pass = {
       val calibFirst = calibrate()
+      val ioFirst = calibrateIo()
       val rs = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val runs = (1 to iters).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -77,7 +121,8 @@ object Bench {
         }
         if (runs.isEmpty) None else Some(name -> runs.min)
       }
-      Pass(rs.toMap, calibFirst, calibrate())
+      val ioLast = calibrateIo()
+      Pass(rs.toMap, calibFirst, calibrate(), ioFirst, ioLast)
     }
     // CONTENTION RECOVERY: the sentinel detects load, but detection alone
     // still left the calling harness's one-shot invocation with a flagged
@@ -145,8 +190,13 @@ object Bench {
     // dedup/graph queries) never appears in the driver-visible line; an
     // explicit top-5-by-wall object keeps the slowest queries inline.
     val slowest = results.sortBy(-_._2).take(5)
+    // band check against the per-query MINIMA across all passes: names
+    // that exceed even after contention recovery are either persistent
+    // load or a genuine regression — either way worth surfacing by name.
+    val finalBand = BenchSentinel.bandExceeders(results.toMap, refTimes)
+    val bandJson = finalBand.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinel =
-      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"contended":$contended,"passes":${passes.size}"""
+      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"contended":$contended,"passes":${passes.size}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"slowest":${toJson(slowest)},"nq":${results.size},"nerr":${failed.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
     try {

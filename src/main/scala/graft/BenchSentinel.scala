@@ -1,0 +1,107 @@
+package graft
+
+/** Pure decision logic for [[Bench]]'s load sentinel — factored out of the
+  * bench main so every trip-wire is unit-testable against recorded
+  * episodes (BenchSentinelSpec replays the r12 contamination byte-for-byte).
+  *
+  * Three independent signals, any of which marks a pass contended:
+  *
+  *  1. CPU calibration drift — a fixed no-I/O workload timed before and
+  *     after the suite (catches CPU contention: another build stealing
+  *     cores mid-suite).
+  *  2. I/O calibration drift — a fixed parquet scan+decode timed the same
+  *     way (catches what 1 cannot: page-cache eviction / disk contention
+  *     slows the scan-heavy suite while the pure-CPU probe drifts <25%.
+  *     The r12 official record passed exactly that way: calib 0.100→0.112
+  *     while scan-bound queries ran 3–5× their idle walls).
+  *  3. Reference band check — per-query walls compared against the last
+  *     committed clean record (bench_full.json at invocation time). Load
+  *     only ever inflates walls, so ≥5 queries at ≥2× their committed
+  *     wall, or the shared-query total at ≥1.2×, is contention (or a real
+  *     regression — either way the record must not ship as a clean
+  *     one-shot; the re-pass keeps per-query minima, so a genuine
+  *     regression survives unchanged and a dirty window is re-measured).
+  *
+  * Both drift checks carry an ABSOLUTE floor as well as the relative
+  * threshold: a 25% swing on a 10 ms probe is scheduler noise, not load.
+  */
+object BenchSentinel {
+
+  /** Relative disagreement between the pre- and post-suite calibration
+    * walls, guarded by an absolute floor (both thresholds must be crossed).
+    */
+  def calibDrift(
+      first: Double,
+      last: Double,
+      relThreshold: Double = 0.25,
+      absFloorSec: Double = 0.02): Boolean = {
+    val lo = math.min(first, last)
+    val delta = math.abs(last - first)
+    lo > 0 && delta > absFloorSec && delta / lo > relThreshold
+  }
+
+  /** Names of queries whose wall exceeds `factor`× their committed
+    * reference wall. Queries absent from the reference (new this round) or
+    * whose reference wall is below `floorSec` (sub-scheduling-floor walls
+    * are noise-dominated) never count.
+    */
+  def bandExceeders(
+      times: Map[String, Double],
+      ref: Map[String, Double],
+      factor: Double = 2.0,
+      floorSec: Double = 0.1): Seq[String] =
+    times.toSeq.collect {
+      case (name, t) if ref.get(name).exists(r => r >= floorSec && t > factor * r) =>
+        name
+    }.sorted
+
+  /** Ratio of this pass's total wall to the committed total, over the
+    * queries BOTH records carry (so new/removed queries can't skew it).
+    * NaN-free: returns 1.0 when fewer than `minShared` queries overlap.
+    */
+  def sharedTotalRatio(
+      times: Map[String, Double],
+      ref: Map[String, Double],
+      minShared: Int = 20): Double = {
+    val shared = times.keySet intersect ref.keySet
+    if (shared.size < minShared) 1.0
+    else shared.toSeq.map(times).sum / shared.toSeq.map(ref).sum
+  }
+
+  /** The band verdict: ≥ `minCount` individual exceeders, or the shared
+    * total inflated past `totalFactor`.
+    */
+  def bandContended(
+      times: Map[String, Double],
+      ref: Map[String, Double],
+      factor: Double = 2.0,
+      floorSec: Double = 0.1,
+      minCount: Int = 5,
+      totalFactor: Double = 1.2): Boolean =
+    bandExceeders(times, ref, factor, floorSec).size >= minCount ||
+      sharedTotalRatio(times, ref) > totalFactor
+
+  /** Extract the per-query seconds from a bench_full.json line (the
+    * `"queries":{...}` object). Regex-based on purpose: the record is
+    * machine-written with a fixed shape, and the bench main must not grow
+    * a JSON-library dependency.
+    */
+  def parseQueryTimes(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = json.substring(start + "\"queries\":{".length,
+        json.indexOf('}', start))
+      val pair = """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r
+      pair.findAllMatchIn(body).flatMap { m =>
+        m.group(2).toDoubleOption.map(m.group(1) -> _)
+      }.toMap
+    }
+  }
+
+  /** The `"sf":"..."` field of a bench_full.json line — band checks only
+    * apply when the committed record measured the SAME scale factor.
+    */
+  def recordSf(json: String): Option[String] =
+    """"sf":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench load sentinel's decision logic, replayed against the recorded
+  * r12 contamination episode: the official BENCH_r12.json shipped 23%
+  * inflated as `contended:false, passes:1` because the only sentinel was a
+  * pure-CPU calibration probe (drift 0.100→0.112, under the 25% threshold)
+  * while page-cache/disk load slowed scan-bound queries 3–5×. The walls
+  * below are copied verbatim from BENCH_r12.json (contaminated driver run)
+  * and tools/bench_runs_r12/final_run_2.json (the committed clean median).
+  */
+class BenchSentinelSpec extends AnyFunSuite {
+
+  // committed clean medians (final_run_2.json) — the reference band
+  private val ref = Map(
+    "q1_pricing" -> 0.295, "q_ann_ivf" -> 0.601, "q_asof_join" -> 0.327,
+    "q_cosine_topk" -> 0.458, "q_coverage" -> 0.223, "q_cursor_page" -> 0.213,
+    "q_dedup" -> 0.409, "q_dedup_exact" -> 0.277, "q_dedup_groups" -> 2.732,
+    "q_dedup_incremental" -> 5.542, "q_dedup_multisignal" -> 4.88,
+    "q_dedup_reconcile" -> 7.092, "q_doc_fingerprint" -> 0.154,
+    "q_ewma" -> 0.479, "q_gap_months" -> 0.426, "q_group_topk" -> 0.37,
+    "q_join_agg" -> 0.447, "q_lang_id" -> 0.145, "q_minhash_lsh" -> 1.113,
+    "q_ngram_jaccard" -> 0.184, "q_ohlc_1m" -> 0.509,
+    "q_ohlc_enriched" -> 1.022, "q_ohlc_resample_15m" -> 0.291,
+    "q_quality_filter" -> 0.111, "q_seq_pack" -> 0.13, "q_sessionize" -> 0.554,
+    "q_simhash" -> 0.102, "q_sql_q3" -> 1.031, "q_text_stats" -> 0.121,
+    "q_tfidf" -> 1.834, "q_ticks_range" -> 0.156, "q_token_freq" -> 0.318,
+    "q_top_revenue" -> 0.754, "q_triangles" -> 8.615)
+
+  // the contaminated r12 driver pass (queries ∪ slowest of BENCH_r12.json)
+  private val dirty = Map(
+    "q1_pricing" -> 0.258, "q_ann_ivf" -> 0.535, "q_asof_join" -> 0.221,
+    "q_cosine_topk" -> 0.677, "q_coverage" -> 0.282, "q_cursor_page" -> 0.281,
+    "q_dedup" -> 0.514, "q_dedup_exact" -> 0.367, "q_dedup_groups" -> 3.707,
+    "q_dedup_incremental" -> 7.131, "q_dedup_multisignal" -> 7.487,
+    "q_dedup_reconcile" -> 8.141, "q_doc_fingerprint" -> 0.124,
+    "q_ewma" -> 0.379, "q_gap_months" -> 0.295, "q_group_topk" -> 0.336,
+    "q_join_agg" -> 0.38, "q_lang_id" -> 0.125, "q_minhash_lsh" -> 1.0,
+    "q_ngram_jaccard" -> 0.209, "q_ohlc_1m" -> 0.451,
+    "q_ohlc_enriched" -> 0.841, "q_ohlc_resample_15m" -> 0.344,
+    "q_quality_filter" -> 0.132, "q_seq_pack" -> 0.177, "q_sessionize" -> 0.614,
+    "q_simhash" -> 0.094, "q_sql_q3" -> 1.015, "q_text_stats" -> 0.094,
+    "q_tfidf" -> 6.133, "q_ticks_range" -> 0.702, "q_token_freq" -> 1.572,
+    "q_top_revenue" -> 2.784, "q_triangles" -> 8.232)
+
+  test("the r12 episode trips the band check (the CPU probe alone did not)") {
+    // the CPU probe's actual bracket that round: 12% drift — correctly
+    // under threshold, because the load was I/O-shaped, not CPU-shaped
+    assert(!BenchSentinel.calibDrift(0.100, 0.112))
+    // the reference band catches it: shared-total 1.33× (> 1.2), with the
+    // four scan-bound victims surfaced by name
+    assert(BenchSentinel.sharedTotalRatio(dirty, ref) > 1.3)
+    assert(BenchSentinel.bandContended(dirty, ref))
+    assert(BenchSentinel.bandExceeders(dirty, ref) ===
+      Seq("q_tfidf", "q_ticks_range", "q_token_freq", "q_top_revenue"))
+  }
+
+  test("a clean pass against its own committed record does not trip") {
+    assert(!BenchSentinel.bandContended(ref, ref))
+    assert(BenchSentinel.bandExceeders(ref, ref).isEmpty)
+    assert(BenchSentinel.sharedTotalRatio(ref, ref) === 1.0)
+  }
+
+  test("calibDrift: relative threshold with an absolute floor") {
+    assert(BenchSentinel.calibDrift(0.10, 0.13))   // 30% and 30 ms
+    assert(!BenchSentinel.calibDrift(0.10, 0.112)) // 12%
+    // 40% relative but 4 ms absolute — scheduler noise on a tiny probe
+    assert(!BenchSentinel.calibDrift(0.010, 0.014))
+    // drift direction is symmetric (load can land on either bracket end)
+    assert(BenchSentinel.calibDrift(0.30, 0.20))
+    assert(!BenchSentinel.calibDrift(0.0, 0.0)) // degenerate, no divide
+  }
+
+  test("bandExceeders: floor excludes noise-dominated walls, new queries ignored") {
+    val r = Map("tiny" -> 0.05, "mid" -> 0.5, "big" -> 5.0)
+    // tiny at 10× its 50 ms wall is still ignored (ref below the 0.1s floor)
+    assert(BenchSentinel.bandExceeders(
+      Map("tiny" -> 0.5, "mid" -> 0.6, "big" -> 5.5), r).isEmpty)
+    assert(BenchSentinel.bandExceeders(
+      Map("mid" -> 1.1, "big" -> 11.0, "brand_new" -> 99.0), r) ===
+      Seq("big", "mid"))
+  }
+
+  test("bandContended: ≥5 individual exceeders trip even when totals hide them") {
+    // 5 small queries at 2.5× inside a big stable suite: total ratio stays
+    // under 1.2 but the per-query count trips
+    val r = (1 to 5).map(i => s"small_$i" -> 0.2).toMap + ("huge" -> 50.0)
+    val t = (1 to 5).map(i => s"small_$i" -> 0.5).toMap + ("huge" -> 50.0)
+    assert(BenchSentinel.sharedTotalRatio(t, r, minShared = 2) < 1.2)
+    assert(BenchSentinel.bandContended(t, r))
+    // 4 exceeders and a quiet total: not contended
+    val t4 = t.updated("small_5", 0.2)
+    assert(!BenchSentinel.bandContended(t4, r))
+  }
+
+  test("sharedTotalRatio needs enough overlap to mean anything") {
+    val r = Map("a" -> 1.0, "b" -> 1.0)
+    // only 2 shared queries: ratio pinned to 1.0 (insufficient evidence)
+    assert(BenchSentinel.sharedTotalRatio(Map("a" -> 9.0, "b" -> 9.0), r) === 1.0)
+    // an empty reference (first round at this SF) never trips anything
+    assert(!BenchSentinel.bandContended(dirty, Map.empty))
+  }
+
+  test("parseQueryTimes/recordSf round-trip a bench_full.json line") {
+    val line = """{"metric":"total","value":119.650,"unit":"sec","queries":{"q1_pricing":0.295,"q_tfidf":1.834,"q_neg":-0.0},"slowest":{"q_tfidf":1.834},"nq":164,"errors":[],"flaky":[],"calib_first":0.100,"calib_last":0.102,"contended":false,"passes":1,"sf":"/root/testdata/sf0.1"}"""
+    val times = BenchSentinel.parseQueryTimes(line)
+    assert(times === Map("q1_pricing" -> 0.295, "q_tfidf" -> 1.834, "q_neg" -> 0.0))
+    assert(BenchSentinel.recordSf(line) === Some("/root/testdata/sf0.1"))
+    assert(BenchSentinel.parseQueryTimes("not json") === Map.empty)
+    assert(BenchSentinel.recordSf("{}") === None)
+  }
+}
