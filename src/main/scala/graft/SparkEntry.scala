@@ -194,6 +194,16 @@ object SparkEntry {
           value = "value", tiebreak = "event_id", minutes = 1)
         .orderBy("event_type", "bar_ts")),
 
+    // §2.9 STREAMING, driver-gated: the SAME 1m bars produced by a real
+    // Structured Streaming run (file source → watermark → append-mode
+    // stateful agg → parquet sink, AvailableNow trigger; sentinel rows
+    // flush the trailing windows past the watermark) — shares q_ohlc_1m's
+    // oracle SQL verbatim, so batch and streaming can't drift
+    "q_stream_ohlc_1m" -> ((s, dir) =>
+      graft.streaming.StreamingGate.ohlc1mAvailableNow(
+        s, ev(s, dir), keyCol = "event_type", time = "ts",
+        value = "value", tiebreak = "event_id")),
+
     // A2+P5: resample 1m bars to 15m + NULL-safe derived ratios
     "q_ohlc_resample_15m" -> ((s, dir) => {
       val bars1m = Ohlc.bars(ev(s, dir), Seq("event_type"), "ts", "value", "event_id", 1)
@@ -2616,7 +2626,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val evTs = "CAST(ts AS TIMESTAMP)"
-    Map(
+    val base = Map(
       "q_ticks_range" ->
         s"""SELECT event_id, $evTs AS ts, user_id, value FROM events
             WHERE event_type = 'purchase'
@@ -5969,5 +5979,9 @@ object SparkEntry {
            JOIN s sb ON sb.it = item_b
            ORDER BY lift_e6 DESC, item_a, item_b LIMIT 100"""
     ) ++ resampleOracles(evTs)
+    // §2.9: the STREAMING 1m OHLC (watermark/append/AvailableNow run via
+    // StreamingGate) must agree with the batch path bar-for-bar — ONE
+    // shared oracle, verbatim, so the two execution modes can't drift
+    base + ("q_stream_ohlc_1m" -> base("q_ohlc_1m"))
   }
 }
