@@ -1455,25 +1455,31 @@ object SparkEntry {
     // q_dedup_incremental deployment (old corpus clustered, batch labeled
     // against the stored index), take the ACCUMULATED label store
     // (old-corpus labels ∪ incremental batch labels — exactly what a
-    // deployment has on disk), and emit reconcileIncremental's repair
-    // delta (id, old_rep, new_rep): the rows whose stored rep diverged
-    // from the full-recluster ground truth (bridge merges, lower-id
-    // adoptions). The oracle mirrors all three closures in SQL.
+    // deployment has on disk), and emit the repair delta
+    // (id, old_rep, new_rep): the rows whose stored rep diverged from the
+    // full-recluster ground truth (bridge merges, lower-id adoptions).
+    // The oracle mirrors all three closures in SQL. Signatures are
+    // per-doc, so the ground-truth pass union-reuses the two band-edge
+    // frames the lifecycle already computed (old corpus + batch) instead
+    // of paying a third shingle+MinHash scan over the full corpus —
+    // MinHash.reconcileFromEdges; identical output by construction.
     "q_dedup_reconcile" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
       val newDocs = docs.filter(col("doc_id") % 5 === 0)
       val oldEdges = MinHash.bandEdges(oldDocs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newEdges = MinHash.bandEdges(newDocs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (oldLabels, _) = graft.operators.ConnectedComponents
         .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
       val index = oldEdges.join(oldLabels, Seq("id"))
         .select(col("group_rep"), col("band"), col("bh")).distinct()
       val (newLabels, _) =
-        MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
+        MinHash.nearDupGroupsIncrementalFromEdges(index, newEdges)
       val stored = oldLabels.unionByName(newLabels)
-      val (_, _, repairs) =
-        MinHash.reconcileIncremental(docs, stored, "doc_id", "text")
+      val (_, _, repairs) = MinHash.reconcileFromEdges(
+        oldEdges.unionByName(newEdges), stored)
       repairs.orderBy("id")
     }),
 

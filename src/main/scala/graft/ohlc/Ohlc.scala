@@ -130,7 +130,11 @@ object Ohlc {
     *
     * Input frames have columns (instrument, timestamp, bid, ask).
     */
-  def ticksToOhlc1m(rawSpread: DataFrame, standard: DataFrame): DataFrame = {
+  def ticksToOhlc1m(
+      rawSpread: DataFrame,
+      standard: DataFrame,
+      asofMode: String = "auto"
+  ): DataFrame = {
     // AUTO-dispatched as-of (r12): the join key is instrument ALONE, so at
     // warehouse scale one major pair's full history is a single hot key —
     // exactly the shape where the key-partitioned forms serialize and the
@@ -140,6 +144,9 @@ object Ohlc {
     // scan of the two key columns and, only past 1M combined rows, a
     // second sampled per-key count agg (small shuffle) — both constant
     // next to the join they front (Probes.cappedCount/hottestKeyCount).
+    // Callers that already know the shape (OhlcGenerator.regenerate reads
+    // it off parquet footer metadata) pass asofMode explicitly and skip
+    // the probe scan entirely.
     val joined = AsofJoin.leftAsofAuto(
       rawSpread,
       standard.select("instrument", "timestamp", "bid", "ask"),
@@ -147,7 +154,8 @@ object Ohlc {
       leftTime = "timestamp",
       rightTime = "timestamp",
       rightPayload = Seq("bid", "ask"),
-      suffix = "_std"
+      suffix = "_std",
+      mode = asofMode
     )
     val ord = struct(col("timestamp"), col("bid"), col("ask"))
     joined

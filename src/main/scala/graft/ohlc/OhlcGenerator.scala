@@ -48,11 +48,58 @@ object OhlcGenerator {
           .otherwise("London_Closed"))
   }
 
-  /** Build the full 27-column 1m OHLC frame from the two tick variants. */
-  def generate(rawSpread: DataFrame, standard: DataFrame): DataFrame = {
-    val bars = Ohlc.ticksToOhlc1m(rawSpread, standard)
+  /** Build the full 27-column 1m OHLC frame from the two tick variants.
+    * `asofMode` threads through to the as-of dispatch ([[Ohlc.ticksToOhlc1m]]):
+    * "auto" probes the data; callers that already know the shape (e.g.
+    * [[regenerate]], which reads it off parquet footers) pass the form.
+    */
+  def generate(
+      rawSpread: DataFrame,
+      standard: DataFrame,
+      asofMode: String = "auto"
+  ): DataFrame = {
+    val bars = Ohlc.ticksToOhlc1m(rawSpread, standard, asofMode)
     val enriched = TradingCalendar.enrich(withSessionColumns(bars), "timestamp")
     enriched.select(Columns.map(col): _*)
+  }
+
+  /** Exact stored row count for one (variant, instrument, months-subset)
+    * from parquet FOOTER metadata: a driver-side listing of the pruned
+    * partition directories plus one footer read per file — no Spark job,
+    * no data pages, cost O(files in the touched months). Footer row counts
+    * are exact (written by the committing task), so this equals
+    * `readTicks(...).count()` without the scan. `months` empty = all
+    * stored months of the instrument.
+    */
+  private[graft] def footerTickCount(
+      spark: SparkSession,
+      warehouse: String,
+      variant: String,
+      instrument: String,
+      months: Seq[String]
+  ): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val base =
+      new Path(s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}")
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) return 0L
+    val monthDirs =
+      if (months.isEmpty)
+        fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+          .map(_.getPath)
+      else months.map(m => new Path(base, s"yyyymm=$m")).filter(fs.exists)
+    monthDirs.iterator.flatMap { dir =>
+      fs.listStatus(dir).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(s, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+    }.sum
   }
 
   /** Regenerate OHLC months into the warehouse. `months` empty = full
@@ -84,8 +131,23 @@ object OhlcGenerator {
     }
     val stdMonths =
       if (months.isEmpty) Nil else (months ++ months.map(prevMonth)).distinct
+    // As-of dispatch verdict from CATALOG metadata, not a probe job: both
+    // join sides are filtered to ONE instrument and the join key is
+    // instrument alone, so the hottest key's row count IS the combined
+    // total — and parquet footers already hold the exact per-partition
+    // totals. A regeneration batch therefore pays zero decision scans
+    // (Probes.probeJobs pins this), where mode="auto" would re-scan the
+    // touched months' ticks once per call.
+    val asofForm = {
+      val total =
+        footerTickCount(spark, warehouse, "raw_spread", instrument, months) +
+          footerTickCount(spark, warehouse, "standard", instrument, stdMonths)
+      if (total > graft.operators.AsofJoin.HotKeyCrossover) "bucketed"
+      else "plain"
+    }
     val out = generate(
-        monthFiltered("raw_spread", months), monthFiltered("standard", stdMonths))
+        monthFiltered("raw_spread", months), monthFiltered("standard", stdMonths),
+        asofMode = asofForm)
       .withColumn("yyyymm", date_format(col("timestamp"), "yyyyMM"))
     // the carry-in widening can produce bars for the lookback months too —
     // they are NOT part of this rebuild; only the requested partitions move

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Probes {
 
+  /** Monotone count of probe JOBS launched (one per cappedCount /
+    * hottestKeyCount call) — lets specs pin how many decision scans an API
+    * entry point pays (e.g. OhlcGenerator.regenerate must pay ZERO: its
+    * dispatch verdict comes from parquet footer metadata, not a probe).
+    */
+  val probeJobs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Row count of `df`, capped at `cap + 1` per partition: each split stops
     * iterating once it alone has seen more than `cap` rows, so the job's
     * cost is bounded by splits × cap regardless of input size.
@@ -21,7 +28,8 @@ object Probes {
     * exactly when the total already exceeds `cap` — so a `<= cap` test on
     * the returned value is exact.
     */
-  def cappedCount(df: DataFrame, cap: Long): Long =
+  def cappedCount(df: DataFrame, cap: Long): Long = {
+    probeJobs.incrementAndGet()
     // queryExecution.toRdd, not .rdd: the public RDD view inserts a
     // per-row InternalRow→Row converter, which costs more than the scan
     // itself on a counted-only projection (measured ~0.9 s per 10M rows);
@@ -34,6 +42,7 @@ object Probes {
       }
       .collect()
       .sum
+  }
 
   /** Expected sample rows from a key that sits exactly at the dispatch
     * threshold — large enough that a threshold-hot key's estimate lands
@@ -61,6 +70,7 @@ object Probes {
       threshold: Long,
       seed: Long = 42L
   ): Long = {
+    probeJobs.incrementAndGet()
     val keys = df.select(keyCols.map(col): _*)
     val frac = math.min(1.0, SampleRowsTarget / threshold.toDouble)
     val src =

@@ -527,6 +527,22 @@ object MinHash {
   ): (DataFrame, DataFrame, DataFrame) = {
     val newEdges = bandEdges(newDocs, idCol, textCol, shingleN, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (labels, updated) =
+      nearDupGroupsIncrementalFromEdges(bucketIndex, newEdges, maxIters)
+    (labels, updated, newEdges)
+  }
+
+  /** [[nearDupGroupsIncremental]] over the batch's PRECOMPUTED band edges
+    * (id, band, bh) — for callers that already hold them (the reconcile
+    * lifecycle reuses the same frame for the ground-truth re-cluster, see
+    * [[reconcileFromEdges]]). The caller owns `newEdges`' persistence;
+    * both returned frames consume it multiple times.
+    */
+  def nearDupGroupsIncrementalFromEdges(
+      bucketIndex: DataFrame,
+      newEdges: DataFrame,
+      maxIters: Int = 25
+  ): (DataFrame, DataFrame) = {
     // A consistent index holds exactly ONE rep per bucket (same bucket ⇒
     // same component ⇒ same rep — preserved by the relabeling below), so
     // index buckets the batch doesn't touch are inert single-rep islands:
@@ -557,7 +573,7 @@ object MinHash {
         newEdges.join(joint, Seq("id"))
           .select(col("group_rep"), col("band"), col("bh")))
       .distinct()
-    (newLabels, updatedIndex, newEdges)
+    (newLabels, updatedIndex)
   }
 
   /** Periodic reconciliation for the incremental-dedup lifecycle: a full
@@ -594,6 +610,29 @@ object MinHash {
   ): (DataFrame, DataFrame, DataFrame) = {
     val edges = bandEdges(docs, idCol, textCol, shingleN, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = reconcileFromEdges(edges, staleLabels, maxIters)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** [[reconcileIncremental]] over PRECOMPUTED band edges (id, band, bh).
+    *
+    * Signatures are per-doc, so `bandEdges(old ∪ batch)` is EXACTLY
+    * `bandEdges(old) ∪ bandEdges(batch)` — a deployment that just ran the
+    * incremental labeling already holds both halves (the stored corpus
+    * edges and the batch edges the labeling pass computed), and the
+    * reconcile's ground-truth re-cluster can union-reuse them instead of
+    * paying a third shingle+MinHash scan over the full corpus (the
+    * dominant cost of [[reconcileIncremental]] — the fixpoint itself is
+    * linear in edges). The caller owns the persistence of `edges`; the
+    * three returned frames all consume it, so keep it cached until they
+    * are materialized.
+    */
+  def reconcileFromEdges(
+      edges: DataFrame,
+      staleLabels: DataFrame,
+      maxIters: Int = 25
+  ): (DataFrame, DataFrame, DataFrame) = {
     val (labels, _) = graft.operators.ConnectedComponents
       .labelPropagateWithRounds(edges, "id", Seq("band", "bh"), maxIters)
     val freshIndex = edges.join(labels, Seq("id"))
@@ -604,7 +643,6 @@ object MinHash {
       .join(labels, Seq("id"))
       .filter(col("old_rep") =!= col("group_rep"))
       .select(col("id"), col("old_rep"), col("group_rep").as("new_rep"))
-    edges.unpersist(blocking = false)
     (labels, freshIndex, repairs)
   }
 

@@ -487,4 +487,41 @@ class ForexPipelineSpec extends SparkSpec {
     val janAfter = p.queryOhlc("eurusd", end = Some("2024-01-31")).collect()
     assert(janAfter.map(_.toString).sorted.sameElements(janBars.map(_.toString).sorted))
   }
+
+  test("regenerate pays ZERO as-of probe jobs: dispatch verdict comes from parquet footers") {
+    val (_, dir) = env // Jan+Feb ingested
+    val wh = dir.resolve("warehouse").toString
+
+    // footer metadata counts equal the stored row counts, per month subset
+    assert(graft.ohlc.OhlcGenerator
+      .footerTickCount(spark, wh, "raw_spread", "EURUSD", Nil) === 8L)
+    assert(graft.ohlc.OhlcGenerator
+      .footerTickCount(spark, wh, "raw_spread", "eurusd", Seq("202402")) === 2L)
+    assert(graft.ohlc.OhlcGenerator
+      .footerTickCount(spark, wh, "standard", "EURUSD", Seq("202401")) === 3L)
+    // absent variant/months → 0, no throw
+    assert(graft.ohlc.OhlcGenerator
+      .footerTickCount(spark, wh, "raw_spread", "GBPUSD", Nil) === 0L)
+    assert(graft.ohlc.OhlcGenerator
+      .footerTickCount(spark, wh, "raw_spread", "EURUSD", Seq("209901")) === 0L)
+
+    // a full regeneration batch launches NO decision probe — the verdict
+    // is read off footer metadata (Ohlc.ticksToOhlc1m would pay one per
+    // call in auto mode)
+    val before = graft.operators.Probes.probeJobs.get()
+    val bars = graft.ohlc.OhlcGenerator.regenerate(spark, wh, "eurusd")
+    assert(graft.operators.Probes.probeJobs.get() === before,
+      "regenerate launched a probe job despite footer-derived dispatch")
+    assert(bars > 0)
+
+    // the explicit-mode plan is the same frame auto mode produces (the
+    // dispatch is purely physical), and auto mode DOES pay a probe
+    val raw = TickIngest.readTicks(spark, wh, "raw_spread", Some("EURUSD"))
+    val std = TickIngest.readTicks(spark, wh, "standard", Some("EURUSD"))
+    val auto = graft.ohlc.OhlcGenerator.generate(raw, std).collect()
+    assert(graft.operators.Probes.probeJobs.get() > before,
+      "auto-mode generate should have paid a decision probe")
+    val explicit = graft.ohlc.OhlcGenerator.generate(raw, std, "plain").collect()
+    assert(explicit.map(_.toString).sorted.sameElements(auto.map(_.toString).sorted))
+  }
 }

@@ -152,6 +152,61 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(!reps.contains(102L) && !reps.contains(103L), reps.toString)
   }
 
+  test("edge-reuse reconcile: reconcileFromEdges over old ∪ batch edges equals reconcileIncremental from docs") {
+    import org.apache.spark.sql.functions._
+    // the q_dedup_reconcile lifecycle in miniature: old corpus clustered,
+    // batch labeled incrementally, then ground-truth reconcile — once from
+    // the raw docs (third signature pass), once union-reusing the two edge
+    // frames the lifecycle already computed.
+    val oldDocs = Seq(
+      (1L, doc(1)), (2L, doc(1, " x")),
+      (10L, doc(50)), (11L, doc(50, " q")),
+      (20L, doc(7777))
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (100L, doc(1, " z")),
+      (101L, doc(9000))
+    ).toDF("doc_id", "text")
+    val docsAll = oldDocs.unionByName(newDocs)
+
+    val oldEdges = MinHash.bandEdges(oldDocs, "doc_id", "text").persist()
+    val newEdges = MinHash.bandEdges(newDocs, "doc_id", "text").persist()
+    val (oldLabels, _) = graft.operators.ConnectedComponents
+      .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
+    val index = oldEdges.join(oldLabels, Seq("id"))
+      .select(col("group_rep"), col("band"), col("bh")).distinct()
+
+    // FromEdges incremental labeling must equal the from-docs form
+    val (incA, updA) =
+      MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
+    val (incB, updB) =
+      MinHash.nearDupGroupsIncrementalFromEdges(index, newEdges)
+    assert(incB.as[(Long, Long)].collect().toMap ==
+      incA.as[(Long, Long)].collect().toMap)
+    assert(updB.as[(Long, Long, Long)].collect().toSet ==
+      updA.as[(Long, Long, Long)].collect().toSet)
+
+    // stale store: the lifecycle's accumulated labels, with doc 11's rep
+    // corrupted to itself (the bridge-merge staleness shape) so the
+    // repairs delta is provably non-empty
+    val stored = oldLabels.unionByName(incA)
+      .withColumn("group_rep",
+        when(col("id") === 11L, lit(11L)).otherwise(col("group_rep")))
+    val (labA, idxA, repA) =
+      MinHash.reconcileIncremental(docsAll, stored, "doc_id", "text")
+    val (labB, idxB, repB) = MinHash.reconcileFromEdges(
+      oldEdges.unionByName(newEdges), stored)
+    assert(labB.as[(Long, Long)].collect().toMap ==
+      labA.as[(Long, Long)].collect().toMap)
+    assert(idxB.as[(Long, Long, Long)].collect().toSet ==
+      idxA.as[(Long, Long, Long)].collect().toSet)
+    val repairsB = repB.as[(Long, Long, Long)].collect().toSet
+    assert(repairsB == repA.as[(Long, Long, Long)].collect().toSet)
+    // the stale row is repaired back to the ground-truth rep
+    assert(repairsB.contains((11L, 11L, 10L)), repairsB.toString)
+    oldEdges.unpersist(); newEdges.unpersist()
+  }
+
   test("substring dedup: a 50-token quote links docs, a 49-token quote does not") {
     val a = (0 until 60).map(i => s"t1_$i")
     def withQuote(id: Int, quoteLen: Int): String =
