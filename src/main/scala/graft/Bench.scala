@@ -199,12 +199,29 @@ object Bench {
       s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"contended":$contended,"passes":${passes.size}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"slowest":${toJson(slowest)},"nq":${results.size},"nerr":${failed.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
+    // REFERENCE-RECORD GUARD: bench_full.json is the band sentinel's only
+    // memory of clean walls, so a filtered / narrower / different-SF run
+    // must never replace it (the r13 official bench ran with ref_queries:2
+    // because a 2-query timing run had clobbered the 164-query median).
+    // Decision logic is pure and spec-pinned (BenchSentinel
+    // .mayReplaceReference); override for deliberate re-baselining with
+    // SPARK_GRAFT_RECORD=replace.
     try {
-      val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
-        (full + "\n").getBytes("UTF-8"))
+      val refPath = java.nio.file.Paths.get("bench_full.json")
+      val committed =
+        if (java.nio.file.Files.exists(refPath))
+          Some(new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8"))
+        else None
+      val force = sys.env.get("SPARK_GRAFT_RECORD").contains("replace")
+      if (BenchSentinel.mayReplaceReference(
+          filterActive = args.nonEmpty,
+          runContended = contended,
+          runQueries = results.map(_._1).toSet,
+          runSf = sfDir, committed = committed, force = force)) {
+        val full =
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
+        java.nio.file.Files.write(refPath, (full + "\n").getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     spark.stop() // stop BEFORE the final line so shutdown logs can't trail it
     println(line)

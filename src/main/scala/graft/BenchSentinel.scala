@@ -104,4 +104,49 @@ object BenchSentinel {
     */
   def recordSf(json: String): Option[String] =
     """"sf":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** May THIS run's record replace the committed reference
+    * (bench_full.json)? The reference is the band check's only memory, so
+    * replacing it with a narrower or differently-scoped run silently
+    * disables the sentinel for every later run — exactly what happened in
+    * r13, when a 2-query `--only`-style timing run overwrote the 164-query
+    * clean median and the brand-new band check ran its own official bench
+    * with `ref_queries:2`.
+    *
+    * Replacement is allowed only when ALL hold:
+    *   - no query filter was active (a filtered run is a profiling aid,
+    *     never a reference — even if it happens to select every query);
+    *   - the run measured the same SF as the committed record (a full run
+    *     at a smaller SF would blind the sentinel just as thoroughly);
+    *   - the run's successful query set COVERS the committed record's
+    *     (names may be added, never silently dropped — a query that
+    *     errored out of this run must not vanish from the reference).
+    *
+    *   - the run itself came back CLEAN (a contended run's walls are
+    *     inflated; installing them as the band reference would make every
+    *     later equally-contended run look clean).
+    *
+    * `force` (env SPARK_GRAFT_RECORD=replace) overrides the SF and
+    * coverage checks for deliberate re-baselining (suite renamed, SF
+    * changed); it does NOT override the filter or contended checks — there
+    * is no legitimate reason for a filtered or dirty run to become the
+    * reference.
+    */
+  def mayReplaceReference(
+      filterActive: Boolean,
+      runContended: Boolean,
+      runQueries: Set[String],
+      runSf: String,
+      committed: Option[String],
+      force: Boolean = false): Boolean = {
+    if (filterActive || runContended) return false
+    if (force) return true
+    committed match {
+      case None => true
+      case Some(rec) =>
+        val refNames = parseQueryTimes(rec).keySet
+        val sfOk = recordSf(rec).forall(_ == runSf)
+        sfOk && refNames.subsetOf(runQueries)
+    }
+  }
 }

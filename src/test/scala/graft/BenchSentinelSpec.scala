@@ -102,6 +102,49 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(!BenchSentinel.bandContended(dirty, Map.empty))
   }
 
+  test("reference-record guard: filtered/subset/foreign-SF/contended runs never replace") {
+    val committed = Some(
+      """{"metric":"total","value":119.650,"unit":"sec","queries":{"q1":1.0,"q2":2.0,"q3":3.0},"nq":3,"contended":false,"sf":"/root/testdata/sf0.1"}""")
+    val sf = "/root/testdata/sf0.1"
+    val full = Set("q1", "q2", "q3")
+    // the r13 clobber, replayed: a 2-query filtered timing run
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = true, runContended = false,
+      runQueries = Set("q1", "q2"), runSf = sf, committed = committed))
+    // even an unfiltered run that lost a query (it errored out) is a subset
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = Set("q1", "q2"), runSf = sf, committed = committed))
+    // a full clean run at a DIFFERENT SF would blind the band check too
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = "/root/testdata/sf0.01", committed = committed))
+    // a contended run's inflated walls must not become the clean reference
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = true,
+      runQueries = full, runSf = sf, committed = committed))
+    // the happy path: clean, unfiltered, same SF, covering query set
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full + "q_new_this_round", runSf = sf, committed = committed))
+    // first record ever at this checkout: nothing to protect
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = Set("q1"), runSf = sf, committed = None))
+    // force re-baselines across SF/coverage but never launders a filtered
+    // or contended run
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = Set("q1"), runSf = "/elsewhere", committed = committed,
+      force = true))
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = true, runContended = false,
+      runQueries = full, runSf = sf, committed = committed, force = true))
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = true,
+      runQueries = full, runSf = sf, committed = committed, force = true))
+  }
+
   test("parseQueryTimes/recordSf round-trip a bench_full.json line") {
     val line = """{"metric":"total","value":119.650,"unit":"sec","queries":{"q1_pricing":0.295,"q_tfidf":1.834,"q_neg":-0.0},"slowest":{"q_tfidf":1.834},"nq":164,"errors":[],"flaky":[],"calib_first":0.100,"calib_last":0.102,"contended":false,"passes":1,"sf":"/root/testdata/sf0.1"}"""
     val times = BenchSentinel.parseQueryTimes(line)

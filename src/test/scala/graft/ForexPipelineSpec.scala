@@ -492,13 +492,29 @@ class ForexPipelineSpec extends SparkSpec {
     val (_, dir) = env // Jan+Feb ingested
     val wh = dir.resolve("warehouse").toString
 
-    // footer metadata counts equal the stored row counts, per month subset
+    // footer metadata counts equal the stored row counts, per month subset.
+    // Expected values are read back from the warehouse AT ASSERT TIME (not
+    // hard-coded): the shared `env` fixture is mutated by earlier tests in
+    // this suite (the March-update test appends a batch), so a literal
+    // count here would depend on suite ordering — exactly the r13 red-suite
+    // failure mode this replaces.
+    def stored(variant: String, months: Seq[String]): Long = {
+      var df = TickIngest.readTicks(spark, wh, variant, Some("EURUSD"))
+      if (months.nonEmpty) df = df.filter(col("yyyymm").isin(months: _*))
+      df.count()
+    }
+    val rawAll = stored("raw_spread", Nil)
+    assert(rawAll > 0L)
     assert(graft.ohlc.OhlcGenerator
-      .footerTickCount(spark, wh, "raw_spread", "EURUSD", Nil) === 8L)
+      .footerTickCount(spark, wh, "raw_spread", "EURUSD", Nil) === rawAll)
+    val rawFeb = stored("raw_spread", Seq("202402"))
+    assert(rawFeb > 0L)
     assert(graft.ohlc.OhlcGenerator
-      .footerTickCount(spark, wh, "raw_spread", "eurusd", Seq("202402")) === 2L)
+      .footerTickCount(spark, wh, "raw_spread", "eurusd", Seq("202402")) === rawFeb)
+    val stdJan = stored("standard", Seq("202401"))
+    assert(stdJan > 0L)
     assert(graft.ohlc.OhlcGenerator
-      .footerTickCount(spark, wh, "standard", "EURUSD", Seq("202401")) === 3L)
+      .footerTickCount(spark, wh, "standard", "EURUSD", Seq("202401")) === stdJan)
     // absent variant/months → 0, no throw
     assert(graft.ohlc.OhlcGenerator
       .footerTickCount(spark, wh, "raw_spread", "GBPUSD", Nil) === 0L)
