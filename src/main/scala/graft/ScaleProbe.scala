@@ -757,6 +757,117 @@ object ScaleProbe {
       row("auto_small(->plain)", 500000L, 90, auto(500000L, 90))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtWas)
     }
+    // (d) auto-sized as-of bucket width (r14). The bucketed form exists to
+    //     break one hot key across time buckets; a FIXED day-wide bucket
+    //     re-serializes as soon as per-day density crosses the ~1M-row
+    //     crossover (at 10× density a day bucket holds 10M rows — the
+    //     skew is back, just one level down). bucketWidthFor targets
+    //     ≈ crossover rows per (key, bucket) from the measured density,
+    //     so rows-per-bucket stays constant as density scales. What the
+    //     numbers must establish: the fixed-width wall grows ~linearly
+    //     in density (serialized single bucket) while the auto-width
+    //     wall stays near-flat (extra rows land in extra buckets that
+    //     run in parallel until cores saturate).
+    if (sec("asofwidth")) {
+      val day = 86400L
+      def hotSide(n: Long, payload: Boolean): DataFrame = {
+        val base = spark.range(n).select(
+          lit("HOT").as("k"),
+          timestamp_seconds(lit(1704067200L) + col("id") * day / n).as("t"),
+          col("id").as("ord"))
+        if (payload) base.withColumn("v", (col("ord") % 1000).cast("double"))
+        else base
+      }
+      def run(nLeft: Long, width: Long): Double = {
+        val l = hotSide(nLeft, payload = false)
+        val r = hotSide(nLeft / 2, payload = true)
+          .select(col("k"), col("t"), col("v"))
+        time(graft.operators.AsofJoin.leftAsofBucketed(
+          l, r, Seq("k"), "t", "t", Seq("v"), "_c", bucketSeconds = width)
+          .count())
+      }
+      run(200000L, day); run(200000L, 60L) // warm both plan shapes
+      println(f"${"asof_width"}%-14s ${"rows"}%9s ${"width_s"}%8s ${"buckets"}%8s ${"wall_s"}%8s")
+      Seq(2000000L, 8000000L, 20000000L).foreach { n =>
+        val total = n + n / 2
+        val auto = graft.operators.AsofJoin.bucketWidthFor(total, day)
+        Seq("fixed_day" -> day, "auto" -> auto).foreach { case (tag, w) =>
+          val wall = run(n, w)
+          println(f"$tag%-14s $n%9d $w%8d ${day / w}%8d $wall%8.2f")
+        }
+      }
+      // and the dispatcher END-TO-END: verdict + width from the probe
+      val l = hotSide(2000000L, payload = false)
+      val r = hotSide(1000000L, payload = true).select(col("k"), col("t"), col("v"))
+      val d = graft.operators.AsofJoin.chooseAsofDispatch(
+        l, r, Seq("k"), "t", "t")
+      println(s"dispatch_e2e   form=${d.form} width=${d.bucketSeconds}s " +
+        s"(expected bucketed, ~${graft.operators.AsofJoin.bucketWidthFor(3000000L, day)}s)")
+    }
+    // (e) the COMPOSED corpus pipeline (r14, carried from the r12 brief):
+    //     CorpusPipelineSpec's 6-stage chain (quality → exact dedup →
+    //     near-dup dedup → span removal → decontaminate → split) run as
+    //     ONE composed plan at 1× and 10× docs. Per-op probes measure each
+    //     stage against fresh input; what only the composition shows is
+    //     cross-stage cost — un-persisted stage boundaries re-evaluated by
+    //     several consumers, and fixpoint-internal persists accumulating
+    //     in the block manager across stages. The probe prints the
+    //     persisted-RDD count before/after each run (a growing count
+    //     across REPEATED runs is a leak) and the 10×/1× wall ratio.
+    if (sec("corpuschain")) {
+      import graft.operators.{Dedup, Sampling}
+      import graft.text.{CorpusOps, TextFunctions}
+      def chain(docs: DataFrame): Long = {
+        val quality = docs.filter(TextFunctions.tokenCount(col("text")) >= 5)
+        val keepExact = Dedup.exactText(quality, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val exact = quality.join(keepExact, Seq("doc_id"), "left_semi")
+        val labels = graft.text.MinHash.nearDupGroups(exact, "doc_id", "text")
+        val near = exact.join(
+          labels.filter(col("id") === col("group_rep"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val cleaned = CorpusOps.removeDupSpans(near, "doc_id", "text")
+        val corpus = near.select("doc_id").join(
+          cleaned.select(col("id").as("doc_id"), col("cleaned_text").as("text")),
+          Seq("doc_id"))
+        val bench = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id") + 1000000000L, col("text"))
+          .toDF("doc_id", "text")
+        val decon = graft.text.MinHash.decontaminate(corpus, bench, "doc_id", "text")
+        decon.withColumn("split", Sampling.splitLabel(col("doc_id")))
+          .groupBy("split").agg(count(lit(1))).count()
+      }
+      def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+      // real table once (absolute wall at sf0.1), then synthetic 1×/10×
+      // for the scaling ratio (same generator both sides — the real
+      // corpus's duplication profile would confound the ratio)
+      val real = graft.catalog.Tables.documents(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      chain(real.limit(2000)) // warm every stage's codegen path
+      println(f"${"corpus_chain"}%-16s ${"docs"}%8s ${"wall_s"}%8s ${"rdds_before"}%12s ${"rdds_after"}%11s")
+      Seq("real_sf" -> real).foreach { case (tag, df) =>
+        val n = df.count(); val b = persisted()
+        val t = time(chain(df))
+        println(f"$tag%-16s $n%8d $t%8.2f $b%12d ${persisted()}%11d")
+      }
+      Seq(1, 10).foreach { mult =>
+        val n = 20000L * mult
+        synthDocs(n).write.mode("overwrite").parquet(s"$base/docs_chain_x$mult")
+        val df = spark.read.parquet(s"$base/docs_chain_x$mult")
+        val b = persisted()
+        val t = time(chain(df))
+        println(f"synth_x$mult%-15s $n%8d $t%8.2f $b%12d ${persisted()}%11d")
+      }
+      // repeated-run leak check: a steady persisted-RDD count across runs
+      // means stage internals clean up after themselves
+      val df10 = spark.read.parquet(s"$base/docs_chain_x10")
+      (1 to 3).foreach { i =>
+        val b = persisted()
+        val t = time(chain(df10))
+        println(f"synth_x10_run$i%-15s ${200000L}%8d $t%8.2f $b%12d ${persisted()}%11d")
+      }
+    }
     spark.stop()
   }
 }

@@ -1442,13 +1442,19 @@ object SparkEntry {
       // expensive part of the setup phase
       val oldEdges = MinHash.bandEdges(oldDocs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (oldLabels, _) = graft.operators.ConnectedComponents
-        .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
-      val index = oldEdges.join(oldLabels, Seq("id"))
-        .select(col("group_rep"), col("band"), col("bh")).distinct()
-      val (labels, _) =
-        MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
-      labels.orderBy("id")
+      try {
+        val (oldLabels, _) = graft.operators.ConnectedComponents
+          .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
+        val index = oldEdges.join(oldLabels, Seq("id"))
+          .select(col("group_rep"), col("band"), col("bh")).distinct()
+        val (labels, _) =
+          MinHash.nearDupGroupsIncremental(index, newDocs, "doc_id", "text")
+        // labels is O(batch) — cut its lineage so the corpus edge cache
+        // (the big block) can be dropped before the frame is consumed,
+        // instead of living in the block manager for the rest of a
+        // 165-query bench pass
+        org.apache.spark.sql.graft.bridge.cutLineage(labels).orderBy("id")
+      } finally oldEdges.unpersist(blocking = false)
     }),
 
     // RECONCILIATION of the incremental-dedup lifecycle: replay the
@@ -1471,16 +1477,24 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newEdges = MinHash.bandEdges(newDocs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (oldLabels, _) = graft.operators.ConnectedComponents
-        .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
-      val index = oldEdges.join(oldLabels, Seq("id"))
-        .select(col("group_rep"), col("band"), col("bh")).distinct()
-      val (newLabels, _) =
-        MinHash.nearDupGroupsIncrementalFromEdges(index, newEdges)
-      val stored = oldLabels.unionByName(newLabels)
-      val (_, _, repairs) = MinHash.reconcileFromEdges(
-        oldEdges.unionByName(newEdges), stored)
-      repairs.orderBy("id")
+      try {
+        val (oldLabels, _) = graft.operators.ConnectedComponents
+          .labelPropagateWithRounds(oldEdges, "id", Seq("band", "bh"))
+        val index = oldEdges.join(oldLabels, Seq("id"))
+          .select(col("group_rep"), col("band"), col("bh")).distinct()
+        val (newLabels, _) =
+          MinHash.nearDupGroupsIncrementalFromEdges(index, newEdges)
+        val stored = oldLabels.unionByName(newLabels)
+        val (_, _, repairs) = MinHash.reconcileFromEdges(
+          oldEdges.unionByName(newEdges), stored)
+        // the repair delta is tiny (only rows whose rep moved); cut its
+        // lineage so BOTH persisted edge frames can be released here
+        // rather than leaking into the rest of the bench pass
+        org.apache.spark.sql.graft.bridge.cutLineage(repairs).orderBy("id")
+      } finally {
+        oldEdges.unpersist(blocking = false)
+        newEdges.unpersist(blocking = false)
+      }
     }),
 
     // deterministic 1/10 hash sample — pure filter, no shuffle, same row

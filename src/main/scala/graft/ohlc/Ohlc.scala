@@ -133,7 +133,8 @@ object Ohlc {
   def ticksToOhlc1m(
       rawSpread: DataFrame,
       standard: DataFrame,
-      asofMode: String = "auto"
+      asofMode: String = "auto",
+      asofBucketSeconds: Long = 86400L
   ): DataFrame = {
     // AUTO-dispatched as-of (r12): the join key is instrument ALONE, so at
     // warehouse scale one major pair's full history is a single hot key —
@@ -155,7 +156,8 @@ object Ohlc {
       rightTime = "timestamp",
       rightPayload = Seq("bid", "ask"),
       suffix = "_std",
-      mode = asofMode
+      mode = asofMode,
+      bucketSeconds = asofBucketSeconds
     )
     val ord = struct(col("timestamp"), col("bid"), col("ask"))
     joined

@@ -56,20 +56,75 @@ object OhlcGenerator {
   def generate(
       rawSpread: DataFrame,
       standard: DataFrame,
-      asofMode: String = "auto"
+      asofMode: String = "auto",
+      asofBucketSeconds: Long = 86400L
   ): DataFrame = {
-    val bars = Ohlc.ticksToOhlc1m(rawSpread, standard, asofMode)
+    val bars = Ohlc.ticksToOhlc1m(rawSpread, standard, asofMode, asofBucketSeconds)
     val enriched = TradingCalendar.enrich(withSessionColumns(bars), "timestamp")
     enriched.select(Columns.map(col): _*)
   }
 
-  /** Exact stored row count for one (variant, instrument, months-subset)
-    * from parquet FOOTER metadata: a driver-side listing of the pruned
-    * partition directories plus one footer read per file — no Spark job,
-    * no data pages, cost O(files in the touched months). Footer row counts
-    * are exact (written by the committing task), so this equals
-    * `readTicks(...).count()` without the scan. `months` empty = all
-    * stored months of the instrument.
+  /** Exact stored row counts per month for one (variant, instrument,
+    * months-subset), from METADATA only — no Spark job, no data pages.
+    * Two tiers per month partition:
+    *
+    *   1. a `_manifest` sidecar ([[graft.storage.Manifest]]) when one is
+    *      present AND its file-name set matches the directory's actual
+    *      parquet basenames (Spark writes fresh task-UUID names on every
+    *      overwrite, so a name-set match proves freshness): ONE small
+    *      sidecar read answers for the whole partition — at
+    *      100 TB-warehouse file counts this replaces O(files) footer
+    *      round-trips (each a driver-side open, painful on object stores);
+    *   2. otherwise one parquet FOOTER read per file (footer row counts
+    *      are exact, written by the committing task).
+    *
+    * Either way the sum equals `readTicks(...).count()` without the scan.
+    * `months` empty = all stored months of the instrument. Throws on an
+    * unreadable footer (corrupt/zero-length file): the count is then
+    * unknowable from metadata, and [[regenerate]] falls back to a probed
+    * "auto" dispatch rather than guessing.
+    */
+  private[graft] def footerMonthCounts(
+      spark: SparkSession,
+      warehouse: String,
+      variant: String,
+      instrument: String,
+      months: Seq[String]
+  ): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val base =
+      new Path(s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}")
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) return Nil
+    val monthDirs =
+      if (months.isEmpty)
+        fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+          .map(_.getPath)
+      else months.map(m => new Path(base, s"yyyymm=$m")).filter(fs.exists)
+    monthDirs.map { dir =>
+      val month = dir.getName.stripPrefix("yyyymm=")
+      val parquetFiles = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val names = parquetFiles.map(_.getPath.getName).toSet
+      val fromManifest = graft.storage.Manifest.fileRowCounts(conf, dir)
+        .filter(_.keySet == names) // stale/partial sidecar → footers
+        .map(_.values.sum)
+      val rows = fromManifest.getOrElse {
+        parquetFiles.iterator.map { s =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(s, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      }
+      month -> rows
+    }
+  }
+
+  /** Sum of [[footerMonthCounts]] — the exact stored row count for one
+    * (variant, instrument, months-subset) without touching data pages.
     */
   private[graft] def footerTickCount(
       spark: SparkSession,
@@ -77,30 +132,9 @@ object OhlcGenerator {
       variant: String,
       instrument: String,
       months: Seq[String]
-  ): Long = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val base =
-      new Path(s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}")
-    val fs = base.getFileSystem(conf)
-    if (!fs.exists(base)) return 0L
-    val monthDirs =
-      if (months.isEmpty)
-        fs.listStatus(base).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
-          .map(_.getPath)
-      else months.map(m => new Path(base, s"yyyymm=$m")).filter(fs.exists)
-    monthDirs.iterator.flatMap { dir =>
-      fs.listStatus(dir).iterator
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map { s =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(s, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }
-    }.sum
-  }
+  ): Long =
+    footerMonthCounts(spark, warehouse, variant, instrument, months)
+      .map(_._2).sum
 
   /** Regenerate OHLC months into the warehouse. `months` empty = full
     * regeneration; non-empty = only those yyyymm partitions are rebuilt
@@ -134,20 +168,42 @@ object OhlcGenerator {
     // As-of dispatch verdict from CATALOG metadata, not a probe job: both
     // join sides are filtered to ONE instrument and the join key is
     // instrument alone, so the hottest key's row count IS the combined
-    // total — and parquet footers already hold the exact per-partition
-    // totals. A regeneration batch therefore pays zero decision scans
-    // (Probes.probeJobs pins this), where mode="auto" would re-scan the
-    // touched months' ticks once per call.
-    val asofForm = {
-      val total =
-        footerTickCount(spark, warehouse, "raw_spread", instrument, months) +
-          footerTickCount(spark, warehouse, "standard", instrument, stdMonths)
-      if (total > graft.operators.AsofJoin.HotKeyCrossover) "bucketed"
-      else "plain"
+    // total — and parquet footers (or a Manifest sidecar, when present)
+    // already hold the exact per-partition totals. A regeneration batch
+    // therefore pays zero decision scans (Probes.probeJobs pins this),
+    // where mode="auto" would re-scan the touched months' ticks once per
+    // call. The same footers name WHICH months hold rows, so a "bucketed"
+    // verdict also gets its width sized from the stored density
+    // (AsofJoin.bucketWidthFor) instead of a fixed day. If the metadata
+    // is unreadable (corrupt footer, listing error) the count is
+    // unknowable without a scan — fall back to mode="auto" and pay the
+    // one probe rather than guessing a form.
+    val (asofForm, asofWidth) = (try {
+      val raw = footerMonthCounts(spark, warehouse, "raw_spread", instrument, months)
+      val std = footerMonthCounts(spark, warehouse, "standard", instrument, stdMonths)
+      Some((raw, std))
+    } catch { case scala.util.control.NonFatal(_) => None }) match {
+      case None => ("auto", 86400L)
+      case Some((raw, std)) =>
+        val total = (raw ++ std).map(_._2).sum
+        if (total > graft.operators.AsofJoin.HotKeyCrossover) {
+          val live = (raw ++ std).collect { case (m, n) if n > 0 => m }
+          val span =
+            if (live.isEmpty) 0L
+            else {
+              val yms = live.map(m =>
+                java.time.YearMonth.parse(m.take(4) + "-" + m.drop(4)))
+              val lo = yms.min.atDay(1).atStartOfDay(java.time.ZoneOffset.UTC)
+              val hi = yms.max.plusMonths(1).atDay(1)
+                .atStartOfDay(java.time.ZoneOffset.UTC)
+              java.time.Duration.between(lo, hi).getSeconds
+            }
+          ("bucketed", graft.operators.AsofJoin.bucketWidthFor(total, span))
+        } else ("plain", 86400L)
     }
     val out = generate(
         monthFiltered("raw_spread", months), monthFiltered("standard", stdMonths),
-        asofMode = asofForm)
+        asofMode = asofForm, asofBucketSeconds = asofWidth)
       .withColumn("yyyymm", date_format(col("timestamp"), "yyyyMM"))
     // the carry-in widening can produce bars for the lookback months too —
     // they are NOT part of this rebuild; only the requested partitions move

@@ -271,6 +271,64 @@ object AsofJoin {
     else "plain"
   }
 
+  /** A dispatch verdict with its physical parameters: which form, and —
+    * when bucketed — how wide the (key, time-bucket) buckets are.
+    */
+  final case class AsofDispatch(form: String, bucketSeconds: Long)
+
+  /** Time-bucket width targeting ≈ `targetRowsPerBucket` rows of the
+    * hottest key per (key, bucket): `span × target / rows`, so the hot
+    * key splits into ≈ rows/target buckets regardless of its absolute
+    * density. A fixed width (the pre-r14 86 400 s) re-serializes as soon
+    * as per-day density crosses the threshold — at 10× the crossover
+    * density a day-wide bucket holds 10M rows and the skew the form
+    * exists to break is back inside each bucket.
+    *
+    * Width is clamped to [1 s, span]: sub-second widths add nothing (the
+    * buckets are already at the target), and a width beyond the span is
+    * the plain form with extra steps. Degenerate stats (no rows, zero
+    * span — e.g. every row on one timestamp, which NO width can split)
+    * fall back to the day default.
+    */
+  def bucketWidthFor(
+      hotKeyRows: Long,
+      spanSeconds: Long,
+      targetRowsPerBucket: Long = HotKeyCrossover): Long = {
+    if (hotKeyRows <= 0L || spanSeconds <= 0L) 86400L
+    else {
+      val w = spanSeconds.toDouble * targetRowsPerBucket.toDouble / hotKeyRows.toDouble
+      math.min(spanSeconds, math.max(1L, w.toLong))
+    }
+  }
+
+  /** [[chooseAsofForm]] extended with bucket-width sizing: same two-tier
+    * probe discipline (capped no-shuffle quick reject, then ONE sampled
+    * per-key agg — the span stats ride that same agg, so the probe-job
+    * count is unchanged), but a "bucketed" verdict now carries a width
+    * derived from the hottest key's measured rows-over-time density
+    * ([[bucketWidthFor]]) instead of a fixed day.
+    */
+  def chooseAsofDispatch(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      threshold: Long = HotKeyCrossover,
+      defaultBucketSeconds: Long = 86400L
+  ): AsofDispatch = {
+    val keys = left
+      .select((on.map(col) :+ col(leftTime).cast("timestamp").as("__t")): _*)
+      .unionByName(right
+        .select((on.map(col) :+ col(rightTime).cast("timestamp").as("__t")): _*))
+    if (Probes.cappedCount(keys, threshold) <= threshold)
+      return AsofDispatch("plain", defaultBucketSeconds)
+    val (hotRows, spanSec) = Probes.hottestKeyStats(keys, on, "__t", threshold)
+    if (hotRows > threshold)
+      AsofDispatch("bucketed", bucketWidthFor(hotRows, spanSec, threshold))
+    else AsofDispatch("plain", defaultBucketSeconds)
+  }
+
   /** As-of join that picks the physical form per call: the per-key
     * single-pass native merge exec ([[leftAsofNative]] — the fastest form
     * when no key dominates) for ordinary key distributions, the
@@ -280,9 +338,12 @@ object AsofJoin {
     * serializes in one partition). All forms produce identical rows
     * (equivalence-tested), so the choice is purely physical.
     *
-    * @param mode override knob: "auto" (default) measures and decides;
-    *             "plain" / "bucketed" force the form without the decision
-    *             scan (for callers that already know their shape).
+    * @param mode override knob: "auto" (default) measures and decides —
+    *             including the bucket width, sized from the hottest key's
+    *             measured density ([[chooseAsofDispatch]]); "plain" /
+    *             "bucketed" force the form without the decision scan (for
+    *             callers that already know their shape), taking
+    *             `bucketSeconds` as given.
     */
   def leftAsofAuto(
       left: DataFrame,
@@ -296,16 +357,18 @@ object AsofJoin {
       hotKeyThreshold: Long = HotKeyCrossover,
       bucketSeconds: Long = 86400L
   ): DataFrame = {
-    val form = mode match {
-      case "auto"               => chooseAsofForm(left, right, on, hotKeyThreshold)
-      case "plain" | "bucketed" => mode
+    val dispatch = mode match {
+      case "auto" =>
+        chooseAsofDispatch(left, right, on, leftTime, rightTime,
+          hotKeyThreshold, bucketSeconds)
+      case "plain" | "bucketed" => AsofDispatch(mode, bucketSeconds)
       case other =>
         throw new IllegalArgumentException(
           s"mode must be auto|plain|bucketed, got $other")
     }
-    if (form == "bucketed")
+    if (dispatch.form == "bucketed")
       leftAsofBucketed(left, right, on, leftTime, rightTime, rightPayload,
-        suffix, bucketSeconds)
+        suffix, dispatch.bucketSeconds)
     else
       leftAsofNative(left, right, on, leftTime, rightTime, rightPayload, suffix)
   }

@@ -80,4 +80,45 @@ object Probes {
     val maxSampled = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
     if (frac < 1.0) (maxSampled / frac).toLong else maxSampled
   }
+
+  /** [[hottestKeyCount]] extended with the hottest key's TIME SPAN, from
+    * the SAME sampled aggregation (min/max ride the per-key agg for free —
+    * still one probe job, same cost class). Returns (rows, spanSeconds) of
+    * the key with the most rows; (0, 0) on empty input. The span feeds
+    * bucket-width sizing ([[AsofJoin.bucketWidthFor]]): a skew verdict
+    * alone says "bucket", but only rows-over-time says how WIDE. The
+    * sampled span slightly understates the true extent (extreme rows may
+    * miss the sample) — fine for sizing, where being a few percent narrow
+    * only adds a bucket.
+    */
+  def hottestKeyStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      threshold: Long,
+      seed: Long = 42L
+  ): (Long, Long) = {
+    probeJobs.incrementAndGet()
+    val keys = df.select((keyCols.map(col) :+
+      col(timeCol).cast("timestamp").as("__probe_t")): _*)
+    val frac = math.min(1.0, SampleRowsTarget / threshold.toDouble)
+    val src =
+      if (frac < 1.0) keys.sample(withReplacement = false, frac, seed) else keys
+    val hottest = src.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        min(col("__probe_t")).as("__lo"), max(col("__probe_t")).as("__hi"))
+      .agg(max_by(struct(col("__n"), col("__lo"), col("__hi")), col("__n")))
+      .head()
+    if (hottest.isNullAt(0)) return (0L, 0L)
+    val row = hottest.getStruct(0)
+    val n = row.getLong(0)
+    val span =
+      if (row.isNullAt(1) || row.isNullAt(2)) 0L
+      else {
+        val lo = row.getTimestamp(1).toInstant
+        val hi = row.getTimestamp(2).toInstant
+        java.time.Duration.between(lo, hi).getSeconds
+      }
+    (if (frac < 1.0) (n / frac).toLong else n, span)
+  }
 }

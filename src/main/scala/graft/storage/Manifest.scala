@@ -48,4 +48,52 @@ object Manifest {
   /** Read a manifest previously written by [[write]]. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.json(s"$path/_manifest")
+
+  /** Driver-side per-file row counts from a manifest sidecar, WITHOUT a
+    * Spark job: parses the `_manifest` JSON part files through the Hadoop
+    * FS directly and returns basename → rows. `None` when no sidecar
+    * exists or it is unreadable/garbled — callers fall back to parquet
+    * footers (or a probe job). The manifest is O(files) and written as a
+    * single coalesced part, so this is one small sequential read however
+    * large the data it describes.
+    *
+    * Used by metadata-only dispatch ([[graft.ohlc.OhlcGenerator]]): at
+    * 100 TB-warehouse file counts, one sidecar read per partition replaces
+    * one footer round-trip per data file. Callers MUST validate freshness
+    * by comparing the returned key set against the directory's actual
+    * parquet basenames — Spark writes fresh task-UUID file names on every
+    * (over)write, so a name-set match means the manifest describes exactly
+    * the files present.
+    */
+  def fileRowCounts(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path): Option[Map[String, Long]] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val mdir = new Path(dir, "_manifest")
+      val fs = mdir.getFileSystem(conf)
+      if (!fs.exists(mdir)) return None
+      val parts = fs.listStatus(mdir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".json"))
+      if (parts.isEmpty) return None
+      val filePat = """"file":"([^"]+)"""".r
+      val rowsPat = """"rows":(\d+)""".r
+      val entries = parts.flatMap { p =>
+        val in = fs.open(p.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.filter(_.nonEmpty).map { line =>
+          val file = filePat.findFirstMatchIn(line).map(_.group(1))
+          val rows = rowsPat.findFirstMatchIn(line).flatMap(_.group(1).toLongOption)
+          (file, rows) match {
+            case (Some(f), Some(r)) => f.split('/').last -> r
+            case _ => return None // garbled line: the whole sidecar is suspect
+          }
+        }
+      }
+      Some(entries.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

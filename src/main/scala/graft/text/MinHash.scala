@@ -608,11 +608,42 @@ object MinHash {
       bands: Int = 4,
       maxIters: Int = 25
   ): (DataFrame, DataFrame, DataFrame) = {
+    // Cache lifetime caveat: the edge cache is dropped when this returns.
+    // `labels` is materialized by the fixpoint (checkpoint-cut lineage)
+    // and `repairs` joins only labels ↔ staleLabels, so both stay
+    // cache-independent — but `freshIndex` is LAZY over the edges, and
+    // materializing it after return re-pays the shingle+MinHash scan. A
+    // caller that consumes the index (e.g. writes it back as the stored
+    // bucket index) should use [[reconcileIncrementalScoped]] instead.
     val edges = bandEdges(docs, idCol, textCol, shingleN, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = reconcileFromEdges(edges, staleLabels, maxIters)
     edges.unpersist(blocking = false)
     out
+  }
+
+  /** [[reconcileIncremental]] with the corpus edge cache held ALIVE until
+    * `run` returns — for callers that materialize `freshIndex` (the one
+    * output that is lazy over the edges; see the lifetime caveat above).
+    * Same shape as [[nearDupGroupsIncrementalScoped]].
+    */
+  def reconcileIncrementalScoped[A](
+      docs: DataFrame,
+      staleLabels: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      maxIters: Int = 25
+  )(run: (DataFrame, DataFrame, DataFrame) => A): A = {
+    val edges = bandEdges(docs, idCol, textCol, shingleN, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (labels, freshIndex, repairs) =
+        reconcileFromEdges(edges, staleLabels, maxIters)
+      run(labels, freshIndex, repairs)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** [[reconcileIncremental]] over PRECOMPUTED band edges (id, band, bh).

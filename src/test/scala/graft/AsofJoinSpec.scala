@@ -161,6 +161,58 @@ class AsofJoinSpec extends SparkSpec {
       === "plain")
   }
 
+  test("auto-sized bucket width: span × target / hotRows, clamped; dispatch carries it") {
+    import AsofJoin.bucketWidthFor
+    // 100M rows over one day targeting 1M/bucket → ~864 s buckets
+    assert(bucketWidthFor(100000000L, 86400L, 1000000L) === 864L)
+    // density ×10 → width ÷10: rows-per-bucket stays at the target, which
+    // is what keeps the hot-key wall flat as density scales (the fixed
+    // day-wide bucket would hold 10× the rows and re-serialize)
+    assert(bucketWidthFor(1000000000L, 86400L, 1000000L) === 86L)
+    // clamps: never wider than the span, never below 1 s
+    assert(bucketWidthFor(2000000L, 86400L, 1000000L) === 43200L)
+    assert(bucketWidthFor(500000L, 86400L, 1000000L) === 86400L) // w > span
+    assert(bucketWidthFor(10000000L, 5L, 1000000L) === 1L)
+    // degenerate stats (no rows / zero span) fall back to the day default
+    assert(bucketWidthFor(0L, 86400L) === 86400L)
+    assert(bucketWidthFor(5000000L, 0L) === 86400L)
+
+    val rnd = new scala.util.Random(11)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(10 * 86400) * 1000L)
+    val hotL = (1 to 400).map(i => ("HOT", randTs(), i)).toDF("k", "t", "id")
+    val hotR = (1 to 300).map(i => ("HOT", randTs(), i * 1.0)).toDF("k", "t", "v")
+    // below SampleRowsTarget the per-key stats are exact, so the chosen
+    // width is exactly span × threshold / rows of the combined hot key
+    val d = AsofJoin.chooseAsofDispatch(hotL, hotR, Seq("k"), "t", "t",
+      threshold = 500L)
+    assert(d.form === "bucketed")
+    val union = hotL.select(col("t")).unionByName(hotR.select(col("t")))
+    val mm = union.agg(
+      org.apache.spark.sql.functions.min("t"),
+      org.apache.spark.sql.functions.max("t")).head()
+    val span = (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 1000L
+    assert(d.bucketSeconds === bucketWidthFor(700L, span, 500L))
+    assert(d.bucketSeconds > 0L && d.bucketSeconds < 86400L * 10)
+    // even shape: plain verdict keeps the caller's default width
+    val evenL = (1 to 60).map(i => (s"k${i % 6}", randTs(), i)).toDF("k", "t", "id")
+    val evenR = (1 to 60).map(i => (s"k${i % 6}", randTs(), i * 1.0)).toDF("k", "t", "v")
+    val dp = AsofJoin.chooseAsofDispatch(evenL, evenR, Seq("k"), "t", "t",
+      threshold = 500L, defaultBucketSeconds = 1234L)
+    assert(dp === AsofJoin.AsofDispatch("plain", 1234L))
+    // equivalence holds at arbitrary odd widths — the width is purely
+    // physical, so auto picking ANY width can never change rows
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "id", "v_r").orderBy("k", "t", "id")
+        .collect().map(_.toString).toSeq
+    val expected = canon(AsofJoin.leftAsof(hotL, hotR, Seq("k"), "t", "t", Seq("v"), "_r"))
+    for (w <- Seq(37L, 3600L, d.bucketSeconds))
+      assert(canon(AsofJoin.leftAsofBucketed(hotL, hotR, Seq("k"), "t", "t",
+        Seq("v"), "_r", bucketSeconds = w)) === expected)
+    assert(canon(AsofJoin.leftAsofAuto(hotL, hotR, Seq("k"), "t", "t",
+      Seq("v"), "_r", hotKeyThreshold = 500L)) === expected)
+  }
+
   test("native as-of rejects an empty key list with a clear message") {
     // pre-fix: ClusteredDistribution(Nil) failed deep inside physical
     // planning with an opaque "requirement failed"

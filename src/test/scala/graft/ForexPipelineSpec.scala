@@ -540,4 +540,75 @@ class ForexPipelineSpec extends SparkSpec {
     val explicit = graft.ohlc.OhlcGenerator.generate(raw, std, "plain").collect()
     assert(explicit.map(_.toString).sorted.sameElements(auto.map(_.toString).sorted))
   }
+
+  test("footer counts answer from a fresh Manifest sidecar with ZERO data-file opens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifest_count")
+    val wh = dir.resolve("warehouse").toString
+    def monthDir(m: String) = s"$wh/raw_spread_ticks/instrument=EURUSD/yyyymm=$m"
+    def writeRows(m: String, n: Int, files: Int, mode: String = "error"): Unit =
+      (1 to n).map(i => (new java.sql.Timestamp(1704067200000L + i * 1000L),
+          1.1 + i * 0.001, 1.101 + i * 0.001))
+        .toDF("timestamp", "bid", "ask")
+        .coalesce(files).write.mode(mode).parquet(monthDir(m))
+    def corruptAll(m: String): Unit = {
+      val d = java.nio.file.Paths.get(monthDir(m))
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(f => Files.write(f, "not parquet at all".getBytes))
+      finally s.close()
+    }
+    def count(months: String*): Long = graft.ohlc.OhlcGenerator
+      .footerTickCount(spark, wh, "raw_spread", "EURUSD", months)
+
+    // FRESH sidecar: corrupt every data file after writing the manifest —
+    // a footer open would throw, so a correct answer proves the sidecar
+    // (one small JSON read) answered, not the footers
+    writeRows("202401", 5, files = 2)
+    graft.storage.Manifest.write(spark, monthDir("202401"), "timestamp")
+    corruptAll("202401")
+    assert(count("202401") === 5L)
+
+    // STALE sidecar (an append added file names the manifest doesn't
+    // know): name-set check rejects it, footers answer with the truth
+    writeRows("202402", 3, files = 1)
+    graft.storage.Manifest.write(spark, monthDir("202402"), "timestamp")
+    writeRows("202402", 2, files = 1, mode = "append")
+    assert(count("202402") === 5L)
+
+    // corrupt file and NO sidecar: the count is unknowable from metadata —
+    // footerTickCount must throw (regenerate catches and probes instead)
+    writeRows("202403", 2, files = 1)
+    corruptAll("202403")
+    intercept[Exception] { count("202403") }
+  }
+
+  test("regenerate falls back to a probed auto dispatch when footer metadata is unreadable") {
+    val (_, dir) = env
+    val src = dir.resolve("warehouse")
+    val copy = Files.createTempDirectory("graft_wh_copy").resolve("warehouse")
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = copy.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    // a zero-length stray .parquet: invisible to the Spark scan (no row
+    // groups → no splits) but fatal to a driver-side footer open — exactly
+    // the asymmetry the fallback exists for
+    val strayDir = Files.list(copy.resolve("raw_spread_ticks").resolve("instrument=EURUSD"))
+    val someMonth =
+      try strayDir.iterator().asScala.find(Files.isDirectory(_)).get
+      finally strayDir.close()
+    Files.createFile(someMonth.resolve("stray-zero-length.parquet"))
+    intercept[Exception] {
+      graft.ohlc.OhlcGenerator
+        .footerTickCount(spark, copy.toString, "raw_spread", "EURUSD", Nil)
+    }
+    val before = graft.operators.Probes.probeJobs.get()
+    val bars = graft.ohlc.OhlcGenerator.regenerate(spark, copy.toString, "eurusd")
+    assert(bars > 0L)
+    assert(graft.operators.Probes.probeJobs.get() > before,
+      "metadata fallback should have paid a probed auto dispatch")
+  }
 }
