@@ -782,9 +782,12 @@ object ScaleProbe {
         val l = hotSide(nLeft, payload = false)
         val r = hotSide(nLeft / 2, payload = true)
           .select(col("k"), col("t"), col("v"))
+        // aggregate the JOINED payload, not count(): a bare count lets
+        // column pruning drop the unused window fill entirely and the
+        // probe times an empty shell
         time(graft.operators.AsofJoin.leftAsofBucketed(
           l, r, Seq("k"), "t", "t", Seq("v"), "_c", bucketSeconds = width)
-          .count())
+          .agg(count(col("v_c")), sum(col("v_c"))).head())
       }
       run(200000L, day); run(200000L, 60L) // warm both plan shapes
       println(f"${"asof_width"}%-14s ${"rows"}%9s ${"width_s"}%8s ${"buckets"}%8s ${"wall_s"}%8s")
