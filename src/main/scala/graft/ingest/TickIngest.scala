@@ -286,6 +286,23 @@ object TickIngest {
     finally prevMode.fold(
       spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    // Refresh the _manifest sidecar of each TOUCHED month partition (one
+    // small single-column job per month over files just written): the
+    // zero-probe dispatch metadata (OhlcGenerator.footerMonthCounts) then
+    // answers from one sidecar read per partition instead of one footer
+    // round-trip per data file — the difference that matters once batches
+    // accumulate files in a month (especially on object stores, where each
+    // footer open is a request). Untouched months keep their sidecars
+    // byte-identical; a crash between the data write and this refresh
+    // leaves a STALE sidecar, which the reader's file-name freshness check
+    // rejects in favor of footers — never wrong, only slower.
+    val touchedMonths = deduped.select("yyyymm").distinct()
+      .collect().map(_.getString(0))
+    touchedMonths.foreach { m =>
+      graft.storage.Manifest.write(spark,
+        s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}/yyyymm=$m",
+        "timestamp")
+    }
     // inserted-row count = the batch itself, one extra job over the (in the
     // facade path: cached) batch input. Reading back the stored table
     // filtered only on instrument counted EVERY month ever ingested — a

@@ -74,7 +74,11 @@ object OhlcGenerator {
     *      overwrite, so a name-set match proves freshness): ONE small
     *      sidecar read answers for the whole partition — at
     *      100 TB-warehouse file counts this replaces O(files) footer
-    *      round-trips (each a driver-side open, painful on object stores);
+    *      round-trips (each a driver-side open, painful on object stores).
+    *      Ingest refreshes the sidecar of every month it touches
+    *      ([[graft.ingest.TickIngest.writeTicks]]) and the compactor
+    *      rebuilds it after rewrites, so on the normal lifecycle this
+    *      tier always answers;
     *   2. otherwise one parquet FOOTER read per file (footer row counts
     *      are exact, written by the committing task).
     *
@@ -122,6 +126,24 @@ object OhlcGenerator {
       month -> rows
     }
   }
+
+  /** Seconds spanned by a set of yyyymm month labels: from the first
+    * day of the earliest month to the first day of the month AFTER the
+    * latest (calendar-exact, so a 31-day month counts its 31 days). Feeds
+    * [[graft.operators.AsofJoin.bucketWidthFor]] with the span the stored
+    * rows actually cover. Empty input → 0 (the width sizer then falls
+    * back to its day default).
+    */
+  private[graft] def monthSpanSeconds(months: Seq[String]): Long =
+    if (months.isEmpty) 0L
+    else {
+      val yms = months.map(m =>
+        java.time.YearMonth.parse(m.take(4) + "-" + m.drop(4)))
+      val lo = yms.min.atDay(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      val hi = yms.max.plusMonths(1).atDay(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      java.time.Duration.between(lo, hi).getSeconds
+    }
 
   /** Sum of [[footerMonthCounts]] — the exact stored row count for one
     * (variant, instrument, months-subset) without touching data pages.
@@ -188,17 +210,8 @@ object OhlcGenerator {
         val total = (raw ++ std).map(_._2).sum
         if (total > graft.operators.AsofJoin.HotKeyCrossover) {
           val live = (raw ++ std).collect { case (m, n) if n > 0 => m }
-          val span =
-            if (live.isEmpty) 0L
-            else {
-              val yms = live.map(m =>
-                java.time.YearMonth.parse(m.take(4) + "-" + m.drop(4)))
-              val lo = yms.min.atDay(1).atStartOfDay(java.time.ZoneOffset.UTC)
-              val hi = yms.max.plusMonths(1).atDay(1)
-                .atStartOfDay(java.time.ZoneOffset.UTC)
-              java.time.Duration.between(lo, hi).getSeconds
-            }
-          ("bucketed", graft.operators.AsofJoin.bucketWidthFor(total, span))
+          ("bucketed", graft.operators.AsofJoin
+            .bucketWidthFor(total, monthSpanSeconds(live)))
         } else ("plain", 86400L)
     }
     val out = generate(

@@ -213,6 +213,36 @@ class AsofJoinSpec extends SparkSpec {
       Seq("v"), "_r", hotKeyThreshold = 500L)) === expected)
   }
 
+  test("hottestKeyStats sampled tier: count within a few percent, span near-true") {
+    import graft.operators.Probes
+    // threshold 20000 > SampleRowsTarget(10000) → frac = 0.5 (sampled path);
+    // 60k rows on one hot key, 6k on a cold one, spread over a known span
+    val n = 60000L
+    val spark2 = spark
+    import spark2.implicits._
+    val hot = spark.range(n).selectExpr("'HOT' AS k",
+      "timestamp_seconds(1704067200 + id * 14) AS t") // 14s apart, exact
+    val cold = spark.range(6000L).selectExpr("'COLD' AS k",
+      "timestamp_seconds(1704067200 + id % 86400) AS t")
+    val df = hot.unionByName(cold)
+    val (rows, span) = Probes.hottestKeyStats(df, Seq("k"), "t",
+      threshold = 20000L)
+    // binomial CLT at ~30k sampled rows: well inside ±5%
+    assert(math.abs(rows - n) <= n / 20,
+      s"sampled hottest-key estimate $rows too far from $n")
+    // sampled span can only understate, and barely (extremes rarely missed)
+    val trueSpan = (n - 1) * 14L
+    assert(span <= trueSpan + 1 && span >= (trueSpan * 0.95).toLong,
+      s"sampled span $span too far from $trueSpan")
+    // exact tier below the sampling threshold: exact count AND exact span
+    val (re, se) = Probes.hottestKeyStats(df, Seq("k"), "t", threshold = 100L)
+    assert(re === n)
+    assert(se === trueSpan)
+    // empty input: no NPE, (0, 0)
+    assert(Probes.hottestKeyStats(df.filter("1 = 0"), Seq("k"), "t", 100L)
+      === ((0L, 0L)))
+  }
+
   test("native as-of rejects an empty key list with a clear message") {
     // pre-fix: ClusteredDistribution(Nil) failed deep inside physical
     // planning with an opaque "requirement failed"

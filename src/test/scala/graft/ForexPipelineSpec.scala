@@ -584,6 +584,56 @@ class ForexPipelineSpec extends SparkSpec {
     intercept[Exception] { count("202403") }
   }
 
+  test("ingest refreshes each touched month's _manifest; metadata counts answer from it") {
+    val (_, dir) = env
+    val wh = dir.resolve("warehouse")
+    val conf = spark.sessionState.newHadoopConf()
+    // every stored month of both variants carries a FRESH sidecar whose
+    // per-file rows sum to the stored count (writeTicks refreshes touched
+    // months; env's months were all touched by some batch)
+    for (variant <- Seq("raw_spread", "standard")) {
+      val base = wh.resolve(s"${variant}_ticks").resolve("instrument=EURUSD")
+      val s = Files.list(base)
+      val monthDirs =
+        try s.iterator().asScala.filter(p =>
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("yyyymm=")).toVector
+        finally s.close()
+      assert(monthDirs.nonEmpty)
+      monthDirs.foreach { md =>
+        val counts = graft.storage.Manifest.fileRowCounts(conf,
+          new org.apache.hadoop.fs.Path(md.toString))
+        assert(counts.nonEmpty, s"no _manifest under $md")
+        val month = md.getFileName.toString.stripPrefix("yyyymm=")
+        val stored = TickIngest
+          .readTicks(spark, wh.toString, variant, Some("EURUSD"))
+          .filter(col("yyyymm") === month).count()
+        assert(counts.get.values.sum === stored, s"stale sidecar under $md")
+        // and the sidecar names exactly the files present (fresh by the
+        // reader's own criterion)
+        val fs = Files.list(md)
+        val names =
+          try fs.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+          finally fs.close()
+        assert(counts.get.keySet === names)
+      }
+    }
+  }
+
+  test("monthSpanSeconds: calendar-exact span of a yyyymm label set") {
+    import graft.ohlc.OhlcGenerator.monthSpanSeconds
+    assert(monthSpanSeconds(Nil) === 0L)
+    assert(monthSpanSeconds(Seq("202401")) === 31L * 86400L)
+    // Feb 2024 is a leap February
+    assert(monthSpanSeconds(Seq("202402")) === 29L * 86400L)
+    // span covers min..max INCLUSIVE even when middle months are absent,
+    // and is order-independent
+    assert(monthSpanSeconds(Seq("202403", "202401")) ===
+      (31L + 29L + 31L) * 86400L)
+    // a year boundary
+    assert(monthSpanSeconds(Seq("202312", "202401")) === (31L + 31L) * 86400L)
+  }
+
   test("regenerate falls back to a probed auto dispatch when footer metadata is unreadable") {
     val (_, dir) = env
     val src = dir.resolve("warehouse")
