@@ -296,12 +296,17 @@ object TickIngest {
     // byte-identical; a crash between the data write and this refresh
     // leaves a STALE sidecar, which the reader's file-name freshness check
     // rejects in favor of footers — never wrong, only slower.
+    // Best-effort: the sidecar is an optimization, and the DATA write above
+    // already succeeded — failing the batch over a failed JSON write would
+    // be wrong (the reader's freshness check routes a missing/stale sidecar
+    // to the footer fallback).
     val touchedMonths = deduped.select("yyyymm").distinct()
       .collect().map(_.getString(0))
     touchedMonths.foreach { m =>
-      graft.storage.Manifest.write(spark,
+      try graft.storage.Manifest.write(spark,
         s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}/yyyymm=$m",
         "timestamp")
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // inserted-row count = the batch itself, one extra job over the (in the
     // facade path: cached) batch input. Reading back the stored table

@@ -204,6 +204,17 @@ class NearDupGroupsSpec extends SparkSpec {
     assert(repairsB == repA.as[(Long, Long, Long)].collect().toSet)
     // the stale row is repaired back to the ground-truth rep
     assert(repairsB.contains((11L, 11L, 10L)), repairsB.toString)
+    // the scoped variant (edge cache alive while ALL THREE outputs
+    // materialize) returns the same frames
+    val (labC, idxC, repC) = MinHash.reconcileIncrementalScoped(
+      docsAll, stored, "doc_id", "text") { (l, i, r) =>
+      (l.as[(Long, Long)].collect().toMap,
+        i.as[(Long, Long, Long)].collect().toSet,
+        r.as[(Long, Long, Long)].collect().toSet)
+    }
+    assert(labC == labA.as[(Long, Long)].collect().toMap)
+    assert(idxC == idxA.as[(Long, Long, Long)].collect().toSet)
+    assert(repC == repairsB)
     oldEdges.unpersist(); newEdges.unpersist()
   }
 
