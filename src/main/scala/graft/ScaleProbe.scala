@@ -807,6 +807,40 @@ object ScaleProbe {
       println(s"dispatch_e2e   form=${d.form} width=${d.bucketSeconds}s " +
         s"(expected bucketed, ~${graft.operators.AsofJoin.bucketWidthFor(3000000L, day)}s)")
     }
+    // (f) big-big interval-overlap join on ONE hot key (r14): Catalyst
+    //     executes the keyed theta join as a join on the key alone with
+    //     the range predicate as a residual filter — every same-key pair
+    //     enumerated, so doubling rows quadruples work. IntervalJoin
+    //     widens the equi key to (key, bucket): only bucket-sharing pairs
+    //     are enumerated, so work tracks ACTUAL overlap volume. Row
+    //     counts must agree at every size (both forms are exact).
+    if (sec("intervaljoin")) {
+      def side(n: Long, mul: Long): DataFrame = spark.range(n).select(
+        lit("HOT").as("k"),
+        timestamp_seconds(lit(1704067200L) + pmod(col("id") * mul, lit(n)) * 60L).as("s"),
+        col("id").as("oid"))
+        .withColumn("e", col("s") + make_dt_interval(lit(0), lit(0), lit(0),
+          (col("oid") % 3600L + 1L).cast("double")))
+      def naiveCount(l: DataFrame, r: DataFrame): Long = {
+        val rr = r.select(col("k"), col("s").as("s2"), col("e").as("e2"))
+        l.join(rr, l("k") === rr("k") && col("s") < col("e2") && col("s2") < col("e"))
+          .count()
+      }
+      def oursCount(l: DataFrame, r: DataFrame): Long =
+        graft.operators.IntervalJoin.overlapJoin(
+          l, r, Seq("k"), "s", "e", "s", "e", "_r", bucketSeconds = 3600L).count()
+      locally { val l0 = side(2000, 7919); val r0 = side(2000, 104729) // warm
+        naiveCount(l0, r0); oursCount(l0, r0) }
+      println(f"${"interval_join"}%-14s ${"rows/side"}%10s ${"pairs"}%10s ${"naive_s"}%8s ${"bucketed_s"}%10s")
+      Seq(20000L, 80000L, 320000L).foreach { n =>
+        val l = side(n, 7919); val r = side(n, 104729)
+        var pairsN = 0L; var pairsB = 0L
+        val tn = time { pairsN = naiveCount(l, r) }
+        val tb = time { pairsB = oursCount(l, r) }
+        require(pairsN == pairsB, s"row mismatch: naive=$pairsN bucketed=$pairsB")
+        println(f"interval_join  $n%10d $pairsB%10d $tn%8.2f $tb%10.2f")
+      }
+    }
     // (e) the COMPOSED corpus pipeline (r14, carried from the r12 brief):
     //     CorpusPipelineSpec's 6-stage chain (quality → exact dedup →
     //     near-dup dedup → span removal → decontaminate → split) run as

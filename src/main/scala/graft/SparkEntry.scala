@@ -2392,7 +2392,36 @@ object SparkEntry {
       graft.operators.Itemsets.pairLift(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("lift_e6").desc, col("item_a"), col("item_b"))
-        .limit(100))
+        .limit(100)),
+
+    // J-class scale operator: BIG-BIG interval-overlap join — purchase
+    // attribution windows [ts, ts+2h) against click activity windows
+    // [ts, ts+1h) per user. The naive keyed theta join enumerates every
+    // same-key pair with the range predicate as a residual filter
+    // (quadratic per key); IntervalJoin widens the equi key to
+    // (user, 2h bucket) so only bucket-sharing pairs are enumerated —
+    // no broadcast, no nested loop, each qualifying pair emitted exactly
+    // once (attributed to the later start's bucket). The oracle runs the
+    // plain non-equi SQL: identical rows by construction.
+    "q_interval_overlap" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("e"),
+          col("event_id").as("lid"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("e"),
+          col("event_id").as("rid"))
+      graft.operators.IntervalJoin
+        .overlapJoin(purchases, clicks, Seq("user_id"), "s", "e", "s", "e",
+          suffix = "_r", bucketSeconds = 7200L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lid")).cast("long").as("sum_lid"),
+          sum(col("rid_r")).cast("long").as("sum_rid"))
+        .orderBy("user_id")
+    })
   )
 
   /** A2 closure: the API supports 7 resample timeframes
@@ -5997,7 +6026,24 @@ object SparkEntry {
            FROM p
            JOIN s sa ON sa.it = item_a
            JOIN s sb ON sb.it = item_b
-           ORDER BY lift_e6 DESC, item_a, item_b LIMIT 100"""
+           ORDER BY lift_e6 DESC, item_a, item_b LIMIT 100""",
+
+      "q_interval_overlap" ->
+        s"""WITH l AS (
+              SELECT user_id, $evTs AS s, $evTs + INTERVAL 2 HOUR AS e,
+                     event_id AS lid
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, $evTs AS s, $evTs + INTERVAL 1 HOUR AS e,
+                     event_id AS rid
+              FROM events WHERE event_type = 'click')
+            SELECT l.user_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(l.lid) AS BIGINT) AS sum_lid,
+                   CAST(sum(r.rid) AS BIGINT) AS sum_rid
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+            GROUP BY 1 ORDER BY 1"""
     ) ++ resampleOracles(evTs)
     // §2.9: the STREAMING 1m OHLC (watermark/append/AvailableNow run via
     // StreamingGate) must agree with the batch path bar-for-bar — ONE

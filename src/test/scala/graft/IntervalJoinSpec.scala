@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IntervalJoin
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(epochSec: Long) = new Timestamp(epochSec * 1000L)
+
+  private def naive(l: DataFrame, r: DataFrame): DataFrame = {
+    // the reference semantics: plain theta join over WELL-FORMED intervals
+    // (the residual predicate s < e_r && s_r < e assumes s < e on both
+    // sides — applied to a zero-length [t, t) it would claim an overlap
+    // with any interval containing t, though [t, t) is the empty set)
+    val rr = r.filter(col("s") < col("e"))
+      .select(col("k"), col("s").as("s_r"), col("e").as("e_r"),
+        col("rid").as("rid_r"))
+    val ll = l.filter(col("s") < col("e"))
+    ll.join(rr, ll("k") === rr("k") && col("s") < col("e_r") && col("s_r") < col("e"))
+      .drop(rr("k"))
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select("k", "lid", "rid_r").orderBy("k", "lid", "rid_r")
+      .collect().map(_.toString).toSeq
+
+  test("overlap join: boundary semantics (half-open), bucket spans, key isolation") {
+    val l = Seq(
+      ("a", ts(100), ts(200), 1L),  // overlaps r1 (inclusive start touch at 150)
+      ("a", ts(200), ts(300), 2L),  // does NOT overlap r1 ([ ,200) vs [200, ))... r2 starts 200
+      ("a", ts(7000), ts(7300), 3L), // spans two 3600s buckets? no — within; overlaps r3
+      ("b", ts(100), ts(200), 4L),  // same times as lid=1 but key b: only r4
+      ("a", ts(500), ts(500), 5L)   // zero-length: matches nothing
+    ).toDF("k", "s", "e", "lid")
+    val r = Seq(
+      ("a", ts(150), ts(250), 10L),  // r1
+      ("a", ts(200), ts(210), 11L),  // r2: touches lid=1's end exactly -> NO overlap with 1, yes with 2
+      ("a", ts(3500), ts(7100), 12L), // r3: spans buckets 0 and 1 (3600s), overlaps lid=3
+      ("b", ts(120), ts(130), 13L),  // r4
+      ("a", ts(400), ts(600), 14L)   // covers the zero-length point: still no match
+    ).toDF("k", "s", "e", "rid")
+    val out = IntervalJoin.overlapJoin(l, r, Seq("k"), "s", "e", "s", "e",
+      suffix = "_r", bucketSeconds = 3600L)
+    assert(canon(out) === canon(naive(l, r)))
+    val pairs = out.select("lid", "rid_r").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)))
+    // end-on-boundary coverage: an interval ending exactly at a bucket
+    // edge must NOT explode into the next bucket (floor((end-1µs)/B));
+    // the pair (3, 12) crossing the 7200 boundary is emitted exactly once
+    assert(out.filter(col("lid") === 3L).count() === 1L)
+  }
+
+  test("overlap join: randomized equivalence with the naive theta join") {
+    val rnd = new scala.util.Random(23)
+    def intervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val k = s"k${rnd.nextInt(4)}"
+      val s = rnd.nextInt(20000).toLong
+      val len = rnd.nextInt(5000).toLong // includes 0-length
+      (k, ts(s), ts(s + len), idBase + i)
+    }
+    for (trial <- 1 to 3) {
+      val l = intervals(120, 1000L * trial).toDF("k", "s", "e", "lid")
+      val r = intervals(90, 100000L * trial).toDF("k", "s", "e", "rid")
+      // deliberately NOT sized to the longest interval: correctness must
+      // hold at ANY width (width only moves replication/parallelism)
+      for (b <- Seq(1L, 777L, 3600L, 100000L)) {
+        val out = IntervalJoin.overlapJoin(l, r, Seq("k"), "s", "e", "s", "e",
+          suffix = "_r", bucketSeconds = b)
+        assert(canon(out) === canon(naive(l, r)), s"trial $trial width $b")
+      }
+    }
+  }
+
+  test("overlap join: NULL bounds drop; payload columns ride through suffixed") {
+    val l = Seq(("a", ts(100), ts(200), 1L, "x"))
+      .toDF("k", "s", "e", "lid", "note")
+    val r = Seq(
+      ("a", ts(150), ts(250), 10L, 3.5),
+      ("a", null, ts(250), 11L, 9.9),
+      ("a", ts(150), null, 12L, 9.9)
+    ).toDF("k", "s", "e", "rid", "w")
+    val out = IntervalJoin.overlapJoin(l, r, Seq("k"), "s", "e", "s", "e")
+    assert(out.columns.toSeq ===
+      Seq("k", "s", "e", "lid", "note", "s_r", "e_r", "rid_r", "w_r"))
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("rid_r") === 10L)
+    assert(rows.head.getAs[Double]("w_r") === 3.5)
+  }
+
+  test("overlap join plans as an equi join on (key, bucket) — bucket in the hash keys") {
+    val l = (1 to 200).map(i => ("k" + i % 3, ts(i * 100L), ts(i * 100L + 500), i.toLong))
+      .toDF("k", "s", "e", "lid")
+    val r = (1 to 200).map(i => ("k" + i % 3, ts(i * 90L), ts(i * 90L + 400), i.toLong))
+      .toDF("k", "s", "e", "rid")
+    val plan = IntervalJoin.overlapJoin(l, r, Seq("k"), "s", "e", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the bucket column participates in the join's EQUI keys: only pairs
+    // sharing a bucket are enumerated. The naive theta join also avoids a
+    // nested loop when a key exists — but it joins on the key ALONE with
+    // the range as a residual filter, enumerating every same-key pair
+    // (quadratic per key); asserting __b in the hash keys pins the
+    // difference that matters at scale.
+    assert(plan.contains("__b"), plan)
+    val naivePlan = naive(l, r).queryExecution.executedPlan.toString
+    assert(!naivePlan.contains("__b"), naivePlan)
+  }
+}
