@@ -162,7 +162,7 @@ object Bench {
     val headline = Seq(
       "q1_pricing", "q_ticks_range", "q_ohlc_1m", "q_ohlc_enriched",
       "q_ohlc_resample_15m",
-      "q_asof_join", "q_coverage", "q_cursor_page", "q_gap_months",
+      "q_asof_join", "q_interval_overlap", "q_coverage", "q_cursor_page", "q_gap_months",
       "q_sql_q3", "q_join_agg", "q_top_revenue", "q_dedup", "q_dedup_exact",
       "q_minhash_lsh", "q_dedup_groups", "q_simhash", "q_ngram_jaccard",
       "q_cosine_topk", "q_ann_ivf", "q_lang_id", "q_text_stats", "q_tfidf",
