@@ -2421,6 +2421,29 @@ object SparkEntry {
           sum(col("lid")).cast("long").as("sum_lid"),
           sum(col("rid_r")).cast("long").as("sum_rid"))
         .orderBy("user_id")
+    }),
+
+    // the AUTO-dispatched overlap join: bucket width MEASURED off the
+    // longest interval (two narrow max-agg probes, Probes
+    // .maxIntervalSeconds) instead of hand-picked — width is purely
+    // physical, so this hash-matches the same plain non-equi oracle
+    "q_interval_auto" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("e"),
+          col("event_id").as("lid"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("e"),
+          col("event_id").as("rid"))
+      graft.operators.IntervalJoin
+        .overlapJoinAuto(purchases, clicks, Seq("user_id"), "s", "e", "s", "e")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lid")).cast("long").as("sum_lid"),
+          sum(col("rid_r")).cast("long").as("sum_rid"))
+        .orderBy("user_id")
     })
   )
 
@@ -6029,6 +6052,25 @@ object SparkEntry {
            ORDER BY lift_e6 DESC, item_a, item_b LIMIT 100""",
 
       "q_interval_overlap" ->
+        s"""WITH l AS (
+              SELECT user_id, $evTs AS s, $evTs + INTERVAL 2 HOUR AS e,
+                     event_id AS lid
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, $evTs AS s, $evTs + INTERVAL 1 HOUR AS e,
+                     event_id AS rid
+              FROM events WHERE event_type = 'click')
+            SELECT l.user_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(l.lid) AS BIGINT) AS sum_lid,
+                   CAST(sum(r.rid) AS BIGINT) AS sum_rid
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+            GROUP BY 1 ORDER BY 1""",
+
+      // identical semantics to q_interval_overlap — the auto dispatch only
+      // picks the physical bucket width, never the rows
+      "q_interval_auto" ->
         s"""WITH l AS (
               SELECT user_id, $evTs AS s, $evTs + INTERVAL 2 HOUR AS e,
                      event_id AS lid

@@ -102,4 +102,34 @@ object IntervalJoin {
           .cast("long"))
       .drop("__b")
   }
+
+  /** [[overlapJoin]] with the bucket width MEASURED instead of guessed:
+    * one narrow no-shuffle probe ([[Probes.maxIntervalSeconds]]) finds the
+    * longest interval on either side, and the bucket is sized to it — the
+    * width that bounds replication at ceil(len/B)+1 ≤ 2 rows per input.
+    * Same dispatch philosophy as [[AsofJoin.leftAsofAuto]]: the decision
+    * scan is a single max-aggregation over two derived columns, constant
+    * next to the join it fronts at any scale, and the width is purely
+    * physical (equivalence holds at ANY width — spec-pinned), so probe
+    * error can only move cost, never rows.
+    */
+  def overlapJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      suffix: String = "_r"
+  ): DataFrame = {
+    val maxLen = math.max(
+      Probes.maxIntervalSeconds(left, leftStart, leftEnd),
+      Probes.maxIntervalSeconds(right, rightStart, rightEnd))
+    // degenerate inputs (empty, or nothing well-formed) join to nothing —
+    // any width is equivalent, take the hour default
+    val width = if (maxLen <= 0L) 3600L else maxLen
+    overlapJoin(left, right, on, leftStart, leftEnd, rightStart, rightEnd,
+      suffix, width)
+  }
 }

@@ -121,4 +121,27 @@ object Probes {
       }
     (if (frac < 1.0) (n / frac).toLong else n, span)
   }
+
+  /** Longest [start, end) interval in `df`, in whole seconds (ceil) — the
+    * bucket-width probe for [[IntervalJoin.overlapJoinAuto]]. One narrow
+    * max-aggregation over a derived column: no shuffle beyond the final
+    * single-row combine, no sampling needed (a max is cheap exactly, and
+    * UNDERestimating the longest interval would raise replication above
+    * the ≤2 bound the width exists to guarantee). Malformed rows
+    * (NULL bounds, end <= start) contribute nothing, mirroring the join's
+    * own up-front drop. Returns 0 when nothing is well-formed.
+    */
+  def maxIntervalSeconds(
+      df: DataFrame,
+      startCol: String,
+      endCol: String
+  ): Long = {
+    probeJobs.incrementAndGet()
+    val len = unix_micros(col(endCol).cast("timestamp")) -
+      unix_micros(col(startCol).cast("timestamp"))
+    val mx = df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        len > 0L)
+      .agg(max(len)).head()
+    if (mx.isNullAt(0)) 0L else (mx.getLong(0) + 999999L) / 1000000L
+  }
 }

@@ -93,6 +93,40 @@ class IntervalJoinSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("w_r") === 3.5)
   }
 
+  test("auto width: probed max interval length, equivalence, probe accounting") {
+    import graft.operators.Probes
+    val rnd = new scala.util.Random(41)
+    def intervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val k = s"k${rnd.nextInt(3)}"
+      val s = rnd.nextInt(10000).toLong
+      (k, ts(s), ts(s + rnd.nextInt(4000).toLong), idBase + i)
+    }
+    val l = intervals(100, 1000L).toDF("k", "s", "e", "lid")
+    val r = intervals(80, 100000L).toDF("k", "s", "e", "rid")
+    // the probe: exact longest well-formed interval, ceil to whole seconds
+    val lenL = Probes.maxIntervalSeconds(l, "s", "e")
+    val expectL = l.filter(col("s") < col("e"))
+      .select(((col("e").cast("long")) - col("s").cast("long")).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(lenL === expectL)
+    // sub-second tail rounds UP (an interval must never outgrow its bucket)
+    val frac = Seq(("a", new Timestamp(1000L), new Timestamp(3500L), 1L))
+      .toDF("k", "s", "e", "lid") // 2.5 s
+    assert(Probes.maxIntervalSeconds(frac, "s", "e") === 3L)
+    // malformed-only input probes to 0; auto on empty inputs returns empty
+    val broken = Seq(("a", ts(10), ts(10), 1L), ("a", null, ts(5), 2L))
+      .toDF("k", "s", "e", "lid")
+    assert(Probes.maxIntervalSeconds(broken, "s", "e") === 0L)
+    assert(IntervalJoin.overlapJoinAuto(broken, r, Seq("k"), "s", "e", "s", "e")
+      .count() === 0L)
+    // auto == explicit at the probed width (and == naive), paying exactly
+    // two probe jobs (one max-agg per side)
+    val before = Probes.probeJobs.get()
+    val auto = IntervalJoin.overlapJoinAuto(l, r, Seq("k"), "s", "e", "s", "e")
+    assert(Probes.probeJobs.get() === before + 2)
+    assert(canon(auto) === canon(naive(l, r)))
+  }
+
   test("overlap join plans as an equi join on (key, bucket) — bucket in the hash keys") {
     val l = (1 to 200).map(i => ("k" + i % 3, ts(i * 100L), ts(i * 100L + 500), i.toLong))
       .toDF("k", "s", "e", "lid")
