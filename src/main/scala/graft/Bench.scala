@@ -58,21 +58,29 @@ object Bench {
       once(); once()
       (1 to 5).map(_ => once()).min
     }
-    // REFERENCE BAND CHECK: per-query walls of the last committed clean
-    // record (bench_full.json is read BEFORE this run overwrites it) — a
-    // pass with ≥5 queries at ≥2× their committed wall, or the shared
-    // total at ≥1.2×, is treated as contended even when both calibration
-    // probes sat still. Only applies when the record measured the same SF.
-    val refTimes: Map[String, Double] = try {
+    // REFERENCE BAND + LEVEL CHECKS: per-query walls and probe LEVELS of
+    // the last committed clean record (bench_full.json is read BEFORE
+    // this run overwrites it) — a pass with ≥5 queries at ≥2× their
+    // committed wall, the shared total at ≥1.2×, or either probe's level
+    // ≥1.15× the committed level (steady load inflates both bracket ends
+    // equally, so the drift checks alone miss it — the r14 episode) is
+    // treated as contended even when both calibration brackets sat still.
+    // Only applies when the record measured the same SF. A deliberate
+    // re-baseline (SPARK_GRAFT_RECORD=replace) drops the old record as a
+    // reference entirely — comparing against the baseline being replaced
+    // would lock a genuinely slower machine out of ever recording one.
+    val rebaseline = sys.env.get("SPARK_GRAFT_RECORD").contains("replace")
+    val (refTimes: Map[String, Double],
+         refLevels: Option[(Double, Double, Double, Double)]) = (try {
       val p = java.nio.file.Paths.get("bench_full.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (rebaseline || !java.nio.file.Files.exists(p)) (Map.empty, None)
       else {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         if (BenchSentinel.recordSf(s).contains(sfDir))
-          BenchSentinel.parseQueryTimes(s)
-        else Map.empty
+          (BenchSentinel.parseQueryTimes(s), BenchSentinel.parseCalibLevels(s))
+        else (Map.empty, None)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], None) }): @unchecked
     // Optional args: query names to run (default all); SPARK_GRAFT_ITERS
     // repeats each query and keeps the fastest run (profiling aid — the
     // driver invokes with no args / no env, preserving the 1-shot contract).
@@ -102,10 +110,15 @@ object Bench {
                           calibFirst: Double, calibLast: Double,
                           ioFirst: Double, ioLast: Double) {
       def bandHits: Seq[String] = BenchSentinel.bandExceeders(times, refTimes)
+      def levelShifted: Boolean = refLevels.exists { case (cf, cl, iof, iol) =>
+        BenchSentinel.levelShift(calibFirst, calibLast, cf, cl) ||
+          BenchSentinel.levelShift(ioFirst, ioLast, iof, iol)
+      }
       def contended: Boolean =
         BenchSentinel.calibDrift(calibFirst, calibLast) ||
           BenchSentinel.calibDrift(ioFirst, ioLast) ||
-          BenchSentinel.bandContended(times, refTimes)
+          BenchSentinel.bandContended(times, refTimes) ||
+          levelShifted
     }
     def runPass(): Pass = {
       val calibFirst = calibrate()
@@ -196,7 +209,7 @@ object Bench {
     val finalBand = BenchSentinel.bandExceeders(results.toMap, refTimes)
     val bandJson = finalBand.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinel =
-      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"contended":$contended,"passes":${passes.size}"""
+      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"level_shift":${reported.levelShifted},"contended":$contended,"passes":${passes.size}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"slowest":${toJson(slowest)},"nq":${results.size},"nerr":${failed.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
     // REFERENCE-RECORD GUARD: bench_full.json is the band sentinel's only
@@ -212,12 +225,11 @@ object Bench {
         if (java.nio.file.Files.exists(refPath))
           Some(new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8"))
         else None
-      val force = sys.env.get("SPARK_GRAFT_RECORD").contains("replace")
       if (BenchSentinel.mayReplaceReference(
           filterActive = args.nonEmpty,
           runContended = contended,
           runQueries = results.map(_._1).toSet,
-          runSf = sfDir, committed = committed, force = force)) {
+          runSf = sfDir, committed = committed, force = rebaseline)) {
         val full =
           s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
         java.nio.file.Files.write(refPath, (full + "\n").getBytes("UTF-8"))

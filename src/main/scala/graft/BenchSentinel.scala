@@ -105,6 +105,49 @@ object BenchSentinel {
   def recordSf(json: String): Option[String] =
     """"sf":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
 
+  /** The committed record's calibration LEVELS:
+    * (calib_first, calib_last, io_first, io_last). Feeds [[levelShift]].
+    */
+  def parseCalibLevels(json: String): Option[(Double, Double, Double, Double)] = {
+    def f(k: String): Option[Double] =
+      (""""""" + k + """":(-?[0-9.eE+-]+)""").r
+        .findFirstMatchIn(json).flatMap(_.group(1).toDoubleOption)
+    for (cf <- f("calib_first"); cl <- f("calib_last");
+         iof <- f("io_first"); iol <- f("io_last")) yield (cf, cl, iof, iol)
+  }
+
+  /** Fourth signal (r14): STEADY-load level check. The drift checks
+    * compare a probe against ITSELF across the suite, so load that is
+    * constant for the whole run inflates both bracket ends equally and
+    * stays invisible; and a uniform ~15–20 % suite inflation slips under
+    * the 2×-per-query and 1.2×-total band thresholds. The r14 episode
+    * that motivated this: a run whose CPU calib bracket was tight
+    * (0.109→0.103) and whose band ratio was 1.197 — one part in three
+    * hundred under the trip line — recorded a 157.4 s total against a
+    * 131.5 s committed clean record, because sustained page-cache
+    * pressure held the I/O probe at 0.343 s vs the committed run's 0.290
+    * (1.18×) for the first half of the suite.
+    *
+    * The committed record carries its own probe levels, measured by the
+    * same min-of-5 pre-warmed discipline on the machine the walls are
+    * claimed against — so a run whose probe level sits `factor`× above
+    * the committed level (EITHER bracket end: load present during either
+    * half taints the minima kept from that window) is running on a
+    * loaded machine however tight its own bracket. Absolute floor as in
+    * [[calibDrift]]: a 30 % swing on a 10 ms probe is scheduler noise.
+    */
+  def levelShift(
+      runFirst: Double,
+      runLast: Double,
+      refFirst: Double,
+      refLast: Double,
+      factor: Double = 1.15,
+      absFloorSec: Double = 0.02): Boolean = {
+    val ref = math.min(refFirst, refLast)
+    ref > 0 && Seq(runFirst, runLast).exists(v =>
+      v - ref > absFloorSec && v / ref > factor)
+  }
+
   /** May THIS run's record replace the committed reference
     * (bench_full.json)? The reference is the band check's only memory, so
     * replacing it with a narrower or differently-scoped run silently

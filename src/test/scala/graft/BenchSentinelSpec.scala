@@ -145,6 +145,37 @@ class BenchSentinelSpec extends AnyFunSuite {
       runQueries = full, runSf = sf, committed = committed, force = true))
   }
 
+  test("level shift: steady load invisible to drift/band checks trips the level check") {
+    // The recorded r14 episode: committed clean record 131.52 s with probe
+    // levels calib 0.105/0.110, io 0.291/0.290. A run under sustained
+    // evening load recorded 157.40 s (ratio 1.197 — one part in three
+    // hundred UNDER the 1.2 band-total trip line) with a TIGHT CPU bracket
+    // (0.109→0.103, drift silent) — but its io_first sat at 0.343 = 1.18×
+    // the committed level. Steady load inflates both bracket ends equally,
+    // so only a cross-record level comparison can see it.
+    assert(!BenchSentinel.calibDrift(0.109, 0.103))         // drift silent
+    assert(!BenchSentinel.levelShift(0.109, 0.103, 0.105, 0.110)) // CPU level fine
+    assert(BenchSentinel.levelShift(0.343, 0.279, 0.291, 0.290))  // io_first 1.18×
+    // the sibling run: pressure arrived in the SECOND half (io_last 0.339)
+    assert(BenchSentinel.levelShift(0.323, 0.339, 0.291, 0.290))
+    // a genuinely idle run against the same record trips nothing
+    assert(!BenchSentinel.levelShift(0.295, 0.301, 0.291, 0.290))
+    // absolute floor: 30 % on a 10 ms probe is scheduler noise
+    assert(!BenchSentinel.levelShift(0.013, 0.013, 0.010, 0.010))
+    // degenerate committed levels never trip (first record at a checkout)
+    assert(!BenchSentinel.levelShift(0.343, 0.339, 0.0, 0.0))
+  }
+
+  test("parseCalibLevels round-trips a committed record's probe levels") {
+    val line = """{"metric":"total","value":131.523,"unit":"sec","queries":{"q1":0.3},"nq":166,"errors":[],"flaky":[],"calib_first":0.105,"calib_last":0.110,"io_first":0.291,"io_last":0.290,"band":[],"ref_queries":165,"contended":false,"passes":1,"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchSentinel.parseCalibLevels(line) ===
+      Some((0.105, 0.110, 0.291, 0.290)))
+    // a record missing any level (pre-r13 format) yields None — the level
+    // check simply stays unarmed rather than tripping on garbage
+    assert(BenchSentinel.parseCalibLevels("""{"calib_first":0.1}""") === None)
+    assert(BenchSentinel.parseCalibLevels("not json") === None)
+  }
+
   test("parseQueryTimes/recordSf round-trip a bench_full.json line") {
     val line = """{"metric":"total","value":119.650,"unit":"sec","queries":{"q1_pricing":0.295,"q_tfidf":1.834,"q_neg":-0.0},"slowest":{"q_tfidf":1.834},"nq":164,"errors":[],"flaky":[],"calib_first":0.100,"calib_last":0.102,"contended":false,"passes":1,"sf":"/root/testdata/sf0.1"}"""
     val times = BenchSentinel.parseQueryTimes(line)
