@@ -71,16 +71,20 @@ object Bench {
     // would lock a genuinely slower machine out of ever recording one.
     val rebaseline = sys.env.get("SPARK_GRAFT_RECORD").contains("replace")
     val (refTimes: Map[String, Double],
-         refLevels: Option[(Double, Double, Double, Double)]) = (try {
+         refLevels: Option[(Double, Double, Double, Double)],
+         refBacking: Int) = (try {
       val p = java.nio.file.Paths.get("bench_full.json")
-      if (rebaseline || !java.nio.file.Files.exists(p)) (Map.empty, None)
+      if (rebaseline || !java.nio.file.Files.exists(p)) (Map.empty, None, 0)
       else {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         if (BenchSentinel.recordSf(s).contains(sfDir))
-          (BenchSentinel.parseQueryTimes(s), BenchSentinel.parseCalibLevels(s))
-        else (Map.empty, None)
+          (BenchSentinel.parseQueryTimes(s), BenchSentinel.parseCalibLevels(s),
+            BenchSentinel.parseBackingRuns(s).getOrElse(0))
+        else (Map.empty, None, 0)
       }
-    } catch { case _: Throwable => (Map.empty[String, Double], None) }): @unchecked
+    } catch {
+      case _: Throwable => (Map.empty[String, Double], None, 0)
+    }): @unchecked
     // Optional args: query names to run (default all); SPARK_GRAFT_ITERS
     // repeats each query and keeps the fastest run (profiling aid — the
     // driver invokes with no args / no env, preserving the 1-shot contract).
@@ -209,7 +213,7 @@ object Bench {
     val finalBand = BenchSentinel.bandExceeders(results.toMap, refTimes)
     val bandJson = finalBand.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinel =
-      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"level_shift":${reported.levelShifted},"contended":$contended,"passes":${passes.size}"""
+      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"ref_backing":$refBacking,"level_shift":${reported.levelShifted},"contended":$contended,"passes":${passes.size}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"slowest":${toJson(slowest)},"nq":${results.size},"nerr":${failed.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
     // REFERENCE-RECORD GUARD: bench_full.json is the band sentinel's only
@@ -229,9 +233,13 @@ object Bench {
           filterActive = args.nonEmpty,
           runContended = contended,
           runQueries = results.map(_._1).toSet,
-          runSf = sfDir, committed = committed, force = rebaseline)) {
+          runSf = sfDir, committed = committed, force = rebaseline,
+          itersActive = iters > 1)) {
+        // backing_runs: this record is a SINGLE clean run. The bench3.sh
+        // median installer overwrites the stamp with its clean-run count,
+        // so "median of N" lineage claims stay machine-checkable.
         val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"backing_runs":1,"sf":"$sfDir"}"""
         java.nio.file.Files.write(refPath, (full + "\n").getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }

@@ -105,6 +105,19 @@ object BenchSentinel {
   def recordSf(json: String): Option[String] =
     """"sf":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
 
+  /** The `"backing_runs":N` field of a committed record: how many archived
+    * clean full-suite runs the record is the median of. Bench stamps 1 when
+    * it self-installs a single clean run; the tools/bench3.sh median
+    * installer stamps the count of clean runs in its protocol window. The
+    * bench output line echoes it as `ref_backing`, so "median of N" claims
+    * about the committed reference are machine-checkable rather than
+    * prose (the r14 record claimed a 3-run median while being byte-identical
+    * to one of two archived runs). Absent field (pre-r15 record) → None.
+    */
+  def parseBackingRuns(json: String): Option[Int] =
+    """"backing_runs":(\d+)""".r.findFirstMatchIn(json)
+      .flatMap(_.group(1).toIntOption)
+
   /** The committed record's calibration LEVELS:
     * (calib_first, calib_last, io_first, io_last). Feeds [[levelShift]].
     */
@@ -159,6 +172,11 @@ object BenchSentinel {
     * Replacement is allowed only when ALL hold:
     *   - no query filter was active (a filtered run is a profiling aid,
     *     never a reference — even if it happens to select every query);
+    *   - no repeat-iterations knob was active (SPARK_GRAFT_ITERS>1 keeps
+    *     the MIN-of-N wall per query — the other documented profiling aid;
+    *     installing min-of-N walls as the reference would bias the band
+    *     and level sentinels into false contended verdicts on every later
+    *     honest 1-shot run — the same clobber class as a filtered run);
     *   - the run measured the same SF as the committed record (a full run
     *     at a smaller SF would blind the sentinel just as thoroughly);
     *   - the run's successful query set COVERS the committed record's
@@ -171,9 +189,9 @@ object BenchSentinel {
     *
     * `force` (env SPARK_GRAFT_RECORD=replace) overrides the SF and
     * coverage checks for deliberate re-baselining (suite renamed, SF
-    * changed); it does NOT override the filter or contended checks — there
-    * is no legitimate reason for a filtered or dirty run to become the
-    * reference.
+    * changed); it does NOT override the filter, iters, or contended
+    * checks — there is no legitimate reason for a filtered, min-of-N, or
+    * dirty run to become the reference.
     */
   def mayReplaceReference(
       filterActive: Boolean,
@@ -181,8 +199,9 @@ object BenchSentinel {
       runQueries: Set[String],
       runSf: String,
       committed: Option[String],
-      force: Boolean = false): Boolean = {
-    if (filterActive || runContended) return false
+      force: Boolean = false,
+      itersActive: Boolean = false): Boolean = {
+    if (filterActive || itersActive || runContended) return false
     if (force) return true
     committed match {
       case None => true

@@ -2444,6 +2444,33 @@ object SparkEntry {
           sum(col("lid")).cast("long").as("sum_lid"),
           sum(col("rid_r")).cast("long").as("sum_rid"))
         .orderBy("user_id")
+    }),
+
+    // LEFT OUTER overlap join: purchases with no overlapping click survive
+    // NULL-filled (the reference's own join keeps unmatched left rows —
+    // ASOF LEFT, clickhouse_ohlc_generator.py:187-190). Same bucketed
+    // decomposition for the matched pairs; the unmatched remainder is a
+    // narrow signature anti join, no row ids, no broadcast. Oracled
+    // against DuckDB's plain LEFT JOIN with the range predicate in ON.
+    "q_interval_left" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("e"),
+          col("event_id").as("lid"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("e"),
+          col("event_id").as("rid"))
+      graft.operators.IntervalJoin
+        .overlapJoinLeft(purchases, clicks, Seq("user_id"), "s", "e", "s", "e",
+          suffix = "_r", bucketSeconds = 7200L)
+        .groupBy("user_id")
+        .agg(count(col("rid_r")).as("n_matched"),
+          sum(when(col("rid_r").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum(col("lid")).cast("long").as("sum_lid"),
+          coalesce(sum(col("rid_r")), lit(0L)).cast("long").as("sum_rid"))
+        .orderBy("user_id")
     })
   )
 
@@ -6084,6 +6111,28 @@ object SparkEntry {
                    CAST(sum(l.lid) AS BIGINT) AS sum_lid,
                    CAST(sum(r.rid) AS BIGINT) AS sum_rid
             FROM l JOIN r
+              ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+            GROUP BY 1 ORDER BY 1""",
+
+      // LEFT OUTER overlap: the range predicate lives in ON, so unmatched
+      // purchases survive NULL-filled — count(r.rid) skips them,
+      // n_unmatched counts them, and every purchase-holding user appears
+      "q_interval_left" ->
+        s"""WITH l AS (
+              SELECT user_id, $evTs AS s, $evTs + INTERVAL 2 HOUR AS e,
+                     event_id AS lid
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, $evTs AS s, $evTs + INTERVAL 1 HOUR AS e,
+                     event_id AS rid
+              FROM events WHERE event_type = 'click')
+            SELECT l.user_id,
+                   CAST(count(r.rid) AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN r.rid IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unmatched,
+                   CAST(sum(l.lid) AS BIGINT) AS sum_lid,
+                   CAST(coalesce(sum(r.rid), 0) AS BIGINT) AS sum_rid
+            FROM l LEFT JOIN r
               ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
             GROUP BY 1 ORDER BY 1"""
     ) ++ resampleOracles(evTs)

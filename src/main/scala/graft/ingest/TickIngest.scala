@@ -271,6 +271,11 @@ object TickIngest {
         struct(allCols.map(col): _*),
         struct(col("bid"), col("ask"))).as("__best"))
       .select(allCols.map(c => col(s"__best.$c").as(c)): _*)
+    // the deduped batch feeds THREE consumers below — the partitioned
+    // write, the touched-months collect, and the inserted-rows count;
+    // without a persist each re-runs the dedup aggregation over the raw
+    // batch (three full batch scans per ingest). Cache it around all three.
+    deduped.persist()
     // cluster writes per partition and sort by timestamp so Parquet
     // row-group min/max stats give tight range pruning (≙ the reference's
     // ORDER BY (instrument, timestamp) sparse primary index, SURVEY.md §4)
@@ -283,6 +288,7 @@ object TickIngest {
       .option("compression", "zstd") // ≙ reference codec choice (ZSTD cols)
       .partitionBy("instrument", "yyyymm")
       .parquet(s"$warehouse/${variant}_ticks")
+    catch { case e: Throwable => deduped.unpersist(); throw e }
     finally prevMode.fold(
       spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
@@ -300,20 +306,24 @@ object TickIngest {
     // already succeeded — failing the batch over a failed JSON write would
     // be wrong (the reader's freshness check routes a missing/stale sidecar
     // to the footer fallback).
-    val touchedMonths = deduped.select("yyyymm").distinct()
-      .collect().map(_.getString(0))
-    touchedMonths.foreach { m =>
-      try graft.storage.Manifest.write(spark,
-        s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}/yyyymm=$m",
-        "timestamp")
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-    // inserted-row count = the batch itself, one extra job over the (in the
-    // facade path: cached) batch input. Reading back the stored table
-    // filtered only on instrument counted EVERY month ever ingested — a
-    // full-instrument scan per monthly batch (and a wrong "inserted" number
-    // once history accumulates).
-    deduped.count()
+    try {
+      val touchedMonths = deduped.select("yyyymm").distinct()
+        .collect().map(_.getString(0))
+      touchedMonths.foreach { m =>
+        try graft.storage.Manifest.write(spark,
+          s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}/yyyymm=$m",
+          "timestamp")
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // inserted-row count = the batch itself, answered from the cache
+      // (the Manifest.write jobs above scan the WRITTEN files — that scan
+      // per touched month is the sidecar's cost and is unavoidable; the
+      // batch-side jobs all reuse the persisted dedup). Reading back the
+      // stored table filtered only on instrument counted EVERY month ever
+      // ingested — a full-instrument scan per monthly batch (and a wrong
+      // "inserted" number once history accumulates).
+      deduped.count()
+    } finally deduped.unpersist()
   }
 
   /** Read a stored tick table, with `yyyymm` partition-pruning predicates

@@ -88,17 +88,38 @@ object OhlcGenerator {
     * unknowable from metadata, and [[regenerate]] falls back to a probed
     * "auto" dispatch rather than guessing.
     */
+  /** Monotone count of parquet FOOTER opens paid by the metadata tiers —
+    * the cost the `_manifest` sidecar tier exists to avoid. Specs pin that
+    * a freshly-written partition's count answers from its sidecar with
+    * ZERO footer opens (ForexPipelineSpec), the way [[Probes.probeJobs]]
+    * pins zero decision scans.
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def footerMonthCounts(
       spark: SparkSession,
       warehouse: String,
       variant: String,
       instrument: String,
       months: Seq[String]
+  ): Seq[(String, Long)] =
+    tableMonthCounts(spark, warehouse, s"${variant}_ticks", instrument, months)
+
+  /** [[footerMonthCounts]] generalized to any instrument/yyyymm-partitioned
+    * warehouse table (tick variants AND `ohlc_1m` — bar-count accounting
+    * mirrors `clickhouse_ohlc_generator.py:199-210`).
+    */
+  private[graft] def tableMonthCounts(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      instrument: String,
+      months: Seq[String]
   ): Seq[(String, Long)] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val base =
-      new Path(s"$warehouse/${variant}_ticks/instrument=${instrument.toUpperCase}")
+      new Path(s"$warehouse/$table/instrument=${instrument.toUpperCase}")
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) return Nil
     val monthDirs =
@@ -117,6 +138,7 @@ object OhlcGenerator {
         .map(_.values.sum)
       val rows = fromManifest.getOrElse {
         parquetFiles.iterator.map { s =>
+          footerReads.incrementAndGet()
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(s, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -209,9 +231,22 @@ object OhlcGenerator {
       case Some((raw, std)) =>
         val total = (raw ++ std).map(_._2).sum
         if (total > graft.operators.AsofJoin.HotKeyCrossover) {
-          val live = (raw ++ std).collect { case (m, n) if n > 0 => m }
-          ("bucketed", graft.operators.AsofJoin
-            .bucketWidthFor(total, monthSpanSeconds(live)))
+          val byMonth = (raw ++ std).groupMapReduce(_._1)(_._2)(_ + _)
+            .filter(_._2 > 0)
+          val live = byMonth.keys.toSeq
+          // average-density width over the whole stored span, corrected
+          // down by the DENSEST month (the footer metadata's burst
+          // resolution — month-granular where the probe path's is hourly,
+          // but free): a year of sparse history with one packed month
+          // must get a width sized for that month, not the year average.
+          val target = graft.operators.AsofJoin.HotKeyCrossover
+          val avg = graft.operators.AsofJoin
+            .bucketWidthFor(total, monthSpanSeconds(live), target)
+          val peak = byMonth.map { case (m, n) =>
+            graft.operators.AsofJoin
+              .bucketWidthFor(n, monthSpanSeconds(Seq(m)), target)
+          }.min
+          ("bucketed", math.min(avg, peak))
         } else ("plain", 86400L)
     }
     val out = generate(
@@ -249,6 +284,36 @@ object OhlcGenerator {
     } finally {
       prevMode.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    // Refresh the `_manifest` sidecar of every REWRITTEN ohlc month — the
+    // same best-effort pattern as TickIngest.writeTicks: bar-count
+    // accounting over ohlc_1m (mirrors `clickhouse_ohlc_generator.py:
+    // 199-210`) then answers from one sidecar read per partition instead
+    // of a footer round-trip per data file. A month-scoped rebuild touches
+    // exactly `months`; a full rebuild replaced the instrument's whole
+    // subtree, so every month dir present afterwards is fresh. A failed or
+    // skipped refresh (e.g. a requested month that produced no bars and so
+    // has no directory) leaves a missing/stale sidecar, which the reader's
+    // file-name freshness check routes to footers — never wrong, only
+    // slower.
+    {
+      import org.apache.hadoop.fs.Path
+      val ohlcBase = s"$warehouse/ohlc_1m/instrument=${instrument.toUpperCase}"
+      val touched: Seq[String] =
+        if (months.nonEmpty) months
+        else try {
+          val conf = spark.sessionState.newHadoopConf()
+          val base = new Path(ohlcBase)
+          val fs = base.getFileSystem(conf)
+          if (!fs.exists(base)) Nil
+          else fs.listStatus(base).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+            .map(_.getPath.getName.stripPrefix("yyyymm="))
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      touched.foreach { m =>
+        try graft.storage.Manifest.write(spark, s"$ohlcBase/yyyymm=$m", "timestamp")
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     spark.read.parquet(s"$warehouse/ohlc_1m")
       .filter(col("instrument") === instrument.toUpperCase)

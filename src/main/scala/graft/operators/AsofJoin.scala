@@ -301,12 +301,45 @@ object AsofJoin {
     }
   }
 
+  /** Burst-resistant [[bucketWidthFor]]: the average-density width is
+    * CORRECTED DOWN by the hot key's measured PEAK window density. A key
+    * whose rows bunch into one hour of a month span has ~700× its
+    * month-average density inside the burst — the average-sized width
+    * then re-serializes exactly where the rows are (the r14 auto-width
+    * failure mode). The peak width `peakWindowSeconds × target / peakRows`
+    * is what the target-rows-per-bucket goal demands AT the burst; taking
+    * the min of the two candidates sizes for the worst window while never
+    * widening past the average-safe bound. Degenerate peak stats (0 — no
+    * timed rows in the probe) keep the average width; everything stays
+    * clamped to [1 s, span] as in the base sizer. Width is purely
+    * physical (all forms row-equivalent), so a mis-measured peak moves
+    * cost, never rows.
+    */
+  def bucketWidthFor(
+      hotKeyRows: Long,
+      spanSeconds: Long,
+      peakWindowRows: Long,
+      peakWindowSeconds: Long,
+      targetRowsPerBucket: Long): Long = {
+    val avg = bucketWidthFor(hotKeyRows, spanSeconds, targetRowsPerBucket)
+    if (peakWindowRows <= 0L || peakWindowSeconds <= 0L) avg
+    else {
+      val wPeak = peakWindowSeconds.toDouble * targetRowsPerBucket.toDouble /
+        peakWindowRows.toDouble
+      math.max(1L, math.min(avg, wPeak.toLong))
+    }
+  }
+
   /** [[chooseAsofForm]] extended with bucket-width sizing: same two-tier
     * probe discipline (capped no-shuffle quick reject, then ONE sampled
-    * per-key agg — the span stats ride that same agg, so the probe-job
-    * count is unchanged), but a "bucketed" verdict now carries a width
-    * derived from the hottest key's measured rows-over-time density
-    * ([[bucketWidthFor]]) instead of a fixed day.
+    * per-key agg — the span AND peak-window stats ride that same pass, so
+    * the probe-job count is unchanged), but a "bucketed" verdict now
+    * carries a width derived from the hottest key's measured
+    * rows-over-time density, corrected down by its PEAK hourly density
+    * ([[bucketWidthFor]] burst overload) — a month-span key whose rows
+    * bunch into one hour gets an hour-scale width, not a month-average
+    * one, so the skew the form exists to break can't reappear inside the
+    * burst.
     */
   def chooseAsofDispatch(
       left: DataFrame,
@@ -323,9 +356,10 @@ object AsofJoin {
         .select((on.map(col) :+ col(rightTime).cast("timestamp").as("__t")): _*))
     if (Probes.cappedCount(keys, threshold) <= threshold)
       return AsofDispatch("plain", defaultBucketSeconds)
-    val (hotRows, spanSec) = Probes.hottestKeyStats(keys, on, "__t", threshold)
-    if (hotRows > threshold)
-      AsofDispatch("bucketed", bucketWidthFor(hotRows, spanSec, threshold))
+    val stats = Probes.hottestKeyBurstStats(keys, on, "__t", threshold)
+    if (stats.rows > threshold)
+      AsofDispatch("bucketed", bucketWidthFor(stats.rows, stats.spanSeconds,
+        stats.peakWindowRows, Probes.PeakWindowSeconds, threshold))
     else AsofDispatch("plain", defaultBucketSeconds)
   }
 

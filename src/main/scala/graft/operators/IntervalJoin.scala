@@ -73,6 +73,20 @@ object IntervalJoin {
   ): DataFrame = {
     require(on.nonEmpty, "overlapJoin needs at least one equi key column")
     require(bucketSeconds >= 1L, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    // contract guards (the violations below USED to surface as opaque
+    // AnalysisExceptions deep in the refine filter — ambiguous/missing
+    // column — instead of naming the misuse):
+    require(!on.contains(rightStart) && !on.contains(rightEnd),
+      s"right interval bounds ($rightStart, $rightEnd) must not be join " +
+        s"keys (on=${on.mkString(",")}): a key column is emitted unsuffixed " +
+        "once, so the right bound would vanish before the overlap refine")
+    if (suffix.isEmpty) {
+      val clash = right.columns.filterNot(on.contains).toSet
+        .intersect(left.columns.toSet)
+      require(clash.isEmpty,
+        s"suffix is empty but right columns ${clash.mkString(",")} collide " +
+          "with left columns — pass a non-empty suffix or rename")
+    }
     val bMicros = bucketSeconds * 1000000L
     def micros(c: String): Column = unix_micros(col(c).cast("timestamp"))
     def bucketsOf(start: String, end: String): Column =
@@ -103,15 +117,42 @@ object IntervalJoin {
       .drop("__b")
   }
 
+  /** Per-row replication cap for intervals LONGER than the chosen bucket
+    * width: an outlier explodes to at most ~this many bucket rows. Bounds
+    * the blow-up of a pathological open-ended interval (a year-long row
+    * would otherwise explode to len/width rows at a narrow width).
+    */
+  val OutlierReplicationCap: Long = 64L
+
+  /** Bucket width from measured length stats, outlier-resistant: sized to
+    * the P99 length — NOT the max — floored so no single row replicates
+    * past [[OutlierReplicationCap]] buckets.
+    *
+    * Sizing off the max (the r14 form) is outlier-fragile in the opposite
+    * direction: ONE sentinel-long interval (an open-ended end date) widens
+    * EVERY bucket to its length, collapsing the (key, bucket)
+    * decomposition back toward the per-key quadratic enumeration the
+    * operator exists to avoid. At the p99 width, 99% of rows land in ≤2
+    * buckets; the outlier tail replicates up to ceil(max/width)+1 ≤ ~65
+    * rows each — a bounded constant on a 1% tail, versus an UNBOUNDED
+    * bucket-population blow-up for every row. Width is purely physical
+    * (equivalence at any width is spec-pinned), so the estimate moves
+    * cost, never rows.
+    */
+  def autoBucketWidth(maxSec: Long, p99Sec: Long): Long =
+    if (maxSec <= 0L) 3600L // degenerate: nothing well-formed, any width fits
+    else math.max(1L, math.max(p99Sec,
+      (maxSec + OutlierReplicationCap - 1L) / OutlierReplicationCap))
+
   /** [[overlapJoin]] with the bucket width MEASURED instead of guessed:
-    * one narrow no-shuffle probe ([[Probes.maxIntervalSeconds]]) finds the
-    * longest interval on either side, and the bucket is sized to it — the
-    * width that bounds replication at ceil(len/B)+1 ≤ 2 rows per input.
-    * Same dispatch philosophy as [[AsofJoin.leftAsofAuto]]: the decision
-    * scan is a single max-aggregation over two derived columns, constant
-    * next to the join it fronts at any scale, and the width is purely
-    * physical (equivalence holds at ANY width — spec-pinned), so probe
-    * error can only move cost, never rows.
+    * one narrow aggregation probe per side ([[Probes.intervalLengthStats]],
+    * max + approximate p99 in the same agg) and the bucket is sized by
+    * [[autoBucketWidth]] — the p99 length, floored by the outlier
+    * replication cap. Same dispatch philosophy as
+    * [[AsofJoin.leftAsofAuto]]: the decision scan is constant next to the
+    * join it fronts at any scale, and the width is purely physical
+    * (equivalence holds at ANY width — spec-pinned), so probe error can
+    * only move cost, never rows.
     */
   def overlapJoinAuto(
       left: DataFrame,
@@ -123,13 +164,131 @@ object IntervalJoin {
       rightEnd: String,
       suffix: String = "_r"
   ): DataFrame = {
-    val maxLen = math.max(
-      Probes.maxIntervalSeconds(left, leftStart, leftEnd),
-      Probes.maxIntervalSeconds(right, rightStart, rightEnd))
-    // degenerate inputs (empty, or nothing well-formed) join to nothing —
-    // any width is equivalent, take the hour default
-    val width = if (maxLen <= 0L) 3600L else maxLen
+    val (maxL, p99L) = Probes.intervalLengthStats(left, leftStart, leftEnd)
+    val (maxR, p99R) = Probes.intervalLengthStats(right, rightStart, rightEnd)
+    val width = autoBucketWidth(math.max(maxL, maxR), math.max(p99L, p99R))
     overlapJoin(left, right, on, leftStart, leftEnd, rightStart, rightEnd,
       suffix, width)
+  }
+
+  /** LEFT OUTER overlap join: every left row survives; rows with no
+    * overlapping right interval carry NULLs in the suffixed right columns
+    * (the reference's own join keeps unmatched left rows the same way —
+    * `clickhouse_ohlc_generator.py:187-190` ASOF LEFT). Over well-formed
+    * inputs this matches DuckDB's
+    * `LEFT JOIN ... ON k = k AND l.s < r.e AND r.s < l.e` row-for-row.
+    * Malformed left rows (NULL bounds, zero-length) survive NULL-filled
+    * under the engine's half-open contract — a zero-length [t, t) is the
+    * empty set and matches NOTHING, where the raw residual predicate
+    * would claim an overlap when t lies strictly inside a right interval
+    * (the same well-formedness stance as the inner form, extended to
+    * keep rather than drop the row).
+    *
+    * Unmatched rows are found WITHOUT tagging left rows with ids (an id
+    * column would force a row-identity shuffle and break determinism
+    * under retries): whether a left row matches depends ONLY on its
+    * (keys, start, end) signature, so identical-signature duplicates are
+    * all-matched or all-unmatched together. The matched signatures —
+    * narrow: keys + two timestamps, distinct'd — anti-join back against
+    * the left side null-safely, preserving duplicate multiplicity exactly
+    * as SQL does. Cost: the inner join itself, plus one distinct and one
+    * anti join over the narrow signature — the same shuffle class as the
+    * join, no broadcast/collect.
+    */
+  def overlapJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      suffix: String = "_r",
+      bucketSeconds: Long = 3600L
+  ): DataFrame = {
+    val matched = overlapJoin(left, right, on, leftStart, leftEnd,
+      rightStart, rightEnd, suffix, bucketSeconds)
+    val sigCols = (on :+ leftStart :+ leftEnd).distinct
+    val matchedSig = matched
+      .select(sigCols.map(c => col(c).as("__sig_" + c)): _*).distinct()
+    // null-safe equality: a left key column may hold NULL (such rows never
+    // match — <=> keeps the anti join from silently dropping them)
+    val antiCond = sigCols.map(c => col(c) <=> col("__sig_" + c))
+      .reduce(_ && _)
+    val unmatched = left.join(matchedSig, antiCond, "left_anti")
+    // NULL fill with the right side's exact output types, so the union's
+    // schema equals the inner join's
+    val nullRight = right.schema.fields.filterNot(f => on.contains(f.name))
+      .map(f => lit(null).cast(f.dataType).as(f.name + suffix))
+    matched.unionByName(unmatched.select(col("*") +: nullRight.toSeq: _*))
+  }
+
+  /** Length stats for a STORED interval table, metadata-first: from the
+    * table's `_manifest` sidecar ([[graft.storage.Manifest]] written with
+    * `intervalCols`) when one is present AND fresh — the sidecar's
+    * file-name set must equal the directory's actual parquet basenames
+    * (Spark writes fresh task-UUID names on every overwrite, so a name-set
+    * match proves the stats describe exactly the files present; a stale or
+    * statless sidecar → None, never wrong data). Zero Spark jobs, zero
+    * probe jobs: one small sequential sidecar read however large the data.
+    */
+  private[graft] def storedLengthStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return None
+      val names = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
+      if (names.isEmpty) return None
+      graft.storage.Manifest.fileIntervalStats(conf, dir)
+        .filter(_.keySet == names) // stale/partial sidecar → probe fallback
+        .map { stats =>
+          def ceilSec(us: Long): Long = (us + 999999L) / 1000000L
+          (ceilSec(stats.values.map(_._1).max), ceilSec(stats.values.map(_._2).max))
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[overlapJoinAuto]] over two STORED parquet interval tables, with the
+    * bucket width taken from their `_manifest` sidecars when both carry
+    * fresh interval stats ([[storedLengthStats]]) — zero decision scans,
+    * the same metadata-not-probe posture as
+    * [[graft.ohlc.OhlcGenerator.regenerate]]'s as-of dispatch. Falls back
+    * to the probed path for either side lacking a fresh stats-bearing
+    * sidecar: a missing optimization, never a wrong width (width is purely
+    * physical — equivalence at any width is spec-pinned).
+    *
+    * The global p99 is approximated as the max of the per-file p99s: an
+    * upper-ish bound (each file's own tail dominates its p99), so the
+    * width errs wide — fewer buckets, never extra replication for typical
+    * rows beyond the probed path's.
+    */
+  def overlapJoinAutoStored(
+      spark: org.apache.spark.sql.SparkSession,
+      leftPath: String,
+      rightPath: String,
+      on: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      suffix: String = "_r"
+  ): DataFrame = {
+    val left = spark.read.parquet(leftPath)
+    val right = spark.read.parquet(rightPath)
+    (storedLengthStats(spark, leftPath), storedLengthStats(spark, rightPath)) match {
+      case (Some((maxL, p99L)), Some((maxR, p99R))) =>
+        val width = autoBucketWidth(math.max(maxL, maxR), math.max(p99L, p99R))
+        overlapJoin(left, right, on, leftStart, leftEnd, rightStart, rightEnd,
+          suffix, width)
+      case _ =>
+        overlapJoinAuto(left, right, on, leftStart, leftEnd, rightStart,
+          rightEnd, suffix)
+    }
   }
 }

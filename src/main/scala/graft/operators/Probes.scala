@@ -81,35 +81,66 @@ object Probes {
     if (frac < 1.0) (maxSampled / frac).toLong else maxSampled
   }
 
-  /** [[hottestKeyCount]] extended with the hottest key's TIME SPAN, from
-    * the SAME sampled aggregation (min/max ride the per-key agg for free —
-    * still one probe job, same cost class). Returns (rows, spanSeconds) of
-    * the key with the most rows; (0, 0) on empty input. The span feeds
-    * bucket-width sizing ([[AsofJoin.bucketWidthFor]]): a skew verdict
-    * alone says "bucket", but only rows-over-time says how WIDE. The
-    * sampled span slightly understates the true extent (extreme rows may
-    * miss the sample) — fine for sizing, where being a few percent narrow
-    * only adds a bucket.
+  /** Coarse window used by [[hottestKeyBurstStats]]'s peak-density
+    * measurement: hour resolution is fine enough to see an intraday burst
+    * (the failure mode the stat exists for — a month-span key whose rows
+    * bunch into one hour) and coarse enough that the sampled per-window
+    * counts stay statistically meaningful at dispatch-threshold fractions.
     */
-  def hottestKeyStats(
+  val PeakWindowSeconds: Long = 3600L
+
+  /** Shape of the hottest join key: total rows, time span, and the row
+    * count of its BUSIEST [[PeakWindowSeconds]]-wide window. Rows and peak
+    * are scaled back to full-data estimates when the probe sampled.
+    */
+  final case class HotKeyStats(rows: Long, spanSeconds: Long, peakWindowRows: Long)
+
+  /** [[hottestKeyCount]] extended with the hottest key's TIME SPAN and
+    * PEAK WINDOW density, from the SAME sampled pass (the span min/max and
+    * the per-hour max ride the per-key aggregation — still ONE probe job,
+    * one action, same cost class; the extra pre-aggregation by
+    * (key, hour) only adds a second shuffle stage over the SAMPLE).
+    * Returns stats of the key with the most rows; all-zero on empty input.
+    *
+    * The span feeds bucket-width sizing ([[AsofJoin.bucketWidthFor]]): a
+    * skew verdict alone says "bucket", but only rows-over-time says how
+    * WIDE. The peak feeds the BURST correction: a hot key whose rows bunch
+    * into one hour of a month span has a month-average density ~700× below
+    * its real peak — an average-sized width re-serializes inside the burst
+    * (the r14 auto-width failure mode). The sampled span slightly
+    * understates the true extent (extreme rows may miss the sample) — fine
+    * for sizing, where being a few percent narrow only adds a bucket.
+    */
+  def hottestKeyBurstStats(
       df: DataFrame,
       keyCols: Seq[String],
       timeCol: String,
       threshold: Long,
       seed: Long = 42L
-  ): (Long, Long) = {
+  ): HotKeyStats = {
     probeJobs.incrementAndGet()
     val keys = df.select((keyCols.map(col) :+
       col(timeCol).cast("timestamp").as("__probe_t")): _*)
     val frac = math.min(1.0, SampleRowsTarget / threshold.toDouble)
     val src =
       if (frac < 1.0) keys.sample(withReplacement = false, frac, seed) else keys
-    val hottest = src.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-        min(col("__probe_t")).as("__lo"), max(col("__probe_t")).as("__hi"))
-      .agg(max_by(struct(col("__n"), col("__lo"), col("__hi")), col("__n")))
+    // pre-aggregate per (key, coarse window): per-window counts + time
+    // bounds partially combine map-side, so the probe's shuffle stays
+    // sample-sized; NULL times land in a NULL window and are excluded from
+    // span/peak (they carry no ordering information)
+    val wCol = floor(unix_micros(col("__probe_t")) /
+      (PeakWindowSeconds * 1000000L)).cast("long")
+    val perWindow = src.groupBy((keyCols.map(col) :+ wCol.as("__w")): _*)
+      .agg(count(lit(1)).as("__wn"),
+        min(col("__probe_t")).as("__wlo"), max(col("__probe_t")).as("__whi"))
+    val hottest = perWindow.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__wn")).as("__n"),
+        min(col("__wlo")).as("__lo"), max(col("__whi")).as("__hi"),
+        max(when(col("__w").isNotNull, col("__wn"))).as("__peak"))
+      .agg(max_by(struct(col("__n"), col("__lo"), col("__hi"), col("__peak")),
+        col("__n")))
       .head()
-    if (hottest.isNullAt(0)) return (0L, 0L)
+    if (hottest.isNullAt(0)) return HotKeyStats(0L, 0L, 0L)
     val row = hottest.getStruct(0)
     val n = row.getLong(0)
     val span =
@@ -119,7 +150,23 @@ object Probes {
         val hi = row.getTimestamp(2).toInstant
         java.time.Duration.between(lo, hi).getSeconds
       }
-    (if (frac < 1.0) (n / frac).toLong else n, span)
+    val peak = if (row.isNullAt(3)) 0L else row.getLong(3)
+    def scaled(v: Long): Long = if (frac < 1.0) (v / frac).toLong else v
+    HotKeyStats(scaled(n), span, scaled(peak))
+  }
+
+  /** Back-compat view of [[hottestKeyBurstStats]]: (rows, spanSeconds) of
+    * the hottest key. Same single probe job.
+    */
+  def hottestKeyStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      threshold: Long,
+      seed: Long = 42L
+  ): (Long, Long) = {
+    val s = hottestKeyBurstStats(df, keyCols, timeCol, threshold, seed)
+    (s.rows, s.spanSeconds)
   }
 
   /** Longest [start, end) interval in `df`, in whole seconds (ceil) — the
@@ -143,5 +190,39 @@ object Probes {
         len > 0L)
       .agg(max(len)).head()
     if (mx.isNullAt(0)) 0L else (mx.getLong(0) + 999999L) / 1000000L
+  }
+
+  /** Interval-length distribution stats for bucket sizing:
+    * (maxSeconds, p99Seconds) over the well-formed [start, end) rows of
+    * `df`, both ceil'd to whole seconds. ONE narrow aggregation — the
+    * approximate p99 rides the same agg as the max, so this costs exactly
+    * what [[maxIntervalSeconds]] does (one probe job, no extra pass).
+    *
+    * The p99 exists because sizing off the MAX is outlier-fragile: one
+    * open-ended sentinel interval (a year-long row in an hours-long
+    * distribution) would widen EVERY bucket to a year, collapsing the
+    * (key, bucket) decomposition back toward the per-key quadratic
+    * enumeration the overlap join exists to avoid. Sizing off the p99
+    * keeps typical rows at ≤2 buckets and lets only the outliers
+    * replicate further (their factor bounded separately by the caller —
+    * [[IntervalJoin.autoBucketWidth]]). Approximate is fine: the width is
+    * purely physical, so estimator error moves cost, never rows.
+    * (0, 0) when nothing is well-formed.
+    */
+  def intervalLengthStats(
+      df: DataFrame,
+      startCol: String,
+      endCol: String
+  ): (Long, Long) = {
+    probeJobs.incrementAndGet()
+    val len = unix_micros(col(endCol).cast("timestamp")) -
+      unix_micros(col(startCol).cast("timestamp"))
+    val row = df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        len > 0L)
+      .agg(max(len), percentile_approx(len, lit(0.99), lit(10000))).head()
+    def ceilSec(us: Long): Long = (us + 999999L) / 1000000L
+    if (row.isNullAt(0)) (0L, 0L)
+    else (ceilSec(row.getLong(0)),
+      if (row.isNullAt(1)) 0L else ceilSec(row.getLong(1)))
   }
 }

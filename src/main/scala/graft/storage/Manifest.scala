@@ -27,21 +27,44 @@ object Manifest {
     * and it lets [[Compactor]] rebuild a manifest after a rewrite without
     * being told the key (the carried stats would be stale for new files).
     */
-  def build(spark: SparkSession, path: String, keyCol: String): DataFrame =
-    spark.read.parquet(path)
+  def build(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      intervalCols: Option[(String, String)] = None): DataFrame = {
+    val base = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(
-        count(lit(1)).as("rows"),
-        min(col(keyCol)).as("min_key"),
-        max(col(keyCol)).as("max_key"))
+    val stats = Seq(
+      count(lit(1)).as("rows"),
+      min(col(keyCol)).as("min_key"),
+      max(col(keyCol)).as("max_key")) ++
+      // interval tables additionally carry per-file LENGTH stats (max +
+      // approx p99 of end-start, in µs over well-formed rows) so
+      // [[graft.operators.IntervalJoin.overlapJoinAutoStored]] can size
+      // its bucket width from the sidecar at zero query cost — the same
+      // metadata-not-probe posture as OhlcGenerator.regenerate's as-of
+      // dispatch. Stats ride the SAME single scan as rows/min/max.
+      intervalCols.toSeq.flatMap { case (s, e) =>
+        val len = unix_micros(col(e).cast("timestamp")) -
+          unix_micros(col(s).cast("timestamp"))
+        val wf = when(col(s).isNotNull && col(e).isNotNull && len > 0L, len)
+        Seq(max(wf).as("max_len_us"),
+          percentile_approx(wf, lit(0.99), lit(10000)).as("p99_len_us"))
+      }
+    base.agg(stats.head, stats.tail: _*)
       .withColumn("key_col", lit(keyCol))
       .orderBy("min_key", "file")
+  }
 
   /** Write the manifest as JSON under `<path>/_manifest` (one part file —
     * the manifest is O(files), always driver-small relative to the data).
     */
-  def write(spark: SparkSession, path: String, keyCol: String): Unit =
-    build(spark, path, keyCol)
+  def write(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      intervalCols: Option[(String, String)] = None): Unit =
+    build(spark, path, keyCol, intervalCols)
       .coalesce(1)
       .write.mode("overwrite").json(s"$path/_manifest")
 
@@ -94,6 +117,54 @@ object Manifest {
         }
       }
       Some(entries.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Driver-side per-file interval-length stats from a manifest sidecar
+    * written with `intervalCols` — basename → (max_len_us, p99_len_us) —
+    * WITHOUT a Spark job, same parse-the-JSON-parts discipline as
+    * [[fileRowCounts]]. `None` when no sidecar exists, it is garbled, or
+    * it was written WITHOUT interval stats (no line carries `max_len_us` —
+    * a plain manifest is not evidence about lengths). A line missing the
+    * stats while others carry them is a file with zero well-formed
+    * intervals (Spark's JSON writer drops null fields) → (0, 0).
+    * Callers MUST freshness-check the returned key set against the
+    * directory's actual parquet basenames, exactly as for
+    * [[fileRowCounts]].
+    */
+  def fileIntervalStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path): Option[Map[String, (Long, Long)]] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val mdir = new Path(dir, "_manifest")
+      val fs = mdir.getFileSystem(conf)
+      if (!fs.exists(mdir)) return None
+      val parts = fs.listStatus(mdir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".json"))
+      if (parts.isEmpty) return None
+      val filePat = """"file":"([^"]+)"""".r
+      val maxPat = """"max_len_us":(\d+)""".r
+      val p99Pat = """"p99_len_us":(\d+)""".r
+      var sawStats = false
+      val entries = parts.flatMap { p =>
+        val in = fs.open(p.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.filter(_.nonEmpty).map { line =>
+          val file = filePat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(f) => f.split('/').last
+            case None => return None // garbled line: the sidecar is suspect
+          }
+          val mx = maxPat.findFirstMatchIn(line).flatMap(_.group(1).toLongOption)
+          val p99 = p99Pat.findFirstMatchIn(line).flatMap(_.group(1).toLongOption)
+          if (mx.isDefined) sawStats = true
+          file -> (mx.getOrElse(0L), p99.getOrElse(0L))
+        }
+      }
+      if (sawStats) Some(entries.toMap) else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

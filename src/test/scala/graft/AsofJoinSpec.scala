@@ -192,7 +192,14 @@ class AsofJoinSpec extends SparkSpec {
       org.apache.spark.sql.functions.min("t"),
       org.apache.spark.sql.functions.max("t")).head()
     val span = (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 1000L
-    assert(d.bucketSeconds === bucketWidthFor(700L, span, 500L))
+    // r15: the dispatch width is the average-density width CORRECTED DOWN
+    // by the measured peak-hour density (burst resistance) — recompute the
+    // exact peak the probe sees and assert the full formula
+    val peak = union
+      .groupBy(org.apache.spark.sql.functions.window(col("t"), "1 hour"))
+      .count().agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(d.bucketSeconds === bucketWidthFor(700L, span, peak,
+      graft.operators.Probes.PeakWindowSeconds, 500L))
     assert(d.bucketSeconds > 0L && d.bucketSeconds < 86400L * 10)
     // even shape: plain verdict keeps the caller's default width
     val evenL = (1 to 60).map(i => (s"k${i % 6}", randTs(), i)).toDF("k", "t", "id")
@@ -241,6 +248,56 @@ class AsofJoinSpec extends SparkSpec {
     // empty input: no NPE, (0, 0)
     assert(Probes.hottestKeyStats(df.filter("1 = 0"), Seq("k"), "t", 100L)
       === ((0L, 0L)))
+  }
+
+  test("hottestKeyBurstStats: peak hourly density rides the same single probe pass") {
+    import graft.operators.Probes
+    // a BURSTY hot key: 5000 rows bunched into ONE hour of a 30-day span
+    // (plus sparse rows keeping the span wide), vs a cold key
+    val burst = spark.range(5000L).selectExpr("'HOT' AS k",
+      "timestamp_seconds(1704067200 + id % 3600) AS t") // all inside hour 0
+    val sparse = spark.range(100L).selectExpr("'HOT' AS k",
+      "timestamp_seconds(1704067200 + id * 25920) AS t") // spread over 30 d
+    val cold = spark.range(500L).selectExpr("'COLD' AS k",
+      "timestamp_seconds(1704067200 + id) AS t")
+    val df = burst.unionByName(sparse).unionByName(cold)
+    val before = Probes.probeJobs.get()
+    val s = Probes.hottestKeyBurstStats(df, Seq("k"), "t", threshold = 100L)
+    assert(Probes.probeJobs.get() === before + 1) // span+peak ride ONE job
+    assert(s.rows === 5100L)
+    assert(s.spanSeconds === 99L * 25920L)
+    // the busiest hour holds the whole burst (plus the sparse rows that
+    // happen to land in it: ids 0 and 1 of the 25920s series fall in hours
+    // 0 and 7 — only id 0 shares the burst hour)
+    assert(s.peakWindowRows === 5001L)
+    // empty input: all-zero, no NPE
+    assert(Probes.hottestKeyBurstStats(df.filter("1 = 0"), Seq("k"), "t", 100L)
+      === Probes.HotKeyStats(0L, 0L, 0L))
+  }
+
+  test("burst-resistant width: a month-span key bunched into one hour gets an hour-scale width") {
+    import AsofJoin.bucketWidthFor
+    val span = 30L * 86400L
+    // 10M rows over a month, ALL inside one hour: the average width
+    // (span × target / rows = 259 200 s ≈ 3 days of calendar time) would
+    // put the ENTIRE 10M-row burst inside a single 3-day bucket — the
+    // serialization the bucketed form exists to break, back again. The
+    // peak correction sizes from the burst's own density instead
+    // (3600 × 1M / 10M = 360 s → ~10 buckets across the burst) and takes
+    // the MIN of the two candidates.
+    val avgOnly = bucketWidthFor(10000000L, span, 1000000L)
+    val burstAware = bucketWidthFor(10000000L, span, 10000000L, 3600L, 1000000L)
+    assert(burstAware <= avgOnly)
+    assert(burstAware === math.min(avgOnly, 360L))
+    // uniform key (peak ≈ rows/hours): correction is a no-op (peak width ≥ avg)
+    val hours = span / 3600L
+    val uniformPeak = 10000000L / hours
+    assert(bucketWidthFor(10000000L, span, uniformPeak, 3600L, 1000000L)
+      === avgOnly)
+    // degenerate peak stats keep the average width; floor at 1 s holds
+    assert(bucketWidthFor(10000000L, span, 0L, 3600L, 1000000L) === avgOnly)
+    assert(bucketWidthFor(10000000L, span, 10000000L, 0L, 1000000L) === avgOnly)
+    assert(bucketWidthFor(10000000L, span, Long.MaxValue / 2, 3600L, 1L) === 1L)
   }
 
   test("native as-of rejects an empty key list with a clear message") {

@@ -143,6 +143,25 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(!BenchSentinel.mayReplaceReference(
       filterActive = false, runContended = true,
       runQueries = full, runSf = sf, committed = committed, force = true))
+    // SPARK_GRAFT_ITERS>1 keeps min-of-N walls — the other profiling knob;
+    // a clean UNFILTERED iters run must still never install its
+    // artificially fast walls as the band/level reference (force included)
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = committed,
+      itersActive = true))
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = committed, force = true,
+      itersActive = true))
+  }
+
+  test("backing_runs lineage stamp round-trips; absent on pre-r15 records") {
+    val stamped = """{"metric":"total","value":129.477,"unit":"sec","queries":{"q1":0.3},"nq":167,"contended":false,"passes":1,"backing_runs":3,"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchSentinel.parseBackingRuns(stamped) === Some(3))
+    val preR15 = """{"metric":"total","value":129.477,"queries":{"q1":0.3},"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchSentinel.parseBackingRuns(preR15) === None)
+    assert(BenchSentinel.parseBackingRuns("not json") === None)
   }
 
   test("level shift: steady load invisible to drift/band checks trips the level check") {

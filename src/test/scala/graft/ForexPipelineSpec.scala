@@ -661,4 +661,37 @@ class ForexPipelineSpec extends SparkSpec {
     assert(graft.operators.Probes.probeJobs.get() > before,
       "metadata fallback should have paid a probed auto dispatch")
   }
+
+  test("regenerate refreshes ohlc_1m _manifest sidecars: bar counts answer with ZERO footer opens") {
+    val (_, dir) = env
+    val wh = dir.resolve("warehouse").toString
+    import graft.ohlc.OhlcGenerator
+
+    // month-scoped rebuild: the rebuilt month's sidecar is fresh, so its
+    // bar count (the reference's accounting query,
+    // clickhouse_ohlc_generator.py:199-210) answers from ONE sidecar read —
+    // no parquet footer opens (footerReads pins it, the way probeJobs pins
+    // zero decision scans)
+    assert(OhlcGenerator.regenerate(spark, wh, "eurusd", Seq("202401")) > 0L)
+    val storedJan = spark.read.parquet(s"$wh/ohlc_1m")
+      .filter(col("instrument") === "EURUSD" && col("yyyymm") === "202401")
+      .count()
+    val before = OhlcGenerator.footerReads.get()
+    val metaJan = OhlcGenerator
+      .tableMonthCounts(spark, wh, "ohlc_1m", "EURUSD", Seq("202401"))
+    assert(metaJan.map(_._2).sum === storedJan)
+    assert(OhlcGenerator.footerReads.get() === before,
+      "bar count opened a parquet footer despite a fresh sidecar")
+
+    // full rebuild: EVERY stored month's sidecar is refreshed
+    assert(OhlcGenerator.regenerate(spark, wh, "eurusd") > 0L)
+    val storedAll = spark.read.parquet(s"$wh/ohlc_1m")
+      .filter(col("instrument") === "EURUSD").count()
+    val before2 = OhlcGenerator.footerReads.get()
+    val metaAll = OhlcGenerator
+      .tableMonthCounts(spark, wh, "ohlc_1m", "EURUSD", Nil)
+    assert(metaAll.map(_._2).sum === storedAll)
+    assert(OhlcGenerator.footerReads.get() === before2,
+      "full rebuild left a month answering from footers")
+  }
 }

@@ -127,6 +127,168 @@ class IntervalJoinSpec extends SparkSpec {
     assert(canon(auto) === canon(naive(l, r)))
   }
 
+  private def naiveLeft(l: DataFrame, r: DataFrame): DataFrame = {
+    // SQL LEFT JOIN with the range predicate in ON: every left row
+    // survives. The ON carries the half-open well-formedness term
+    // `l.s < l.e` explicitly — the engine's documented contract treats a
+    // zero-length [t, t) as the empty set (matches nothing, survives
+    // NULL-filled), where the raw residual predicate alone would CLAIM an
+    // overlap when t lies strictly inside a right interval
+    val rr = r.filter(col("s") < col("e"))
+      .select(col("k").as("k_rr"), col("s").as("s_r"), col("e").as("e_r"),
+        col("rid").as("rid_r"))
+    l.join(rr, col("k") === col("k_rr") && col("s") < col("e") &&
+        col("s") < col("e_r") && col("s_r") < col("e"), "left")
+      .drop("k_rr")
+  }
+
+  private def canonLeft(df: DataFrame): Seq[String] =
+    df.select(col("k"), col("lid"), col("rid_r"))
+      .orderBy(col("k"), col("lid"), col("rid_r").asc_nulls_first)
+      .collect().map(_.toString).toSeq
+
+  test("left-outer overlap join: unmatched/malformed/duplicate left rows survive NULL-filled") {
+    val l = Seq(
+      ("a", ts(100), ts(200), 1L),   // matches r1
+      ("a", ts(5000), ts(5100), 2L), // no overlapping right: NULL row
+      ("a", ts(5000), ts(5100), 2L), // EXACT duplicate: two NULL rows
+      ("a", ts(300), ts(300), 3L),   // zero-length: NULL row (SQL keeps it)
+      ("b", ts(100), ts(200), 4L),   // key with no right side at all
+      ("a", null, ts(50), 5L)        // NULL bound: NULL row
+    ).toDF("k", "s", "e", "lid")
+    val r = Seq(
+      ("a", ts(150), ts(250), 10L),
+      ("a", ts(90), ts(120), 11L)
+    ).toDF("k", "s", "e", "rid")
+    val out = IntervalJoin.overlapJoinLeft(l, r, Seq("k"), "s", "e", "s", "e",
+      suffix = "_r", bucketSeconds = 3600L)
+    assert(canonLeft(out) === canonLeft(naiveLeft(l, r)))
+    // schema equals the inner join's (NULL fill carries exact right types)
+    assert(out.columns.toSeq ===
+      IntervalJoin.overlapJoin(l, r, Seq("k"), "s", "e", "s", "e").columns.toSeq)
+    assert(out.schema("rid_r").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // multiplicity: the duplicated unmatched row yields exactly two rows
+    assert(out.filter(col("lid") === 2L && col("rid_r").isNull).count() === 2L)
+    assert(out.filter(col("lid") === 1L).count() === 2L) // r1 + r2 overlap
+  }
+
+  test("left-outer overlap join: randomized equivalence with the naive LEFT plan") {
+    val rnd = new scala.util.Random(29)
+    def intervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val k = s"k${rnd.nextInt(5)}" // 5 keys, some right-empty by chance
+      val s = rnd.nextInt(20000).toLong
+      val len = rnd.nextInt(5000).toLong // includes 0-length
+      (k, ts(s), ts(s + len), idBase + i)
+    }
+    for (trial <- 1 to 3) {
+      val l = intervals(120, 1000L * trial).toDF("k", "s", "e", "lid")
+      val r = intervals(40, 100000L * trial).toDF("k", "s", "e", "rid")
+      for (b <- Seq(777L, 3600L)) {
+        val out = IntervalJoin.overlapJoinLeft(l, r, Seq("k"), "s", "e", "s", "e",
+          suffix = "_r", bucketSeconds = b)
+        assert(canonLeft(out) === canonLeft(naiveLeft(l, r)), s"trial $trial width $b")
+      }
+    }
+  }
+
+  test("contract guards name the misuse instead of an opaque AnalysisException") {
+    val l = Seq(("a", ts(100), ts(200), 1L)).toDF("k", "s", "e", "lid")
+    val r = Seq(("a", ts(150), ts(250), 10L)).toDF("k", "s", "e", "rid")
+    // right bound column as a join key: the bound would vanish unsuffixed
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(l, r, Seq("k", "s"), "s", "e", "s", "e")
+    }
+    assert(e1.getMessage.contains("must not be join keys"))
+    // empty suffix with colliding non-key names: ambiguous refine otherwise
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(l, r, Seq("k"), "s", "e", "s", "e", suffix = "")
+    }
+    assert(e2.getMessage.contains("collide"))
+    // empty suffix with DISJOINT right names is a legitimate call
+    val rOk = r.select(col("k"), col("s").as("rs"), col("e").as("re"), col("rid"))
+    assert(IntervalJoin.overlapJoin(l, rOk, Seq("k"), "s", "e", "rs", "re",
+      suffix = "").count() === 1L)
+  }
+
+  test("autoBucketWidth: p99-sized, outlier-capped — one sentinel row can't widen every bucket") {
+    import IntervalJoin.{autoBucketWidth, OutlierReplicationCap}
+    // typical distribution: p99 ≈ max → width = p99 (the r14 behavior)
+    assert(autoBucketWidth(4000L, 3900L) === 3900L)
+    // ONE year-long sentinel over an hours-long p99: width stays hour-scale
+    // (the outlier replicates ≤ cap+1, instead of every bucket growing to
+    // a year); the floor max/cap bounds the sentinel's own replication
+    val yr = 365L * 86400L
+    val w = autoBucketWidth(yr, 3600L)
+    assert(w === yr / OutlierReplicationCap + (if (yr % OutlierReplicationCap == 0) 0 else 1))
+    assert(w < 86400L * 6) // hour-to-days scale, nowhere near a year
+    // degenerate: nothing well-formed → any width is equivalent
+    assert(autoBucketWidth(0L, 0L) === 3600L)
+    assert(autoBucketWidth(5L, 0L) === 1L) // tiny intervals: 1 s floor
+  }
+
+  test("intervalLengthStats rides max and p99 in one agg (one probe job)") {
+    import graft.operators.Probes
+    val rows = (1 to 200).map(i => ("k", ts(0), ts(i.toLong), i.toLong)) :+
+      (("k", ts(0), ts(100000L), 999L)) // outlier
+    val df = rows.toDF("k", "s", "e", "lid")
+    val before = Probes.probeJobs.get()
+    val (mx, p99) = Probes.intervalLengthStats(df, "s", "e")
+    assert(Probes.probeJobs.get() === before + 1)
+    assert(mx === 100000L)
+    assert(p99 >= 190L && p99 <= 250L, s"p99=$p99") // near the 200 bulk tail
+    // malformed-only input → (0, 0)
+    val broken = Seq(("a", ts(10), ts(10), 1L)).toDF("k", "s", "e", "lid")
+    assert(Probes.intervalLengthStats(broken, "s", "e") === ((0L, 0L)))
+  }
+
+  test("stored tables: manifest-carried length stats size the width with ZERO probe jobs") {
+    import graft.operators.Probes
+    import graft.storage.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_interval_stored")
+    val lPath = dir.resolve("left_t").toString
+    val rPath = dir.resolve("right_t").toString
+    val rnd = new scala.util.Random(31)
+    def intervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val k = s"k${rnd.nextInt(3)}"
+      val s = rnd.nextInt(10000).toLong
+      (k, ts(s), ts(s + 1 + rnd.nextInt(4000).toLong), idBase + i)
+    }
+    val l = intervals(100, 1000L).toDF("k", "s", "e", "lid")
+    val r = intervals(80, 100000L).toDF("k", "s", "e", "rid")
+    l.write.parquet(lPath); r.write.parquet(rPath)
+    // the export ships its manifest WITH interval stats (same single scan)
+    Manifest.write(spark, lPath, "s", intervalCols = Some(("s", "e")))
+    Manifest.write(spark, rPath, "s", intervalCols = Some(("s", "e")))
+
+    val before = Probes.probeJobs.get()
+    val stored = IntervalJoin.overlapJoinAutoStored(spark, lPath, rPath,
+      Seq("k"), "s", "e", "s", "e")
+    assert(canon(stored) === canon(naive(l, r)))
+    assert(Probes.probeJobs.get() === before,
+      "stored path paid a probe despite fresh stats-bearing sidecars")
+
+    // manifest stats agree with the probed stats (ceil'd seconds, p99 ≤ max)
+    val (mx, p99) = IntervalJoin.storedLengthStats(spark, lPath).get
+    assert(mx === Probes.maxIntervalSeconds(l, "s", "e"))
+    assert(p99 >= 1L && p99 <= mx)
+
+    // FRESHNESS: a file appended after the manifest was written makes the
+    // name set diverge — the stored tier refuses and the probe pays
+    intervals(5, 777L).toDF("k", "s", "e", "rid")
+      .write.mode("append").parquet(rPath)
+    assert(IntervalJoin.storedLengthStats(spark, rPath).isEmpty)
+    val before2 = Probes.probeJobs.get()
+    val fallback = IntervalJoin.overlapJoinAutoStored(spark, lPath, rPath,
+      Seq("k"), "s", "e", "s", "e")
+    assert(Probes.probeJobs.get() === before2 + 2, "fallback should probe both sides")
+    assert(fallback.count() >= stored.count())
+
+    // a PLAIN manifest (no interval stats) is not evidence about lengths
+    Manifest.write(spark, lPath, "s")
+    assert(IntervalJoin.storedLengthStats(spark, lPath).isEmpty)
+  }
+
   test("overlap join plans as an equi join on (key, bucket) — bucket in the hash keys") {
     val l = (1 to 200).map(i => ("k" + i % 3, ts(i * 100L), ts(i * 100L + 500), i.toLong))
       .toDF("k", "s", "e", "lid")

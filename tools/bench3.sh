@@ -12,10 +12,18 @@
 #   4. install the clean run with the MEDIAN total as bench_full.json —
 #      the number to commit.
 #
-# Usage: tools/bench3.sh [runs]   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+#   5. stamp the installed record with "backing_runs": the number of clean
+#      runs it is the median of (Bench echoes the committed record's count
+#      as ref_backing — "median of N" is machine-checkable, not prose);
+#   6. archive every clean run under $ARCHIVE (2nd arg) when given, so the
+#      runs backing the committed reference are inspectable in-repo.
+#
+# Usage: tools/bench3.sh [runs] [archive_dir]
+#        (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 RUNS="${1:-3}"
+ARCHIVE="${2:-}"
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 OUT=/tmp/bench_runs
@@ -45,9 +53,9 @@ for i in $(seq 1 "$RUNS"); do
   # overwrites it at the end)
   [[ -f "$OUT/ref_before.json" ]] && cp "$OUT/ref_before.json" bench_full.json
 done
-python3 - "$OUT" "$RUNS" <<'EOF'
+python3 - "$OUT" "$RUNS" "$ARCHIVE" <<'EOF'
 import json, os, shutil, sys
-out, runs = sys.argv[1], int(sys.argv[2])
+out, runs, archive = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 recs = []
 for i in range(1, runs + 1):
     path = f"{out}/run_{i}.json"
@@ -63,14 +71,28 @@ for i in range(1, runs + 1):
     # disqualifying as errors where official records are accepted — the
     # surviving minimum may have raced whatever killed the other pass
     if not d.get("contended") and not d.get("errors") and not d.get("flaky"):
-        recs.append((d["value"], path))
+        recs.append((d["value"], path, i))
 if not recs:
     sys.exit("no clean (contended:false, error- and flake-free) runs — nothing "
              "to install. If every run tripped the BAND check against a stale "
              "committed reference (a deliberate slowdown, renamed suite), "
              "re-baseline explicitly with SPARK_GRAFT_RECORD=replace.")
+if archive:
+    os.makedirs(archive, exist_ok=True)
+    for _, path, i in recs:
+        shutil.copy(path, os.path.join(archive, f"clean_run_{i}.json"))
+    print(f"archived {len(recs)} clean run(s) under {archive}/")
 recs.sort()
 median = recs[(len(recs) - 1) // 2]
-shutil.copy(median[1], "bench_full.json")
-print(f"installed median clean run ({median[0]:.2f}s) as bench_full.json")
+with open(median[1]) as f:
+    rec = json.load(f)
+# lineage stamp: this record is the median of len(recs) archived clean runs
+# (Bench self-stamps 1 on a single-run install). Compact separators keep the
+# machine-written shape BenchSentinel's regex parsers expect.
+rec["backing_runs"] = len(recs)
+with open("bench_full.json", "w") as f:
+    json.dump(rec, f, separators=(",", ":"))
+    f.write("\n")
+print(f"installed median of {len(recs)} clean runs "
+      f"({median[0]:.2f}s, run {median[2]}) as bench_full.json")
 EOF
