@@ -807,6 +807,70 @@ object ScaleProbe {
       println(s"dispatch_e2e   form=${d.form} width=${d.bucketSeconds}s " +
         s"(expected bucketed, ~${graft.operators.AsofJoin.bucketWidthFor(3000000L, day)}s)")
     }
+    // (r15) BURST resistance of the auto as-of width: fixed rows on one
+    //     hot key over a FIXED month span, concentration swept — conc=c
+    //     bunches the rows into span/c of wall time while sparse anchor
+    //     rows pin the span at the month. The r14 average-density width
+    //     (span × target / rows) is blind to c: at c=10 the burst packs
+    //     ~10× the target into each average-sized bucket and the hot
+    //     partition re-serializes exactly where the rows are. The
+    //     burst-aware dispatch (hottestKeyBurstStats → peak-density
+    //     width) shrinks the bucket with the measured peak instead, so
+    //     its wall stays ~flat as c grows.
+    if (sec("asofburst")) {
+      val monthSec = 30L * 86400L
+      def burstSide(n: Long, conc: Long, payload: Boolean): DataFrame = {
+        val winUs = monthSec * 1000000L / conc
+        val dense = spark.range(n).select(
+          lit("HOT").as("k"),
+          expr(s"timestamp_micros(1704067200000000 + CAST(id * ($winUs.0 / $n) AS BIGINT))").as("t"),
+          col("id").as("ord"))
+        // 1000 sparse anchors keep the measured SPAN at a month for every
+        // concentration — the burst-inside-a-wide-span shape under test
+        val anchors = spark.range(1000L).select(
+          lit("HOT").as("k"),
+          expr(s"timestamp_micros(1704067200000000 + id * ${monthSec * 1000L})").as("t"),
+          (col("id") + n).as("ord"))
+        val u = dense.unionByName(anchors)
+        if (payload)
+          u.select(col("k"), col("t"), (col("ord") % 1000).cast("double").as("v"))
+        else u.select(col("k"), col("t"), col("ord"))
+      }
+      def run(n: Long, conc: Long, mode: String): Double = {
+        val l = burstSide(n, conc, payload = false)
+        val r = burstSide(n / 2, conc, payload = true)
+        // aggregate the joined payload (count alone would let pruning
+        // delete the window fill being measured)
+        if (mode == "avg") {
+          // the r14 sizing: average density over the span, burst-blind
+          val width = graft.operators.AsofJoin
+            .bucketWidthFor(n + n / 2 + 2000L, monthSec)
+          time(graft.operators.AsofJoin.leftAsofBucketed(
+            l, r, Seq("k"), "t", "t", Seq("v"), "_c", bucketSeconds = width)
+            .agg(count(col("v_c")), sum(col("v_c"))).head())
+        } else {
+          time(graft.operators.AsofJoin.leftAsofAuto(
+            l, r, Seq("k"), "t", "t", Seq("v"), "_c")
+            .agg(count(col("v_c")), sum(col("v_c"))).head())
+        }
+      }
+      run(200000L, 10L, "avg"); run(200000L, 10L, "auto") // warm both shapes
+      println(f"${"asof_burst"}%-14s ${"rows/side"}%10s ${"conc"}%5s ${"wall_s"}%8s")
+      Seq(1L, 10L, 100L).foreach { c =>
+        Seq("avg", "auto").foreach { m =>
+          val wall = run(8000000L, c, m)
+          println(f"asof_$m%-9s ${8000000L}%10d $c%5d $wall%8.2f")
+        }
+      }
+      // the width the dispatcher actually picks at each concentration
+      Seq(1L, 10L, 100L).foreach { c =>
+        val l = burstSide(8000000L, c, payload = false)
+        val r = burstSide(4000000L, c, payload = true)
+        val d = graft.operators.AsofJoin
+          .chooseAsofDispatch(l, r, Seq("k"), "t", "t")
+        println(s"burst_dispatch conc=$c form=${d.form} width=${d.bucketSeconds}s")
+      }
+    }
     // (f) big-big interval-overlap join on ONE hot key (r14): Catalyst
     //     executes the keyed theta join as a join on the key alone with
     //     the range predicate as a residual filter — every same-key pair
