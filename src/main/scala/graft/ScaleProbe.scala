@@ -905,6 +905,46 @@ object ScaleProbe {
         println(f"interval_join  $n%10d $pairsB%10d $tn%8.2f $tb%10.2f")
       }
     }
+    // (e2) zone-map pruned range scan (r15): a narrow time predicate over a
+    //     range-clustered export, planned (a) as a plain filtered scan of
+    //     the whole directory vs (b) through storage.PrunedScan's manifest
+    //     zone map. The structural metric is FILES PLANNED: the plain scan
+    //     lists and footer-opens every file at any data size, the zone-map
+    //     scan touches only the files whose [min,max] intersect the day —
+    //     constant as the export grows (the day's row count grows with
+    //     replication here because replicas share the time span; at real
+    //     scale a day is a constant slice). Wall at local[32] understates
+    //     the win (hot page cache, no object-store listing latency); the
+    //     planned-file count is the 100 TB story.
+    if (sec("prunedscan")) {
+      import graft.storage.{Manifest, PrunedScan, RangeWriter}
+      val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-10 23:59:59.999999")
+      def agg(d: DataFrame) = d.agg(count(lit(1)), sum("value")).head()
+      println(f"${"pruned_scan"}%-14s ${"files"}%6s ${"planned"}%8s ${"rows"}%10s ${"wall_s"}%8s")
+      Seq(1, 4, 16).foreach { m =>
+        val out = s"$base/zonemap_x$m"
+        if (!new java.io.File(s"$out/_manifest").exists()) {
+          val reps = spark.range(m.toLong).select(col("id").as("rep"))
+          val df = src.crossJoin(reps)
+            .withColumn("event_id", col("event_id") + col("rep") * lit(10000000L))
+            .select("event_id", "ts", "user_id", "value")
+          RangeWriter.writeSorted(df, out, Seq("ts", "event_id"), numFiles = 64 * m)
+          Manifest.write(spark, out, "ts")
+        }
+        val total = new java.io.File(out).listFiles()
+          .count(f => f.getName.endsWith(".parquet"))
+        val fullDf = spark.read.parquet(out)
+          .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        val wFull = time(agg(fullDf))
+        val prunedDf = PrunedScan.readRange(spark, out, "ts", lo, hi)
+        val wPruned = time(agg(prunedDf))
+        val rows = prunedDf.count()
+        assert(rows == fullDf.count(), "zone-map scan must match the plain scan")
+        println(f"${s"full_x$m"}%-14s $total%6d $total%8d $rows%10d $wFull%8.2f")
+        println(f"${s"zonemap_x$m"}%-14s $total%6d ${prunedDf.inputFiles.length}%8d $rows%10d $wPruned%8.2f")
+      }
+    }
     // (e) the COMPOSED corpus pipeline (r14, carried from the r12 brief):
     //     CorpusPipelineSpec's 6-stage chain (quality → exact dedup →
     //     near-dup dedup → span removal → decontaminate → split) run as

@@ -1408,6 +1408,26 @@ object SparkEntry {
           bits = 20).as("z"))
         .orderBy("z", "event_id")),
 
+    // Zone-map pruned range scan (storage.PrunedScan over the Manifest's
+    // per-file min/max): the events slice is range-clustered into 12 files,
+    // a _manifest sidecar records each file's ts range, and the scan is
+    // planned over ONLY the files whose range can intersect the predicate —
+    // at export scale this skips listing/footer work for every file the
+    // zone map proves empty. Exact filter re-applied, so the result is
+    // byte-identical to the plain filtered scan the oracle runs.
+    "q_pruned_scan" -> ((s, dir) => {
+      val src = ev(s, dir)
+        .filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap").toString + "/events_ts"
+      graft.storage.RangeWriter.writeSorted(src, tmp, Seq("ts", "event_id"), numFiles = 12)
+      graft.storage.Manifest.write(s, tmp, "ts")
+      graft.storage.PrunedScan.readRange(s, tmp, "ts",
+          java.sql.Timestamp.valueOf("2024-01-08 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-12 23:59:59.999999"))
+        .orderBy("ts", "event_id")
+    }),
+
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
     // Runs to fixpoint, so the output is the exact connected components of
@@ -4081,6 +4101,13 @@ object SparkEntry {
                    (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) % 1048576 AS m
                  FROM events)
            ORDER BY z, event_id""",
+
+      "q_pruned_scan" ->
+        s"""SELECT event_id, $evTs AS ts, user_id, value FROM events
+            WHERE event_type = 'click'
+              AND $evTs >= TIMESTAMP '2024-01-08 00:00:00'
+              AND $evTs <= TIMESTAMP '2024-01-12 23:59:59.999999'
+            ORDER BY ts, event_id""",
 
       "q_mixture_sample" ->
         """SELECT doc_id, source FROM documents

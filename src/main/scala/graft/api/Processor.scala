@@ -201,7 +201,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
-    val df = TickIngest.readTicks(spark, warehouse, variant, Some(p),
+    val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
       start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
     val ordered = df.select("timestamp", "bid", "ask").orderBy("timestamp")
     limit.map(ordered.limit).getOrElse(ordered)
@@ -366,7 +366,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
-    val df = TickIngest.readTicks(spark, warehouse, variant, Some(p),
+    val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
         start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
       .select("timestamp", "bid", "ask")
     QueryEngine.cursorPage(df, "timestamp", Nil, cursor, pageSize)
@@ -386,7 +386,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
-    val df = TickIngest.readTicks(spark, warehouse, variant, Some(p),
+    val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
         start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
       .select("timestamp", "bid", "ask")
     QueryEngine.batches(df, "timestamp", Nil, pageSize, maxBatches)

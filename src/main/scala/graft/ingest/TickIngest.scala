@@ -352,4 +352,99 @@ object TickIngest {
     }
     df
   }
+
+  /** [[readTicks]] with zone-map FILE skipping on top of its partition
+    * pruning: month partitions outside the requested range are dropped by
+    * NAME on the driver (never listed), and within each surviving month
+    * the `_manifest` sidecar [[graft.storage.PrunedScan.prunedDataFiles]]
+    * selects only the files whose timestamp range can intersect the
+    * predicate — the Spark-native equivalent of the reference's sparse
+    * primary index ORDER BY (instrument, timestamp)
+    * (`docs/DATABASE_SCHEMA.md:759-764`): a narrow range over a deep
+    * month touches O(range) files, not O(files-in-month).
+    *
+    * Result-identical to [[readTicks]] (the same exact filters are
+    * re-applied; ForexPipelineSpec pins equality): a month without a
+    * fresh sidecar reads all its files, and any listing error falls back
+    * to [[readTicks]] wholesale — slower, never wrong.
+    */
+  def readTicksPruned(
+      spark: SparkSession,
+      warehouse: String,
+      variant: String,
+      instrument: Option[String] = None,
+      start: Option[String] = None,
+      end: Option[String] = None
+  ): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = s"$warehouse/${variant}_ticks"
+    def fallback() = readTicks(spark, warehouse, variant, instrument, start, end)
+    val files: Option[Seq[Path]] =
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(conf)
+        val instDirs = instrument match {
+          case Some(i) => Seq(new Path(rootPath, s"instrument=${i.toUpperCase}"))
+            .filter(fs.exists)
+          case None => fs.listStatus(rootPath).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
+            .map(_.getPath)
+        }
+        // yyyymm partition pruning by DIRECTORY NAME (zero-padded yyyymm
+        // orders lexicographically); the timestamp→month derivation
+        // mirrors readTicks' injected yyyymm predicates
+        // parse bounds as UTC wall-clock → absolute instants, matching how
+        // the exact filter's lit(s).cast("timestamp") resolves under the
+        // UTC session zone (java.sql.Timestamp.valueOf would go through
+        // the JVM-DEFAULT zone and could shift the zone-map bound off the
+        // filter by hours on a non-UTC JVM — a wrongly-skipped file)
+        def utcParse(t: String): java.time.LocalDateTime =
+          if (t.contains(" ") || t.contains("T"))
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          else java.time.LocalDate.parse(t).atStartOfDay
+        def monthOf(t: String): String = {
+          val d = utcParse(t).toLocalDate
+          f"${d.getYear}%04d${d.getMonthValue}%02d"
+        }
+        val loM = start.map(monthOf)
+        val hiM = end.map(monthOf)
+        // zone-map bounds: open ends widen to sentinels well outside any
+        // tick data, so a one-sided range still prunes on the bounded side
+        val loTs = utcParse(start.getOrElse("1900-01-01"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        val hiTs = utcParse(end.getOrElse("9999-01-01"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        val monthDirs = instDirs.flatMap { d =>
+          fs.listStatus(d).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+            .map(_.getPath)
+        }.filter { d =>
+          val m = d.getName.stripPrefix("yyyymm=")
+          loM.forall(_ <= m) && hiM.forall(m <= _)
+        }
+        Some(monthDirs.flatMap { d =>
+          graft.storage.PrunedScan
+            .prunedDataFiles(conf, d, "timestamp", loTs, hiTs)
+            .getOrElse { // no fresh sidecar: every data file of this month
+              fs.listStatus(d).toSeq
+                .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+                  !s.getPath.getName.startsWith("_") &&
+                  !s.getPath.getName.startsWith("."))
+                .map(_.getPath)
+            }
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    files match {
+      case None => fallback()
+      case Some(Nil) => fallback().filter(lit(false)) // schema-exact empty
+      case Some(paths) =>
+        var df = spark.read.option("basePath", root)
+          .parquet(paths.map(_.toString): _*)
+        instrument.foreach(i => df = df.filter(col("instrument") === i.toUpperCase))
+        start.foreach(s => df = df.filter(col("timestamp") >= lit(s).cast("timestamp")))
+        end.foreach(e => df = df.filter(col("timestamp") <= lit(e).cast("timestamp")))
+        df
+    }
+  }
 }

@@ -132,6 +132,63 @@ object Manifest {
     * directory's actual parquet basenames, exactly as for
     * [[fileRowCounts]].
     */
+  /** Driver-side per-file key ranges from a manifest sidecar — the zone
+    * map: (recorded key_col, basename → (min_key, max_key) as RAW JSON
+    * tokens), WITHOUT a Spark job, same parse-the-JSON-parts discipline
+    * as [[fileRowCounts]]. Tokens stay raw (quoted string or bare
+    * numeric) — [[PrunedScan]] owns their interpretation, so a key type
+    * this parser has never seen degrades to "can't prune" instead of a
+    * wrong comparison. A line with key_col but NO min/max is a file whose
+    * key column is entirely NULL (Spark's JSON writer drops null fields)
+    * → (None, None): provably empty for any range predicate. `None` when
+    * the sidecar is missing, garbled, or records more than one key_col.
+    * Callers MUST freshness-check the key set against the directory's
+    * actual parquet basenames, exactly as for [[fileRowCounts]].
+    */
+  def fileKeyRanges(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path)
+      : Option[(String, Map[String, (Option[String], Option[String])])] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val mdir = new Path(dir, "_manifest")
+      val fs = mdir.getFileSystem(conf)
+      if (!fs.exists(mdir)) return None
+      val parts = fs.listStatus(mdir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".json"))
+      if (parts.isEmpty) return None
+      val filePat = """"file":"([^"]+)"""".r
+      val keyColPat = """"key_col":"([^"]+)"""".r
+      // a JSON value token: a quoted string (escapes allowed) or a bare
+      // scalar (number / true / false) up to the next field or line end
+      val minPat = (""""min_key":("(?:[^"\\]|\\.)*"|[^,}]+)""").r
+      val maxPat = (""""max_key":("(?:[^"\\]|\\.)*"|[^,}]+)""").r
+      var keyCols = Set.empty[String]
+      val entries = parts.flatMap { p =>
+        val in = fs.open(p.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.filter(_.nonEmpty).map { line =>
+          val file = filePat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(f) => f.split('/').last
+            case None => return None // garbled line: the sidecar is suspect
+          }
+          keyColPat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(k) => keyCols += k
+            case None => return None // a manifest always records key_col
+          }
+          val mn = minPat.findFirstMatchIn(line).map(_.group(1))
+          val mx = maxPat.findFirstMatchIn(line).map(_.group(1))
+          file -> (mn, mx)
+        }
+      }
+      if (keyCols.size != 1) return None
+      Some((keyCols.head, entries.toMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def fileIntervalStats(
       conf: org.apache.hadoop.conf.Configuration,
       dir: org.apache.hadoop.fs.Path): Option[Map[String, (Long, Long)]] = {

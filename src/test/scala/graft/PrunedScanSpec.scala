@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.{Manifest, PrunedScan, RangeWriter}
+
+class PrunedScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+    .select("event_id", "ts", "user_id", "value")
+
+  private def dataFiles(out: String) =
+    new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("long key: pruned read equals full scan + filter, and actually skips files") {
+    val out = Files.createTempDirectory("pruned").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 8)
+    Manifest.write(spark, out, "event_id")
+    val total = dataFiles(out).length
+    assert(total >= 4, s"want several files, got $total")
+
+    val ids = events.agg(min("event_id"), max("event_id")).as[(Long, Long)].head()
+    val lo = ids._1 + (ids._2 - ids._1) / 4
+    val hi = ids._1 + (ids._2 - ids._1) / 3
+
+    val pruned = PrunedScan.readRange(spark, out, "event_id", lo, hi)
+    val full = spark.read.parquet(out)
+      .filter(col("event_id") >= lo && col("event_id") <= hi)
+    assert(pruned.orderBy("event_id").collect()
+      .sameElements(full.orderBy("event_id").collect()))
+    assert(pruned.count() > 0)
+    // the zone map must have removed files from the PLAN, not just rows
+    assert(pruned.inputFiles.length < total,
+      s"read ${pruned.inputFiles.length} of $total files — nothing pruned")
+  }
+
+  test("timestamp key: range bounds prune files and bounds are inclusive") {
+    val out = Files.createTempDirectory("pruned_ts").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 8)
+    Manifest.write(spark, out, "ts")
+    val total = dataFiles(out).length
+
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 23:59:59.999999")
+    val pruned = PrunedScan.readRange(spark, out, "ts", lo, hi)
+    val full = spark.read.parquet(out)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    assert(pruned.orderBy("ts", "event_id").collect()
+      .sameElements(full.orderBy("ts", "event_id").collect()))
+    assert(pruned.count() > 0)
+    assert(pruned.inputFiles.length < total,
+      s"read ${pruned.inputFiles.length} of $total files — nothing pruned")
+
+    // inclusivity at EXACT stored boundary values: take one file's manifest
+    // min as both bounds — the row(s) carrying it must survive
+    val mn = spark.read.parquet(pruned.inputFiles.head)
+      .agg(min("ts")).as[java.sql.Timestamp].head()
+    val point = PrunedScan.readRange(spark, out, "ts", mn, mn)
+    val expected = spark.read.parquet(out).filter(col("ts") === lit(mn)).count()
+    assert(expected > 0 && point.count() == expected)
+  }
+
+  test("range proven empty by the zone map: zero files read, schema kept") {
+    val out = Files.createTempDirectory("pruned_empty").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)
+    Manifest.write(spark, out, "event_id")
+    val pruned = PrunedScan.readRange(spark, out, "event_id", -500L, -1L)
+    assert(pruned.inputFiles.isEmpty, "no file intersects [-500,-1]")
+    assert(pruned.count() == 0)
+    assert(pruned.schema == spark.read.parquet(out).schema)
+  }
+
+  test("stale sidecar (file set changed after manifest write) falls back to full scan") {
+    val out = Files.createTempDirectory("pruned_stale").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)
+    Manifest.write(spark, out, "event_id")
+    // a compaction/append the manifest never saw
+    events.limit(10).coalesce(1).write.mode("append").parquet(out)
+    val total = dataFiles(out).length
+    val pruned = PrunedScan.readRange(spark, out, "event_id", 1L, 5L)
+    assert(pruned.inputFiles.length == total, "stale sidecar must not prune")
+    val full = spark.read.parquet(out)
+      .filter(col("event_id") >= 1L && col("event_id") <= 5L)
+    assert(pruned.orderBy("event_id", "ts").collect()
+      .sameElements(full.orderBy("event_id", "ts").collect()))
+  }
+
+  test("sidecar keyed on a different column falls back to full scan") {
+    val out = Files.createTempDirectory("pruned_keycol").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)
+    Manifest.write(spark, out, "user_id") // stats describe user_id, not event_id
+    val total = dataFiles(out).length
+    val pruned = PrunedScan.readRange(spark, out, "event_id", 1L, 5L)
+    assert(pruned.inputFiles.length == total,
+      "mismatched key_col stats must not prune")
+    val full = spark.read.parquet(out)
+      .filter(col("event_id") >= 1L && col("event_id") <= 5L)
+    assert(pruned.count() == full.count())
+  }
+
+  test("all-NULL-key file is skipped; NULL keys never match a range anyway") {
+    val out = Files.createTempDirectory("pruned_null").toString + "/data"
+    val df = events.limit(200)
+      .withColumn("k", when(col("event_id") % 2 === 0, col("event_id")))
+      .withColumn("grp", when(col("k").isNull, 0).otherwise(1))
+    // range-partition on grp: one file holds ONLY null-k rows
+    df.repartitionByRange(2, col("grp")).drop("grp")
+      .write.mode("overwrite").parquet(out)
+    Manifest.write(spark, out, "k")
+    val total = dataFiles(out).length
+    assert(total == 2)
+    val ids = df.filter(col("k").isNotNull)
+      .agg(min("k"), max("k")).as[(Long, Long)].head()
+    val pruned = PrunedScan.readRange(spark, out, "k", ids._1, ids._2)
+    assert(pruned.inputFiles.length == 1, "the all-null file must be skipped")
+    assert(pruned.count() == df.filter(col("k").isNotNull).count())
+  }
+
+  test("readTicksPruned: month pruning by name + zone-map file skipping, readTicks-identical") {
+    import graft.ingest.TickIngest
+    val wh = Files.createTempDirectory("pruned_wh").toString
+    val base = s"$wh/raw_spread_ticks/instrument=EURUSD"
+    // January: 6 range-clustered files WITH a manifest (zone-map path);
+    // February: 2 files WITHOUT one (read-all-files fallback path)
+    val jan = spark.range(10000).select(
+      expr("timestamp_micros(1704412800000000 + id * 60000000)").as("timestamp"), // 2024-01-05 + id min
+      (lit(1.1) + (col("id") % 100) / 10000.0).as("bid"),
+      (lit(1.1001) + (col("id") % 100) / 10000.0).as("ask"))
+    RangeWriter.writeSorted(jan, s"$base/yyyymm=202401", Seq("timestamp"), numFiles = 6)
+    Manifest.write(spark, s"$base/yyyymm=202401", "timestamp")
+    val feb = spark.range(1000).select(
+      expr("timestamp_micros(1707091200000000 + id * 60000000)").as("timestamp"), // 2024-02-05 + id min
+      lit(1.08).as("bid"), lit(1.0801).as("ask"))
+    feb.repartition(2).write.parquet(s"$base/yyyymm=202402")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("timestamp"), col("bid"), col("ask"))
+        .collect().map(_.toString).sorted.toSeq
+    def both(start: Option[String], end: Option[String]) = (
+      TickIngest.readTicksPruned(spark, wh, "raw_spread", Some("EURUSD"), start, end),
+      TickIngest.readTicks(spark, wh, "raw_spread", Some("EURUSD"), start, end))
+
+    // full read (no bounds): identical
+    val (pAll, fAll) = both(None, None)
+    assert(rows(pAll) == rows(fAll) && rows(pAll).nonEmpty)
+
+    // narrow intra-January range: identical AND fewer Jan files planned
+    val (pJan, fJan) = both(Some("2024-01-06 00:00:00"), Some("2024-01-06 23:59:59.999999"))
+    assert(rows(pJan) == rows(fJan) && rows(pJan).nonEmpty)
+    val janFiles = new java.io.File(s"$base/yyyymm=202401").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(pJan.inputFiles.forall(_.contains("yyyymm=202401")), "Feb must be name-pruned")
+    assert(pJan.inputFiles.length < janFiles,
+      s"zone map planned ${pJan.inputFiles.length} of $janFiles Jan files — nothing pruned")
+
+    // Feb-only range: identical through the no-sidecar fallback (all Feb files)
+    val (pFeb, fFeb) = both(Some("2024-02-01 00:00:00"), None)
+    assert(rows(pFeb) == rows(fFeb) && rows(pFeb).nonEmpty)
+    assert(pFeb.inputFiles.forall(_.contains("yyyymm=202402")))
+
+    // range beyond all data: empty, schema intact
+    val (pNone, _) = both(Some("2025-01-01 00:00:00"), Some("2025-06-01 00:00:00"))
+    assert(pNone.count() == 0)
+    assert(pNone.columns.contains("yyyymm") && pNone.columns.contains("instrument"))
+  }
+
+  test("no sidecar at all falls back to full scan + filter") {
+    val out = Files.createTempDirectory("pruned_nosidecar").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)
+    val pruned = PrunedScan.readRange(spark, out, "event_id", 1L, 50L)
+    val full = spark.read.parquet(out)
+      .filter(col("event_id") >= 1L && col("event_id") <= 50L)
+    assert(pruned.orderBy("event_id", "ts").collect()
+      .sameElements(full.orderBy("event_id", "ts").collect()))
+  }
+}
