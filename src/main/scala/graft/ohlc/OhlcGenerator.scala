@@ -58,8 +58,17 @@ object OhlcGenerator {
       standard: DataFrame,
       asofMode: String = "auto",
       asofBucketSeconds: Long = 86400L
-  ): DataFrame = {
-    val bars = Ohlc.ticksToOhlc1m(rawSpread, standard, asofMode, asofBucketSeconds)
+  ): DataFrame =
+    enrichBars(Ohlc.ticksToOhlc1m(rawSpread, standard, asofMode, asofBucketSeconds))
+
+  /** The enrichment HALF of [[generate]] — 1m bars (instrument, timestamp,
+    * OHLC, spreads, counts) → the full 27-column frame. Split out so the
+    * STREAMING pipeline can apply it per emitted micro-batch
+    * ([[graft.streaming.StreamingGate.ohlcEnrichedAvailableNow]]'s
+    * foreachBatch): every flag is a per-row function of the bar timestamp,
+    * so per-batch application equals the global batch enrichment.
+    */
+  def enrichBars(bars: DataFrame): DataFrame = {
     val enriched = TradingCalendar.enrich(withSessionColumns(bars), "timestamp")
     enriched.select(Columns.map(col): _*)
   }

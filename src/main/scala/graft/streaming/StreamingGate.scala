@@ -116,4 +116,214 @@ object StreamingGate {
         col("low"), col("close"), col("tick_count"))
       .orderBy(col(keyCol), col("bar_ts"))
   }
+
+  /** Reserved key for the as-of flush sentinels (LONG key space). */
+  private val FlushKeyL = Long.MinValue
+
+  /** Stage a bounded input directory for an AvailableNow run: the data as
+    * one file, then each sentinel frame as its own file, with STRICTLY
+    * increasing pinned modification times so the file source (sorted by
+    * mtime, maxFilesPerTrigger=1) processes data first and sentinels in
+    * order — the shared discipline of every gate in this object.
+    */
+  private def stageWithSentinels(
+      in: String, data: org.apache.spark.sql.DataFrame,
+      sentinels: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    data.coalesce(1).write.parquet(in)
+    def files(): Set[String] = new java.io.File(in).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val t0 = System.currentTimeMillis() - 300000L
+    files().foreach(n => new java.io.File(s"$in/$n").setLastModified(t0))
+    var known = files()
+    sentinels.zipWithIndex.foreach { case (sdf, i) =>
+      sdf.coalesce(1).write.mode("append").parquet(in)
+      val now = files()
+      (now -- known).foreach(n =>
+        new java.io.File(s"$in/$n").setLastModified(t0 + (i + 1) * 60000L))
+      known = now
+    }
+  }
+
+  /** Streaming ASOF LEFT join over bounded left/right frames, emitted
+    * through a real watermark/append/AvailableNow run of
+    * [[StreamingAsof.leftAsofStream]] — the streaming twin of
+    * [[graft.operators.AsofJoin.leftAsof]], row-identical by construction
+    * (q_stream_asof shares the q_asof_* DuckDB ASOF oracle verbatim).
+    *
+    * Both frames must carry columns (k: long, t: timestamp, v: double,
+    * ord: long). Output: (k, t, ord, v, rt, rv, rord) totally ordered —
+    * left rows with the matched right (t, v, ord) payload, NULL when no
+    * right at-or-before exists.
+    *
+    * Flush: pending lefts finalize only when the watermark strictly
+    * passes their event time, so the trailing 2 minutes of a bounded run
+    * would wait forever. The same two-sentinel discipline as
+    * [[ohlc1mAvailableNow]] closes them — two far-future RIGHT rows on a
+    * reserved key (rights emit nothing): the first advances the global
+    * watermark past every real left, the second gives the event-time
+    * TIMEOUTS armed during the first's batch a batch to fire in.
+    */
+  def asofAvailableNow(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      valueCols: Seq[String] = Seq("v"),
+      watermark: String = "2 minutes"
+  ): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream_asof").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val chk = s"$root/chk"
+
+    def tagged(df: DataFrame, side: Int) = df.select(
+      col("k").cast("long"), col("t").cast("timestamp"),
+      lit(side).cast("int").as("side"),
+      array(valueCols.map(c => col(c).cast("double")): _*).as("v"),
+      col("ord").cast("long"))
+    val src = tagged(left, 1).unionByName(tagged(right, 0))
+    val maxTs = src.agg(max(col("t"))).head().getTimestamp(0)
+    require(maxTs != null, "streaming gate needs data")
+    require(src.filter(col("k") === FlushKeyL).head(1).isEmpty,
+      s"input already uses the reserved flush key $FlushKeyL")
+
+    def sentinel(plusMinutes: Int) = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
+      spark.range(1).select(
+        lit(FlushKeyL).as("k"), lit(ts).as("t"), lit(0).as("side"),
+        array(valueCols.map(_ => lit(0.0)): _*).as("v"), lit(0L).as("ord"))
+    }
+    stageWithSentinels(in, src, Seq(sentinel(10), sentinel(20)))
+
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .withWatermark("t", watermark)
+      .as[StreamingAsof.In]
+    val joined = StreamingAsof.leftAsofStream(stream)
+    val q = joined.toDF().writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(out)
+      .filter(col("k") =!= FlushKeyL)
+      .select("k", "t", "ord", "v", "rt", "rv", "rord")
+      .orderBy("k", "t", "ord")
+  }
+
+  /** The reference's CENTERPIECE pipeline — raw+standard ticks → ASOF →
+    * 1-minute bars → 27-column session/holiday enrichment
+    * (`clickhouse_ohlc_generator.py:150-329`) — run END-TO-END as a
+    * STREAMING medallion chain, each stage a real Structured Streaming
+    * query composed through storage:
+    *
+    *   1. bronze→silver: [[StreamingAsof.leftAsofStream]] joins the two
+    *      tagged tick streams (watermark finalization, event-time
+    *      timeout flush) — the stream-stream as-of Spark lacks natively;
+    *   2. silver→gold: a windowed streaming aggregation builds the
+    *      1-minute bars with the batch's exact agg expressions
+    *      (min_by/max_by on the (t, bid, ask) struct, dyadic-exact
+    *      spread averages), and `foreachBatch` applies the calendar
+    *      enrichment ([[graft.ohlc.OhlcGenerator.enrichBars]]) to each
+    *      emitted micro-batch — append mode emits every (key, window)
+    *      exactly once past the watermark, so per-batch enrichment is
+    *      row-for-row the global batch enrichment (the flags are
+    *      per-row functions of the bar timestamp).
+    *
+    * Output is the full 27-column frame, totally ordered — shares
+    * q_ohlc_enriched's end-to-end DuckDB oracle verbatim, so the
+    * streaming and batch pipelines cannot drift in ANY of the 27 columns.
+    *
+    * `instruments` maps the long key codes used on the wire back to the
+    * instrument names (the as-of state key space is long).
+    */
+  def ohlcEnrichedAvailableNow(
+      spark: SparkSession,
+      rawSpread: DataFrame,
+      standard: DataFrame,
+      instruments: Seq[String],
+      watermark: String = "2 minutes"
+  ): DataFrame = {
+    val code = instruments.zipWithIndex
+      .map { case (n, i) => (n, i.toLong) }.toMap
+    val codeCol = instruments.foldLeft(lit(null).cast("long")) {
+      (acc, n) => when(col("instrument") === n, lit(code(n))).otherwise(acc)
+    }
+    def side(df: DataFrame) = df.select(
+      codeCol.as("k"), col("timestamp").as("t"),
+      col("bid"), col("ask"), lit(0L).as("ord"))
+
+    // stage 1: stream-stream ASOF (bronze → silver)
+    val silver = asofAvailableNow(
+      spark, side(rawSpread), side(standard), Seq("bid", "ask"), watermark)
+
+    // stage 2: windowed 1m bars over the SILVER STREAM + per-batch
+    // calendar enrichment in foreachBatch (gold)
+    val root = java.nio.file.Files.createTempDirectory("stream_enrich").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val chk = s"$root/chk"
+    val maxTs = silver.agg(max(col("t"))).head().getTimestamp(0)
+    def sentinel(plusMinutes: Int) = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
+      spark.range(1).select(
+        lit(FlushKeyL).as("k"), lit(ts).as("t"), lit(0L).as("ord"),
+        array(lit(0.0), lit(0.0)).as("v"),
+        lit(null).cast("timestamp").as("rt"),
+        lit(null).cast("array<double>").as("rv"),
+        lit(null).cast("long").as("rord"))
+    }
+    stageWithSentinels(in, silver, Seq(sentinel(10), sentinel(20)))
+
+    val bid = element_at(col("v"), 1)
+    val ask = element_at(col("v"), 2)
+    val ordS = struct(col("t"), bid.as("bid"), ask.as("ask"))
+    val bars = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .withWatermark("t", watermark)
+      .groupBy(col("k"), window(col("t"), "1 minute").as("w"))
+      .agg(
+        min_by(bid, ordS).as("open"),
+        max(bid).as("high"),
+        min(bid).as("low"),
+        max_by(bid, ordS).as("close"),
+        avg(ask - bid).as("raw_spread_avg"),
+        avg(element_at(col("rv"), 2) - element_at(col("rv"), 1))
+          .as("standard_spread_avg"),
+        count(col("t")).cast("int").as("tick_count_raw_spread"),
+        count(when(col("rt").isNotNull, lit(1))).cast("int")
+          .as("tick_count_standard"))
+      .withColumn("timestamp", col("w.start"))
+      .drop("w")
+
+    val decode = instruments.foldLeft(lit(null).cast("string")) {
+      (acc, n) => when(col("k") === code(n), lit(n)).otherwise(acc)
+    }
+    val q = bars.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val real = batch.filter(col("k") =!= FlushKeyL)
+          .withColumn("instrument", decode).drop("k")
+        // pre-watermark and sentinel-only batches emit nothing real; an
+        // empty parquet write would leave a schemaless directory
+        if (!real.isEmpty)
+          graft.ohlc.OhlcGenerator.enrichBars(real)
+            .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(out).orderBy("instrument", "timestamp")
+  }
 }
