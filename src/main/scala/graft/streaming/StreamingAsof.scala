@@ -16,13 +16,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream, hash-grouped by key, and merged per key inside
   * `flatMapGroupsWithState` with event-time timeouts.
   *
-  * Correctness contract (watermark-schedule independent): a left row at
-  * tL is FINALIZED only once the watermark strictly passes tL — from that
-  * point the stateful operator admits no right row with tR ≤ tL (it would
-  * be late), so the match computed from buffered rights is the match the
-  * batch operator would compute. Late rows beyond the watermark are
-  * dropped by the engine, the standard streaming trade (the batch twin
-  * re-run reconciles, mirroring the reference's re-generation model).
+  * Correctness contract: a left row at tL is FINALIZED only once the
+  * watermark strictly passes tL, so for sources honoring the watermark
+  * (disorder bounded by the delay) the match equals the batch operator's
+  * for ANY arrival schedule — spec-pinned on randomized out-of-order
+  * splits. Beyond the watermark the contract degrades EXPLICITLY:
+  * `flatMapGroupsWithState` admits late rows (Spark does not pre-filter
+  * them — pinned in StreamingAsofSpec), and this merge handles them
+  * best-effort: a late right is still matched by every PENDING left, but
+  * an already-emitted row is immutable (append mode has no retraction),
+  * and a late LEFT below the compaction frontier may match the compacted
+  * carry instead of an already-dropped intermediate right. That is the
+  * standard streaming trade; the batch twin re-run reconciles, mirroring
+  * the reference's re-generation model.
   *
   * State per key is bounded: pending lefts above the watermark, rights
   * above the watermark, plus ONE carry right at-or-below it (the only

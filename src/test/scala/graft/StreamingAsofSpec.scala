@@ -88,6 +88,131 @@ class StreamingAsofSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("arrival order independence: random file splits, out-of-order batches") {
+    // rows land in micro-batches in RANDOM order (each file is a batch,
+    // maxFilesPerTrigger=1); with a watermark delay covering the full
+    // disorder nothing is late, so any arrival schedule must produce the
+    // batch answer. Exercises multi-batch buffering, cross-batch carry,
+    // and compaction under schedules the happy-path tests never hit.
+    val rnd = new scala.util.Random(42)
+    val e = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") % 7 === 0) // small but multi-key slice
+    def side(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("value").as("v"), col("event_id").as("ord"))
+    val left = side("purchase")
+    val right = side("click")
+    val expected = batchAsof(left, right)
+
+    // replicate the gate inline, but with the union split into 4 shuffled
+    // files and a span-wide watermark so disorder is never "late"
+    import graft.streaming.StreamingAsof
+    val root = java.nio.file.Files.createTempDirectory("asof_prop").toString
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    def tag(df: DataFrame, s: Int) = df.select(col("k").cast("long"),
+      col("t").cast("timestamp"), lit(s).as("side"),
+      array(col("v").cast("double")).as("v"), col("ord").cast("long"))
+    val union = tag(left, 1).unionByName(tag(right, 0))
+      .withColumn("__shard", (rand(7) * 4).cast("int"))
+    (0 until 4).foreach { i =>
+      union.filter(col("__shard") === i).drop("__shard")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val files = new java.io.File(in).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    rnd.shuffle(files.toSeq).zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(System.currentTimeMillis() - 600000L + i * 60000L) }
+    val maxTs = union.agg(max("t")).head().getTimestamp(0)
+    val minTs = union.agg(min("t")).head().getTimestamp(0)
+    val spanMin = (maxTs.getTime - minTs.getTime) / 60000L + 10L
+    // flush sentinel: one far-future right on the reserved key space
+    spark.range(1).select(lit(Long.MinValue).as("k"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 2 * spanMin * 60000L)).as("t"),
+        lit(0).as("side"), array(lit(0.0)).as("v"), lit(0L).as("ord"))
+      .coalesce(1).write.mode("append").parquet(in)
+    new java.io.File(in).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filterNot(f => files.exists(_.getName == f.getName))
+      .foreach(_.setLastModified(System.currentTimeMillis()))
+
+    import spark.implicits._
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("t", s"$spanMin minutes")
+      .as[StreamingAsof.In]
+    val q = StreamingAsof.leftAsofStream(stream).toDF().writeStream
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).filter(col("k") =!= Long.MinValue)
+      .select(col("k"), col("t"), col("ord"), element_at(col("v"), 1).as("v"),
+        col("rt"), element_at(col("rv"), 1).as("rv"), col("rord"))
+      .orderBy("k", "t", "ord").collect().map(_.toString)
+    assert(got.length == expected.length,
+      s"rows: stream ${got.length}, batch ${expected.length}")
+    assert(got.sameElements(expected))
+  }
+
+  test("late-row contract: pending lefts merge late rights; emitted rows are immutable") {
+    def df(rows: Seq[(Long, String, Double, Long)]) =
+      rows.toDF("k", "ts", "v", "ord")
+        .select(col("k"), col("ts").cast("timestamp").as("t"), col("v"), col("ord"))
+    import graft.streaming.StreamingAsof
+    def run(batches: Seq[DataFrame]): Array[org.apache.spark.sql.Row] = {
+      val root = java.nio.file.Files.createTempDirectory("asof_late").toString
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val t0 = System.currentTimeMillis() - 600000L
+      batches.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.mode("append").parquet(in)
+        new java.io.File(in).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            f.lastModified() > t0 + i * 60000L)
+          .foreach(_.setLastModified(t0 + i * 60000L))
+      }
+      import spark.implicits._
+      val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .withWatermark("t", "2 minutes")
+        .as[StreamingAsof.In]
+      val q = StreamingAsof.leftAsofStream(stream).toDF().writeStream
+        .outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).filter(col("k") =!= Long.MinValue).collect()
+    }
+    def tag(df0: DataFrame, s: Int) = df0.select(col("k").cast("long"),
+      col("t").cast("timestamp"), lit(s).as("side"),
+      array(col("v").cast("double")).as("v"), col("ord").cast("long"))
+    def sentinel(hhmm: String) =
+      tag(df(Seq((Long.MinValue, s"2024-03-01 $hhmm:00", 0.0, 0L))), 0)
+
+    // (a) a right BELOW the watermark arrives while its left is still
+    // PENDING: flatMapGroupsWithState admits late rows (no engine
+    // pre-filter — this pin documents that Spark behavior) and the merge
+    // matches it — better than dropping.
+    val gotA = run(Seq(
+      tag(df(Seq((1L, "2024-03-01 10:00:00", 1.0, 1L))), 1), // left, wm→09:58
+      tag(df(Seq((1L, "2024-03-01 09:00:00", 5.0, 5L))), 0), // late right, left pending
+      sentinel("18:00"), sentinel("19:00")))
+    assert(gotA.length == 1)
+    assert(gotA.head.getAs[Long]("rord") == 5L,
+      "a late right must still match a PENDING left")
+
+    // (b) the left was already FINALIZED (NULL-filled) when the late right
+    // arrives: the emitted row is immutable — no retraction, no duplicate.
+    val gotB = run(Seq(
+      tag(df(Seq((1L, "2024-03-01 10:00:00", 1.0, 1L))), 1)
+        .unionByName(tag(df(Seq((1L, "2024-03-01 12:00:00", 9.0, 9L))), 0)),
+      sentinel("18:00"), // wm→11:58 during this batch: left emits NULL-filled
+      tag(df(Seq((1L, "2024-03-01 09:00:00", 5.0, 5L))), 0), // too late: left emitted
+      sentinel("19:00")))
+    assert(gotB.length == 1, s"no duplicate emission: ${gotB.length} rows")
+    assert(gotB.head.isNullAt(gotB.head.fieldIndex("rt")),
+      "the already-emitted row must stay NULL-filled (append: no retraction)")
+  }
+
   test("lefts inside the trailing watermark window still flush (sentinel path)") {
     def df(rows: Seq[(Long, String, Double, Long)]) =
       rows.toDF("k", "ts", "v", "ord")
