@@ -220,8 +220,35 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val p = validatePair(pair)
     val minutes = validateTimeframe(timeframe)
     validateRange(start, end)
-    var df = spark.read.parquet(s"$warehouse/ohlc_1m")
-      .filter(col("instrument") === p)
+    // zone-map pruned read of the gold table: regenerate refreshes each
+    // rewritten month's _manifest (keyed on timestamp), so a date-ranged
+    // bar query plans only the files whose range can intersect — the same
+    // PrunedScan path as readTicksPruned; any unusable sidecar/listing
+    // falls back to the plain partitioned read below
+    def monthOf(t: String): String = {
+      val d = java.time.LocalDateTime.ofInstant(
+        graft.storage.PrunedScan.utcInstant(t), java.time.ZoneOffset.UTC).toLocalDate
+      f"${d.getYear}%04d${d.getMonthValue}%02d"
+    }
+    val prunedFiles = graft.storage.PrunedScan.monthPartitionedFiles(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(s"$warehouse/ohlc_1m"), "timestamp",
+      Some(p), start.map(monthOf), end.map(monthOf),
+      graft.storage.PrunedScan.utcInstant(start.getOrElse("1900-01-01")),
+      graft.storage.PrunedScan.utcInstant(
+        end.map(_ + " 23:59:59").getOrElse("9999-01-01")))
+    var df = prunedFiles match {
+      case Some(paths) if paths.nonEmpty =>
+        spark.read.option("basePath", s"$warehouse/ohlc_1m")
+          .parquet(paths.map(_.toString): _*)
+          .filter(col("instrument") === p)
+      case Some(Nil) => // provably empty: keep the exact plan, zero rows
+        spark.read.parquet(s"$warehouse/ohlc_1m")
+          .filter(col("instrument") === p).filter(lit(false))
+      case _ =>
+        spark.read.parquet(s"$warehouse/ohlc_1m")
+          .filter(col("instrument") === p)
+    }
     start.foreach(s => df = df.filter(col("timestamp") >= lit(s).cast("timestamp") &&
       col("yyyymm") >= date_format(lit(s).cast("timestamp"), "yyyyMM")))
     end.foreach(e => df = df.filter(

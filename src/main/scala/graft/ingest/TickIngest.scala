@@ -377,64 +377,22 @@ object TickIngest {
       end: Option[String] = None
   ): DataFrame = {
     import org.apache.hadoop.fs.Path
+    import graft.storage.PrunedScan
     val root = s"$warehouse/${variant}_ticks"
     def fallback() = readTicks(spark, warehouse, variant, instrument, start, end)
-    val files: Option[Seq[Path]] =
-      try {
-        val conf = spark.sessionState.newHadoopConf()
-        val rootPath = new Path(root)
-        val fs = rootPath.getFileSystem(conf)
-        val instDirs = instrument match {
-          case Some(i) => Seq(new Path(rootPath, s"instrument=${i.toUpperCase}"))
-            .filter(fs.exists)
-          case None => fs.listStatus(rootPath).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
-            .map(_.getPath)
-        }
-        // yyyymm partition pruning by DIRECTORY NAME (zero-padded yyyymm
-        // orders lexicographically); the timestamp→month derivation
-        // mirrors readTicks' injected yyyymm predicates
-        // parse bounds as UTC wall-clock → absolute instants, matching how
-        // the exact filter's lit(s).cast("timestamp") resolves under the
-        // UTC session zone (java.sql.Timestamp.valueOf would go through
-        // the JVM-DEFAULT zone and could shift the zone-map bound off the
-        // filter by hours on a non-UTC JVM — a wrongly-skipped file)
-        def utcParse(t: String): java.time.LocalDateTime =
-          if (t.contains(" ") || t.contains("T"))
-            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-          else java.time.LocalDate.parse(t).atStartOfDay
-        def monthOf(t: String): String = {
-          val d = utcParse(t).toLocalDate
-          f"${d.getYear}%04d${d.getMonthValue}%02d"
-        }
-        val loM = start.map(monthOf)
-        val hiM = end.map(monthOf)
-        // zone-map bounds: open ends widen to sentinels well outside any
-        // tick data, so a one-sided range still prunes on the bounded side
-        val loTs = utcParse(start.getOrElse("1900-01-01"))
-          .toInstant(java.time.ZoneOffset.UTC)
-        val hiTs = utcParse(end.getOrElse("9999-01-01"))
-          .toInstant(java.time.ZoneOffset.UTC)
-        val monthDirs = instDirs.flatMap { d =>
-          fs.listStatus(d).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
-            .map(_.getPath)
-        }.filter { d =>
-          val m = d.getName.stripPrefix("yyyymm=")
-          loM.forall(_ <= m) && hiM.forall(m <= _)
-        }
-        Some(monthDirs.flatMap { d =>
-          graft.storage.PrunedScan
-            .prunedDataFiles(conf, d, "timestamp", loTs, hiTs)
-            .getOrElse { // no fresh sidecar: every data file of this month
-              fs.listStatus(d).toSeq
-                .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-                  !s.getPath.getName.startsWith("_") &&
-                  !s.getPath.getName.startsWith("."))
-                .map(_.getPath)
-            }
-        })
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // month-name bounds mirror readTicks' injected yyyymm predicates; the
+    // zone-map bounds widen open ends to sentinels outside any tick data
+    // so a one-sided range still prunes on the bounded side
+    def monthOf(t: String): String = {
+      val d = java.time.LocalDateTime
+        .ofInstant(PrunedScan.utcInstant(t), java.time.ZoneOffset.UTC).toLocalDate
+      f"${d.getYear}%04d${d.getMonthValue}%02d"
+    }
+    val files: Option[Seq[Path]] = PrunedScan.monthPartitionedFiles(
+      spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
+      instrument, start.map(monthOf), end.map(monthOf),
+      PrunedScan.utcInstant(start.getOrElse("1900-01-01")),
+      PrunedScan.utcInstant(end.getOrElse("9999-01-01")))
     files match {
       case None => fallback()
       case Some(Nil) => fallback().filter(lit(false)) // schema-exact empty

@@ -163,6 +163,65 @@ object PrunedScan {
       } yield kept.map(n => new HPath(dir, n))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** "yyyy-MM-dd[ HH:mm:ss[.ffffff]]" UTC wall-clock literal → Instant —
+    * matching how Spark resolves `lit(s).cast("timestamp")` under the UTC
+    * session zone (going through java.sql.Timestamp.valueOf would apply
+    * the JVM-DEFAULT zone and could shift a zone-map bound off the exact
+    * filter by hours on a non-UTC JVM: a wrongly-skipped file).
+    */
+  def utcInstant(t: String): java.time.Instant = {
+    val ldt =
+      if (t.contains(" ") || t.contains("T"))
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      else java.time.LocalDate.parse(t).atStartOfDay
+    ldt.toInstant(java.time.ZoneOffset.UTC)
+  }
+
+  /** Data files of an instrument/yyyymm-partitioned warehouse table
+    * (the tick variants and `ohlc_1m`) for a key range: month partitions
+    * outside [loMonth, hiMonth] are dropped BY NAME on the driver (never
+    * listed — zero-padded yyyymm orders lexicographically), and each
+    * surviving month is zone-mapped through [[prunedDataFiles]]; a month
+    * without a usable sidecar contributes all its data files. None on any
+    * listing error — the caller falls back to the plain partitioned read.
+    */
+  def monthPartitionedFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      root: HPath,
+      keyCol: String,
+      instrument: Option[String],
+      loMonth: Option[String],
+      hiMonth: Option[String],
+      lo: Any,
+      hi: Any): Option[Seq[HPath]] =
+    try {
+      val fs = root.getFileSystem(conf)
+      val instDirs = instrument match {
+        case Some(i) => Seq(new HPath(root, s"instrument=${i.toUpperCase}"))
+          .filter(fs.exists)
+        case None => fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
+          .map(_.getPath)
+      }
+      val monthDirs = instDirs.flatMap { d =>
+        fs.listStatus(d).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+          .map(_.getPath)
+      }.filter { d =>
+        val m = d.getName.stripPrefix("yyyymm=")
+        loMonth.forall(_ <= m) && hiMonth.forall(m <= _)
+      }
+      Some(monthDirs.flatMap { d =>
+        prunedDataFiles(conf, d, keyCol, lo, hi).getOrElse {
+          fs.listStatus(d).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(_.getPath)
+        }
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Inclusive range scan over the dataset at `path` (a flat directory of
     * parquet files — partitioned tables prune partitions first and apply
     * this per leaf), reading ONLY the files whose manifest zone-map range

@@ -116,6 +116,26 @@ class ForexPipelineSpec extends SparkSpec {
     assert(!bar.isNullAt(bar.fieldIndex("range_per_tick")))
   }
 
+  test("ranged queryOhlc/queryTicks plan only in-range month partitions (zone-map path)") {
+    val (p, _) = env
+    // fixture spans 202401 + 202402; a January-only range must not plan
+    // any February file — month pruning happens by NAME on the driver
+    val jan = p.queryOhlc("EURUSD", "1m",
+      start = Some("2024-01-01"), end = Some("2024-01-31"))
+    assert(jan.inputFiles.nonEmpty &&
+      jan.inputFiles.forall(_.contains("yyyymm=202401")),
+      s"planned: ${jan.inputFiles.mkString(", ")}")
+    val janT = p.queryTicks("EURUSD",
+      start = Some("2024-01-01"), end = Some("2024-01-31"))
+    assert(janT.inputFiles.nonEmpty &&
+      janT.inputFiles.forall(_.contains("yyyymm=202401")))
+    // and the pruned plan returns the same bars as the unpruned full read
+    val full = p.queryOhlc("EURUSD", "1m").collect()
+      .filter(_.getTimestamp(1).toString.startsWith("2024-01"))
+    assert(jan.collect().map(_.toString).sorted
+      .sameElements(full.map(_.toString).sorted))
+  }
+
   test("queryTicks inclusive range + coverage + instruments") {
     val (p, _) = env
     val t = p.queryTicks("EURUSD", start = Some("2024-01-10"), end = Some("2024-01-10"))
