@@ -31,6 +31,23 @@ object StreamingGate {
 
   private val FlushKey = "__flush"
 
+  /** Run `body` with a small shuffle-partition count and restore the
+    * session's setting after. Stateful streaming pays one state-store
+    * instance per shuffle partition PER MICRO-BATCH per stateful
+    * operator; at the session default (cores) that fixed cost dwarfs the
+    * bounded fixtures these gates drive — 8 partitions cuts it ~4× with
+    * zero effect on results (hash aggregation and the per-key merge are
+    * partition-count independent; every gate totally orders its output).
+    * Production streams size this per job as usual.
+    */
+  private def withGatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Streaming 1-minute OHLC over a bounded point frame, emitted through a
     * real watermark/append/AvailableNow run. Output columns match the
     * batch `Ohlc.bars`: (keyCol, bar_ts, open, high, low, close,
@@ -47,7 +64,7 @@ object StreamingGate {
       time: String,
       value: String,
       tiebreak: String
-  ): DataFrame = {
+  ): DataFrame = withGatePartitions(spark) {
     val root = java.nio.file.Files.createTempDirectory("stream_gate").toString
     val in = s"$root/in"
     val out = s"$root/out"
@@ -170,7 +187,7 @@ object StreamingGate {
       right: DataFrame,
       valueCols: Seq[String] = Seq("v"),
       watermark: String = "2 minutes"
-  ): DataFrame = {
+  ): DataFrame = withGatePartitions(spark) {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("stream_asof").toString
     val in = s"$root/in"
@@ -250,7 +267,7 @@ object StreamingGate {
       standard: DataFrame,
       instruments: Seq[String],
       watermark: String = "2 minutes"
-  ): DataFrame = {
+  ): DataFrame = withGatePartitions(spark) {
     val code = instruments.zipWithIndex
       .map { case (n, i) => (n, i.toLong) }.toMap
     val codeCol = instruments.foldLeft(lit(null).cast("long")) {
