@@ -154,6 +154,53 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("state compacts to ONE carry right per key once lefts flush (bounded state)") {
+    import graft.streaming.StreamingAsof
+    // 200 keys × (20 lefts + 20 rights) over an hour: once the sentinels
+    // flush every left, surviving state must be the rights-only carry —
+    // one row per key in the state store, INDEPENDENT of input volume
+    // (8000 input rows → ≤ 201 state rows). This is the claim that makes
+    // the operator a keyed-aggregate-class citizen at 100 TB.
+    val n = 200
+    val src = spark.range(n * 40).selectExpr(
+      s"id % $n as k",
+      s"timestamp_micros(1704067200000000 + (id div $n) * 90000000) as t",
+      s"cast(if(id % 2 = 0, 1, 0) as int) as side",
+      "array(cast(id as double)) as v",
+      "id as ord")
+    val root = java.nio.file.Files.createTempDirectory("asof_state").toString
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    val maxTs = src.agg(max("t")).head().getTimestamp(0)
+    def sentinel(plusMin: Int) = spark.range(1).select(
+      lit(Long.MinValue).as("k"),
+      lit(new java.sql.Timestamp(maxTs.getTime + plusMin * 60000L)).as("t"),
+      lit(0).as("side"), array(lit(0.0)).as("v"), lit(0L).as("ord"))
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq(src, sentinel(10), sentinel(20)).zipWithIndex.foreach { case (d, i) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          f.lastModified() > t0 + i * 60000L)
+        .foreach(_.setLastModified(t0 + i * 60000L))
+    }
+    import spark.implicits._
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("t", "2 minutes")
+      .as[StreamingAsof.In]
+    val q = StreamingAsof.leftAsofStream(stream).toDF().writeStream
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.read.parquet(out).filter(col("k") =!= Long.MinValue).count()
+    assert(emitted == n * 20, s"every left must flush: $emitted of ${n * 20}")
+    val finalState = q.recentProgress
+      .filter(_.stateOperators.nonEmpty).last.stateOperators.head.numRowsTotal
+    assert(finalState <= n + 1,
+      s"state must compact to ≤ ${n + 1} carry rows, found $finalState")
+  }
+
   test("late-row contract: pending lefts merge late rights; emitted rows are immutable") {
     def df(rows: Seq[(Long, String, Double, Long)]) =
       rows.toDF("k", "ts", "v", "ord")
