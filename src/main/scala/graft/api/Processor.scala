@@ -225,17 +225,13 @@ final class Processor(spark: SparkSession, warehouse: String) {
     // bar query plans only the files whose range can intersect — the same
     // PrunedScan path as readTicksPruned; any unusable sidecar/listing
     // falls back to the plain partitioned read below
-    def monthOf(t: String): String = {
-      val d = java.time.LocalDateTime.ofInstant(
-        graft.storage.PrunedScan.utcInstant(t), java.time.ZoneOffset.UTC).toLocalDate
-      f"${d.getYear}%04d${d.getMonthValue}%02d"
-    }
-    val prunedFiles = graft.storage.PrunedScan.monthPartitionedFiles(
+    import graft.storage.PrunedScan
+    val prunedFiles = PrunedScan.monthPartitionedFiles(
       spark.sessionState.newHadoopConf(),
       new org.apache.hadoop.fs.Path(s"$warehouse/ohlc_1m"), "timestamp",
-      Some(p), start.map(monthOf), end.map(monthOf),
-      graft.storage.PrunedScan.utcInstant(start.getOrElse("1900-01-01")),
-      graft.storage.PrunedScan.utcInstant(
+      Some(p), start.map(PrunedScan.monthOf), end.map(PrunedScan.monthOf),
+      PrunedScan.sessionInstant(spark, start.getOrElse("1900-01-01")),
+      PrunedScan.sessionInstant(spark,
         end.map(_ + " 23:59:59").getOrElse("9999-01-01")))
     var df = prunedFiles match {
       case Some(paths) if paths.nonEmpty =>

@@ -383,16 +383,11 @@ object TickIngest {
     // month-name bounds mirror readTicks' injected yyyymm predicates; the
     // zone-map bounds widen open ends to sentinels outside any tick data
     // so a one-sided range still prunes on the bounded side
-    def monthOf(t: String): String = {
-      val d = java.time.LocalDateTime
-        .ofInstant(PrunedScan.utcInstant(t), java.time.ZoneOffset.UTC).toLocalDate
-      f"${d.getYear}%04d${d.getMonthValue}%02d"
-    }
     val files: Option[Seq[Path]] = PrunedScan.monthPartitionedFiles(
       spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
-      instrument, start.map(monthOf), end.map(monthOf),
-      PrunedScan.utcInstant(start.getOrElse("1900-01-01")),
-      PrunedScan.utcInstant(end.getOrElse("9999-01-01")))
+      instrument, start.map(PrunedScan.monthOf), end.map(PrunedScan.monthOf),
+      PrunedScan.sessionInstant(spark, start.getOrElse("1900-01-01")),
+      PrunedScan.sessionInstant(spark, end.getOrElse("9999-01-01")))
     files match {
       case None => fallback()
       case Some(Nil) => fallback().filter(lit(false)) // schema-exact empty

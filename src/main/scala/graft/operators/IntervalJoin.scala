@@ -206,8 +206,15 @@ object IntervalJoin {
       suffix: String = "_r",
       bucketSeconds: Long = 3600L
   ): DataFrame = {
-    val matched = overlapJoin(left, right, on, leftStart, leftEnd,
-      rightStart, rightEnd, suffix, bucketSeconds)
+    // the overlap join feeds BOTH output branches (the matched rows and,
+    // via its signatures, the anti join deriving the unmatched rows);
+    // Spark reuses exchanges but not the join/refine work above them, so
+    // an un-cut plan would execute the expensive bucketed join twice per
+    // action. Cut the lineage once — the materialization is the join's
+    // own output, which the caller was about to produce anyway.
+    val matched = org.apache.spark.sql.graft.bridge.cutLineage(
+      overlapJoin(left, right, on, leftStart, leftEnd,
+        rightStart, rightEnd, suffix, bucketSeconds))
     val sigCols = (on :+ leftStart :+ leftEnd).distinct
     val matchedSig = matched
       .select(sigCols.map(c => col(c).as("__sig_" + c)): _*).distinct()
@@ -245,12 +252,35 @@ object IntervalJoin {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.getName).toSet
       if (names.isEmpty) return None
-      graft.storage.Manifest.fileIntervalStats(conf, dir)
+      val statsOpt = graft.storage.Manifest.fileIntervalStats(conf, dir)
         .filter(_.keySet == names) // stale/partial sidecar → probe fallback
-        .map { stats =>
-          def ceilSec(us: Long): Long = (us + 999999L) / 1000000L
-          (ceilSec(stats.values.map(_._1).max), ceilSec(stats.values.map(_._2).max))
+      val rowsOpt = graft.storage.Manifest.fileRowCounts(conf, dir)
+        .filter(_.keySet == names)
+      statsOpt.map { stats =>
+        def ceilSec(us: Long): Long = (us + 999999L) / 1000000L
+        // Global p99 from per-file p99s. A plain max-of-p99s degenerates
+        // to the global MAX when an outlier sits alone in a small file
+        // (its p99 IS the outlier) — re-widening every bucket to the
+        // sentinel length the p99 sizing exists to ignore. Weight each
+        // file's p99 by its ROW COUNT (already in the same sidecar) and
+        // take the value at the 99th row percentile: a 1-row sentinel
+        // file contributes 1 row of weight and is ignored; a file
+        // holding ≥1% of rows still dominates, erring wide. Falls back
+        // to max-of-p99s when row counts are unavailable.
+        val p99 = rowsOpt match {
+          case Some(rows) if rows.values.sum > 0 =>
+            val total = rows.values.sum
+            val byP99 = stats.toSeq
+              .map { case (f, (_, p)) => (p, rows.getOrElse(f, 0L)) }
+              .sortBy(_._1)
+            var acc = 0L
+            byP99.collectFirst {
+              case (p, w) if { acc += w; acc >= total * 99L / 100L } => p
+            }.getOrElse(byP99.last._1)
+          case _ => stats.values.map(_._2).max
         }
+        (ceilSec(stats.values.map(_._1).max), ceilSec(p99))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -263,10 +293,11 @@ object IntervalJoin {
     * sidecar: a missing optimization, never a wrong width (width is purely
     * physical — equivalence at any width is spec-pinned).
     *
-    * The global p99 is approximated as the max of the per-file p99s: an
-    * upper-ish bound (each file's own tail dominates its p99), so the
-    * width errs wide — fewer buckets, never extra replication for typical
-    * rows beyond the probed path's.
+    * The global p99 is approximated as the ROWS-WEIGHTED 99th percentile
+    * of the per-file p99s (weights from the same sidecar's row counts):
+    * errs wide for files holding real mass, while a lone sentinel-length
+    * interval in a tiny file contributes only its own rows of weight and
+    * cannot re-widen every bucket to the outlier length.
     */
   def overlapJoinAutoStored(
       spark: org.apache.spark.sql.SparkSession,

@@ -66,7 +66,15 @@ object Manifest {
       intervalCols: Option[(String, String)] = None): Unit =
     build(spark, path, keyCol, intervalCols)
       .coalesce(1)
-      .write.mode("overwrite").json(s"$path/_manifest")
+      .write.mode("overwrite")
+      // full µs precision with an explicit offset: the default JSON
+      // timestampFormat truncates to milliseconds, which would understate
+      // a timestamp key's max by up to 999 µs and let a sub-ms range
+      // bound wrongly skip the file ([[PrunedScan]] additionally pads
+      // token maxes by that slack, so PRE-existing ms-precision sidecars
+      // stay safe to prune against)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$path/_manifest")
 
   /** Read a manifest previously written by [[write]]. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -120,18 +128,6 @@ object Manifest {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Driver-side per-file interval-length stats from a manifest sidecar
-    * written with `intervalCols` — basename → (max_len_us, p99_len_us) —
-    * WITHOUT a Spark job, same parse-the-JSON-parts discipline as
-    * [[fileRowCounts]]. `None` when no sidecar exists, it is garbled, or
-    * it was written WITHOUT interval stats (no line carries `max_len_us` —
-    * a plain manifest is not evidence about lengths). A line missing the
-    * stats while others carry them is a file with zero well-formed
-    * intervals (Spark's JSON writer drops null fields) → (0, 0).
-    * Callers MUST freshness-check the returned key set against the
-    * directory's actual parquet basenames, exactly as for
-    * [[fileRowCounts]].
-    */
   /** Driver-side per-file key ranges from a manifest sidecar — the zone
     * map: (recorded key_col, basename → (min_key, max_key) as RAW JSON
     * tokens), WITHOUT a Spark job, same parse-the-JSON-parts discipline
@@ -189,6 +185,18 @@ object Manifest {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Driver-side per-file interval-length stats from a manifest sidecar
+    * written with `intervalCols` — basename → (max_len_us, p99_len_us) —
+    * WITHOUT a Spark job, same parse-the-JSON-parts discipline as
+    * [[fileRowCounts]]. `None` when no sidecar exists, it is garbled, or
+    * it was written WITHOUT interval stats (no line carries `max_len_us` —
+    * a plain manifest is not evidence about lengths). A line missing the
+    * stats while others carry them is a file with zero well-formed
+    * intervals (Spark's JSON writer drops null fields) → (0, 0).
+    * Callers MUST freshness-check the returned key set against the
+    * directory's actual parquet basenames, exactly as for
+    * [[fileRowCounts]].
+    */
   def fileIntervalStats(
       conf: org.apache.hadoop.conf.Configuration,
       dir: org.apache.hadoop.fs.Path): Option[Map[String, (Long, Long)]] = {

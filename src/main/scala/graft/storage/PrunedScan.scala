@@ -28,19 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object PrunedScan {
 
-  /** Comparable key axis: numeric (BigDecimal — integral, floating,
-    * decimal, and epoch-micros for temporals) or plain string
-    * (lexicographic). Axes never compare across kinds — a mixed pair
-    * aborts pruning instead of guessing an order.
+  /** Comparable key axis: numeric (BigDecimal), temporal (epoch micros —
+    * kept DISTINCT from plain numerics so truncation slack applies only
+    * where truncation can exist), or plain string (lexicographic). Axes
+    * never compare across kinds — a mixed pair aborts pruning instead of
+    * guessing an order.
     */
   private sealed trait Key
   private final case class NumKey(v: BigDecimal) extends Key
+  private final case class TimeKey(us: Long) extends Key
   private final case class StrKey(v: String) extends Key
 
   private def lt(a: Key, b: Key): Option[Boolean] = (a, b) match {
     case (NumKey(x), NumKey(y)) => Some(x < y)
+    case (TimeKey(x), TimeKey(y)) => Some(x < y)
     case (StrKey(x), StrKey(y)) => Some(x < y)
     case _ => None
+  }
+
+  /** Manifests written before the µs-precision `timestampFormat` (and any
+    * writer that formats fractional seconds at millisecond precision)
+    * TRUNCATE a stored max toward zero by up to 999 µs. Padding the token
+    * side's MAX by that slack before the `max < lo` test keeps such a
+    * file when its true max could still reach the bound — at worst ~1 ms
+    * of extra data is read; a skip remains a proof. Mins need no slack:
+    * a truncated min only UNDERSTATES, which already errs toward keeping.
+    */
+  private def padMax(k: Key): Key = k match {
+    case TimeKey(us) => TimeKey(us + 999L)
+    case other => other
   }
 
   private def instantMicros(i: java.time.Instant): Long =
@@ -70,39 +86,43 @@ object PrunedScan {
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  /** Raw manifest JSON token → [[Key]]. Quoted tokens try the temporal
-    * axis first (ISO strings order the same lexicographically and
-    * numerically, so a genuinely-string key whose values happen to parse
-    * as dates still compares correctly), then fall back to plain string.
-    * Bare tokens must be numeric; anything else → None (can't prune).
+  /** Raw manifest JSON token → [[Key]]. Quoted tokens that parse as
+    * temporals take the temporal axis (the manifest writes timestamp keys
+    * with explicit offsets, so they resolve to exact instants); other
+    * quoted tokens are plain strings. Bare tokens must be numeric;
+    * anything else → None (can't prune).
     */
   private def tokenKey(tok: String): Option[Key] = {
     val t = tok.trim
     if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) {
       val un = unescape(t.substring(1, t.length - 1))
-      Some(temporalMicros(un).map(m => NumKey(BigDecimal(m)))
-        .getOrElse(StrKey(un)))
+      Some(temporalMicros(un).map(TimeKey).getOrElse(StrKey(un)))
     } else scala.util.Try(BigDecimal(t)).toOption.map(NumKey(_))
   }
 
-  /** Caller-supplied bound → [[Key]], mirroring [[tokenKey]]'s axes. */
+  /** Caller-supplied bound → [[Key]]. A String bound is ALWAYS the string
+    * axis, even when it would parse as a date: the exact filter compares
+    * a string bound against a string column LEXICOGRAPHICALLY, and
+    * temporal-parsing it here could order differently (mixed offsets,
+    * space-vs-T forms) and wrongly prune. Against a timestamp-keyed
+    * manifest a string bound therefore falls back to the full scan —
+    * pass Timestamp/Instant bounds to prune temporal keys.
+    */
   private def boundKey(v: Any): Option[Key] = v match {
     case null => None
     case d: BigDecimal => Some(NumKey(d))
+    case t: java.sql.Timestamp => Some(TimeKey(instantMicros(t.toInstant)))
     case n: java.lang.Number => Some(NumKey(BigDecimal(n.toString)))
-    case t: java.sql.Timestamp => Some(NumKey(BigDecimal(instantMicros(t.toInstant))))
     case d: java.sql.Date =>
-      Some(NumKey(BigDecimal(instantMicros(
-        d.toLocalDate.atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))))
-    case i: java.time.Instant => Some(NumKey(BigDecimal(instantMicros(i))))
+      Some(TimeKey(instantMicros(
+        d.toLocalDate.atStartOfDay.toInstant(java.time.ZoneOffset.UTC))))
+    case i: java.time.Instant => Some(TimeKey(instantMicros(i)))
     case l: java.time.LocalDateTime =>
-      Some(NumKey(BigDecimal(instantMicros(l.toInstant(java.time.ZoneOffset.UTC)))))
+      Some(TimeKey(instantMicros(l.toInstant(java.time.ZoneOffset.UTC))))
     case l: java.time.LocalDate =>
-      Some(NumKey(BigDecimal(instantMicros(
-        l.atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))))
-    case s: String =>
-      Some(temporalMicros(s).map(m => NumKey(BigDecimal(m)))
-        .getOrElse(StrKey(s)))
+      Some(TimeKey(instantMicros(
+        l.atStartOfDay.toInstant(java.time.ZoneOffset.UTC))))
+    case s: String => Some(StrKey(s))
     case _ => None
   }
 
@@ -123,7 +143,7 @@ object PrunedScan {
         for {
           mnK <- tokenKey(mnTok)
           mxK <- tokenKey(mxTok)
-          below <- lt(mxK, lo)
+          below <- lt(padMax(mxK), lo) // slack covers ms-truncated sidecars
           above <- lt(hi, mnK)
         } yield if (below || above) None else Some(name)
       case _ => None // half-present stats: the sidecar is suspect
@@ -163,18 +183,33 @@ object PrunedScan {
       } yield kept.map(n => new HPath(dir, n))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** "yyyy-MM-dd[ HH:mm:ss[.ffffff]]" UTC wall-clock literal → Instant —
-    * matching how Spark resolves `lit(s).cast("timestamp")` under the UTC
-    * session zone (going through java.sql.Timestamp.valueOf would apply
-    * the JVM-DEFAULT zone and could shift a zone-map bound off the exact
-    * filter by hours on a non-UTC JVM: a wrongly-skipped file).
+  private def parseWallClock(t: String): java.time.LocalDateTime =
+    if (t.contains(" ") || t.contains("T"))
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    else java.time.LocalDate.parse(t).atStartOfDay
+
+  /** "yyyy-MM-dd[ HH:mm:ss[.ffffff]]" literal → the Instant that
+    * `lit(t).cast("timestamp")` resolves to in THIS session — i.e. the
+    * wall-clock interpreted in `spark.sql.session.timeZone`. Zone-map
+    * bounds MUST go through this (not the JVM default zone, not a
+    * hard-coded UTC): the exact filter the pruned read re-applies uses
+    * the session zone, and a bound shifted off it by hours would wrongly
+    * skip files on any non-UTC session.
     */
-  def utcInstant(t: String): java.time.Instant = {
-    val ldt =
-      if (t.contains(" ") || t.contains("T"))
-        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-      else java.time.LocalDate.parse(t).atStartOfDay
-    ldt.toInstant(java.time.ZoneOffset.UTC)
+  def sessionInstant(spark: SparkSession, t: String): java.time.Instant =
+    parseWallClock(t)
+      .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .toInstant
+
+  /** Wall-clock yyyymm of a bound literal — the month-partition label the
+    * warehouse writers derive via `date_format(..., "yyyyMM")` in the
+    * session zone. Zone-free by construction: the partition label is the
+    * LITERAL's wall-clock month in that same zone, so LocalDate parsing
+    * gives the identical answer for every session zone.
+    */
+  def monthOf(t: String): String = {
+    val d = parseWallClock(t).toLocalDate
+    f"${d.getYear}%04d${d.getMonthValue}%02d"
   }
 
   /** Data files of an instrument/yyyymm-partitioned warehouse table

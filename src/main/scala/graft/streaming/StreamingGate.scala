@@ -71,14 +71,12 @@ object StreamingGate {
     val chk = s"$root/chk"
 
     val src = points.select(Seq(keyCol, time, value, tiebreak).distinct.map(col): _*)
-    src.coalesce(1).write.parquet(in)
     val maxTs = src.agg(max(col(time))).head().getTimestamp(0)
     require(!src.head(1).isEmpty && maxTs != null, "streaming gate needs data")
-    require(spark.read.parquet(in)
-        .filter(col(keyCol) === FlushKey).head(1).isEmpty,
+    require(src.filter(col(keyCol) === FlushKey).head(1).isEmpty,
       s"input already uses the reserved flush key $FlushKey")
 
-    def writeSentinel(plusMinutes: Int): Unit = {
+    def sentinel(plusMinutes: Int) = {
       val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
       spark.range(1)
         .select(
@@ -87,29 +85,8 @@ object StreamingGate {
           lit(0.0).cast(src.schema(value).dataType).as(value),
           lit(0L).cast(src.schema(tiebreak).dataType).as(tiebreak))
         .select(src.columns.map(col): _*)
-        .coalesce(1).write.mode("append").parquet(in)
     }
-    // pin strictly increasing modification times so the file source's
-    // snapshot (sorted by mtime) processes data, then sentinel 1, then
-    // sentinel 2 — filesystem mtime granularity alone could tie them
-    def pinMtimes(base: Long): Set[String] = {
-      val fs = new java.io.File(in).listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      fs.foreach(_.setLastModified(base))
-      fs.map(_.getName).toSet
-    }
-    val t0 = System.currentTimeMillis() - 300000L
-    val dataFiles = pinMtimes(t0)
-    writeSentinel(10)
-    val withS1 = pinMtimes(t0) // new file appears; re-pin then bump below
-    (withS1 -- dataFiles).foreach(n =>
-      new java.io.File(s"$in/$n").setLastModified(t0 + 60000L))
-    writeSentinel(20)
-    val withS2 = new java.io.File(in).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getName).toSet
-    (withS2 -- withS1).foreach(n =>
-      new java.io.File(s"$in/$n").setLastModified(t0 + 120000L))
+    stageWithSentinels(in, src, Seq(sentinel(10), sentinel(20)))
 
     val stream = spark.readStream
       .schema(src.schema)
@@ -199,40 +176,67 @@ object StreamingGate {
       lit(side).cast("int").as("side"),
       array(valueCols.map(c => col(c).cast("double")): _*).as("v"),
       col("ord").cast("long"))
-    val src = tagged(left, 1).unionByName(tagged(right, 0))
-    val maxTs = src.agg(max(col("t"))).head().getTimestamp(0)
-    require(maxTs != null, "streaming gate needs data")
+    // the batch operator's NULL semantics, enforced at the typed-stream
+    // boundary (In.k / In.t are primitives — a NULL would fail encoding):
+    // NULL-key or NULL-time LEFT rows bypass the stream NULL-filled (a
+    // NULL key matches nothing; a NULL time sorts before every right);
+    // NULL-key/time RIGHT rows are dropped (batch leftAsof filters them)
+    val taggedL = tagged(left, 1)
+    val nullOut = taggedL.filter(col("k").isNull || col("t").isNull)
+      .select(col("k"), col("t"), col("ord"), col("v"),
+        lit(null).cast("timestamp").as("rt"),
+        lit(null).cast("array<double>").as("rv"),
+        lit(null).cast("long").as("rord"))
+    val src = taggedL.filter(col("k").isNotNull && col("t").isNotNull)
+      .unionByName(tagged(right, 0)
+        .filter(col("k").isNotNull && col("t").isNotNull))
     require(src.filter(col("k") === FlushKeyL).head(1).isEmpty,
       s"input already uses the reserved flush key $FlushKeyL")
 
-    def sentinel(plusMinutes: Int) = {
-      val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
-      spark.range(1).select(
-        lit(FlushKeyL).as("k"), lit(ts).as("t"), lit(0).as("side"),
-        array(valueCols.map(_ => lit(0.0)): _*).as("v"), lit(0L).as("ord"))
+    val outCols = Seq("k", "t", "ord", "v", "rt", "rv", "rord")
+    val maxTs = src.agg(max(col("t"))).head().getTimestamp(0)
+    // empty stream (no joinable row on either side): the batch twin
+    // returns its lefts NULL-filled — here exactly the bypass rows
+    if (maxTs == null)
+      nullOut.select(outCols.map(col): _*).orderBy("k", "t", "ord")
+    else {
+      def sentinel(plusMinutes: Int) = {
+        val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
+        spark.range(1).select(
+          lit(FlushKeyL).as("k"), lit(ts).as("t"), lit(0).as("side"),
+          array(valueCols.map(_ => lit(0.0)): _*).as("v"), lit(0L).as("ord"))
+      }
+      stageWithSentinels(in, src, Seq(sentinel(10), sentinel(20)))
+
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .withWatermark("t", watermark)
+        .as[StreamingAsof.In]
+      val joined = StreamingAsof.leftAsofStream(stream)
+      val q = joined.toDF().writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // a right-only stream emits zero rows: the sink directory then has
+      // no parquet footer to infer from — short-circuit to the bypass rows
+      val emittedAny = new java.io.File(out).listFiles() != null &&
+        new java.io.File(out).listFiles().exists(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+      val emitted =
+        if (emittedAny)
+          spark.read.parquet(out).filter(col("k") =!= FlushKeyL)
+        else nullOut.filter(lit(false))
+      emitted.select(outCols.map(col): _*)
+        .unionByName(nullOut)
+        .orderBy("k", "t", "ord")
     }
-    stageWithSentinels(in, src, Seq(sentinel(10), sentinel(20)))
-
-    val stream = spark.readStream
-      .schema(src.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(in)
-      .withWatermark("t", watermark)
-      .as[StreamingAsof.In]
-    val joined = StreamingAsof.leftAsofStream(stream)
-    val q = joined.toDF().writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", chk)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    spark.read.parquet(out)
-      .filter(col("k") =!= FlushKeyL)
-      .select("k", "t", "ord", "v", "rt", "rv", "rord")
-      .orderBy("k", "t", "ord")
   }
 
   /** The reference's CENTERPIECE pipeline — raw+standard ticks → ASOF →
@@ -288,6 +292,24 @@ object StreamingGate {
     val out = s"$root/out"
     val chk = s"$root/chk"
     val maxTs = silver.agg(max(col("t"))).head().getTimestamp(0)
+    // empty silver (no raw ticks): same answer as the batch twin on the
+    // same input — an empty 27-column frame (if/else, not a non-local
+    // return, so withGatePartitions' restore semantics stay obvious)
+    if (maxTs == null)
+      graft.ohlc.OhlcGenerator.generate(rawSpread, standard)
+        .orderBy("instrument", "timestamp")
+    else enrichedStage2(spark, silver, instruments, code, watermark, maxTs,
+      root, in, out, chk)
+  }
+
+  private def enrichedStage2(
+      spark: SparkSession,
+      silver: DataFrame,
+      instruments: Seq[String],
+      code: Map[String, Long],
+      watermark: String,
+      maxTs: java.sql.Timestamp,
+      root: String, in: String, out: String, chk: String): DataFrame = {
     def sentinel(plusMinutes: Int) = {
       val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
       spark.range(1).select(

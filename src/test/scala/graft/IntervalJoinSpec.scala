@@ -289,6 +289,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(IntervalJoin.storedLengthStats(spark, lPath).isEmpty)
   }
 
+  test("stored p99 is rows-weighted: a lone sentinel interval in a tiny file can't widen the width") {
+    import graft.storage.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_interval_sentinel")
+    val path = dir.resolve("t").toString
+    // file 1: 2000 rows of ≤ 1h intervals (the real mass)
+    val mass = (1 to 2000).map { i =>
+      ("k", ts(i.toLong * 10), ts(i.toLong * 10 + 60 + i % 3540), 1000L + i)
+    }.toDF("k", "s", "e", "lid")
+    mass.coalesce(1).write.parquet(path)
+    // file 2: ONE year-long open-ended sentinel row
+    Seq(("k", ts(0L), ts(365L * 86400L), 9999L)).toDF("k", "s", "e", "lid")
+      .coalesce(1).write.mode("append").parquet(path)
+    Manifest.write(spark, path, "s", intervalCols = Some(("s", "e")))
+
+    val (mx, p99) = IntervalJoin.storedLengthStats(spark, path).get
+    assert(mx >= 365L * 86400L, "max must still see the sentinel")
+    assert(p99 <= 3600L,
+      s"rows-weighted p99 must ignore the 1-row sentinel file, got $p99 s")
+    // and the width the auto form derives stays hour-scale (modulo the
+    // outlier replication floor max/64), not year-scale
+    val w = IntervalJoin.autoBucketWidth(mx, p99)
+    assert(w < 365L * 86400L / 8L,
+      s"bucket width $w s must not collapse to the sentinel length")
+  }
+
   test("overlap join plans as an equi join on (key, bucket) — bucket in the hash keys") {
     val l = (1 to 200).map(i => ("k" + i % 3, ts(i * 100L), ts(i * 100L + 500), i.toLong))
       .toDF("k", "s", "e", "lid")

@@ -168,6 +168,76 @@ class PrunedScanSpec extends SparkSpec {
     assert(pNone.columns.contains("yyyymm") && pNone.columns.contains("instrument"))
   }
 
+  test("sub-millisecond bounds: µs-precision sidecars prune exactly; legacy ms-truncated sidecars stay safe via slack") {
+    val out = Files.createTempDirectory("pruned_us").toString + "/data"
+    // one row at .500999 — its file's true max has sub-ms precision
+    spark.sql("""SELECT timestamp_micros(1704894780500999) AS ts, 1.0 AS v""")
+      .write.parquet(out)
+    spark.sql("""SELECT timestamp_micros(1704894700000000) AS ts, 2.0 AS v""")
+      .write.mode("append").parquet(out)
+    Manifest.write(spark, out, "ts")
+    // bound lo = .500500: inside (.500, .500999] — a ms-truncated max
+    // (.500) would wrongly prove the file empty
+    val lo = new java.sql.Timestamp(1704894780500L); lo.setNanos(500500000)
+    val hi = new java.sql.Timestamp(1704894780501L)
+    val got = PrunedScan.readRange(spark, out, "ts", lo, hi)
+    assert(got.count() == 1, "the .500999 row must survive sub-ms bounds")
+
+    // simulate a LEGACY sidecar: truncate every fractional second to .SSS
+    val mdir = new java.io.File(s"$out/_manifest")
+    mdir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val trunc = """(\.\d{3})\d{3}""".r.replaceAllIn(txt, "$1")
+      java.nio.file.Files.writeString(f.toPath, trunc)
+    }
+    val legacy = PrunedScan.readRange(spark, out, "ts", lo, hi)
+    assert(legacy.count() == 1,
+      "the 999µs slack must keep the file against a ms-truncated sidecar")
+  }
+
+  test("string bounds against a timestamp-keyed sidecar fall back instead of guessing an order") {
+    val out = Files.createTempDirectory("pruned_strbound").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 4)
+    Manifest.write(spark, out, "ts")
+    val total = dataFiles(out).length
+    val got = PrunedScan.readRange(spark, out, "ts",
+      "2024-01-08 00:00:00", "2024-01-12 23:59:59")
+    assert(got.inputFiles.length == total,
+      "string bounds must not prune a temporal zone map")
+    val full = spark.read.parquet(out).filter(
+      col("ts") >= lit("2024-01-08 00:00:00") && col("ts") <= lit("2024-01-12 23:59:59"))
+    assert(got.count() == full.count() && got.count() > 0)
+  }
+
+  test("non-UTC session timezone: pruning bounds track the session zone, results stay readTicks-identical") {
+    import graft.ingest.TickIngest
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "Asia/Tokyo")
+      val wh = Files.createTempDirectory("pruned_tz").toString
+      val base = s"$wh/raw_spread_ticks/instrument=EURUSD"
+      val jan = spark.range(5000).select(
+        expr("timestamp_micros(1704412800000000 + id * 60000000)").as("timestamp"),
+        lit(1.1).as("bid"), lit(1.1001).as("ask"))
+      RangeWriter.writeSorted(jan, s"$base/yyyymm=202401", Seq("timestamp"), numFiles = 6)
+      Manifest.write(spark, s"$base/yyyymm=202401", "timestamp")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("timestamp", "bid", "ask").collect().map(_.toString).sorted.toSeq
+      val start = Some("2024-01-06 09:00:00") // Tokyo wall-clock = 00:00Z
+      val end = Some("2024-01-06 20:00:00")
+      val pruned = TickIngest.readTicksPruned(spark, wh, "raw_spread",
+        Some("EURUSD"), start, end)
+      val plain = TickIngest.readTicks(spark, wh, "raw_spread",
+        Some("EURUSD"), start, end)
+      assert(rows(pruned) == rows(plain) && rows(pruned).nonEmpty,
+        "pruned read must equal the plain read under a non-UTC session zone")
+      val janFiles = new java.io.File(s"$base/yyyymm=202401").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(pruned.inputFiles.length < janFiles, "and still actually prune")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no sidecar at all falls back to full scan + filter") {
     val out = Files.createTempDirectory("pruned_nosidecar").toString + "/data"
     RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)

@@ -154,6 +154,44 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("degenerate inputs: empty left, right-only, and NULL key/time rows match batch semantics") {
+    def df(rows: Seq[(java.lang.Long, String, Double, Long)]) =
+      rows.toDF("k", "ts", "v", "ord")
+        .select(col("k"), col("ts").cast("timestamp").as("t"), col("v"), col("ord"))
+    val someRight = df(Seq((1L: java.lang.Long, "2024-03-01 10:00:00", 5.0, 9L)))
+    val empty = df(Nil)
+
+    // empty left, non-empty right: zero output rows, no crash
+    assert(StreamingGate.asofAvailableNow(spark, empty, someRight).count() == 0)
+    // both sides empty: zero rows, schema intact
+    val both = StreamingGate.asofAvailableNow(spark, empty, empty)
+    assert(both.count() == 0 && both.columns.sameElements(
+      Array("k", "t", "ord", "v", "rt", "rv", "rord")))
+    // empty raw side through the full chain: empty 27-column frame
+    val emptyTicks = empty.select(lit("EURUSD").as("instrument"),
+      col("t").as("timestamp"), col("v").as("bid"), col("v").as("ask"))
+    val chain = StreamingGate.ohlcEnrichedAvailableNow(
+      spark, emptyTicks, emptyTicks, Seq("EURUSD"))
+    assert(chain.count() == 0 && chain.columns.length == 27)
+
+    // NULL key / NULL time lefts: NULL-filled like the batch twin, not a
+    // crash at the primitive-key encoder; NULL-time rights dropped
+    val left = df(Seq(
+      (null, "2024-03-01 10:30:00", 1.0, 1L),                 // NULL key
+      (1L: java.lang.Long, null, 2.0, 2L),                    // NULL time
+      (1L: java.lang.Long, "2024-03-01 10:30:00", 3.0, 3L)))  // real match
+    val right = someRight.unionByName(
+      df(Seq((1L: java.lang.Long, null, 7.0, 8L))))           // NULL-time right
+    val got = streamAsofDf(left, right).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    assert(got.size == 3)
+    assert(got(1L).isNullAt(4) && got(1L).isNullAt(6), "NULL key → NULL fill")
+    assert(got(2L).isNullAt(4) && got(2L).isNullAt(6), "NULL time → NULL fill")
+    assert(got(3L).getLong(6) == 9L, "real row matches the real right only")
+    val b = batchAsof(left, right)
+    assert(streamAsof(left, right).sameElements(b), "twin agreement incl. NULLs")
+  }
+
   test("state compacts to ONE carry right per key once lefts flush (bounded state)") {
     import graft.streaming.StreamingAsof
     // 200 keys × (20 lefts + 20 rights) over an hour: once the sentinels
