@@ -234,7 +234,8 @@ object Bench {
           runContended = contended,
           runQueries = results.map(_._1).toSet,
           runSf = sfDir, committed = committed, force = rebaseline,
-          itersActive = iters > 1)) {
+          itersActive = iters > 1,
+          runBand = finalBand, candidateBacking = 1)) {
         // backing_runs: this record is a SINGLE clean run. The bench3.sh
         // median installer overwrites the stamp with its clean-run count,
         // so "median of N" lineage claims stay machine-checkable.

@@ -185,13 +185,27 @@ object BenchSentinel {
     *
     *   - the run itself came back CLEAN (a contended run's walls are
     *     inflated; installing them as the band reference would make every
-    *     later equally-contended run look clean).
+    *     later equally-contended run look clean);
     *
-    * `force` (env SPARK_GRAFT_RECORD=replace) overrides the SF and
-    * coverage checks for deliberate re-baselining (suite renamed, SF
-    * changed); it does NOT override the filter, iters, or contended
-    * checks — there is no legitimate reason for a filtered, min-of-N, or
-    * dirty run to become the reference.
+    *   - (r16) the run's own BAND verdict is empty. A run with 1-4 band
+    *     exceeders escapes the contended trip (that needs >=5) yet carries
+    *     walls the sitting reference itself calls suspect; installing it
+    *     resets the band memory to the inflated walls. The r15 end-of-round
+    *     episode was exactly this: a single-pass 139.31 s run, itself
+    *     flagging q_triangles at 2x, legally overwrote the 126.98 s
+    *     median-of-4;
+    *
+    *   - (r16) the run's backing does not DOWNGRADE the sitting
+    *     reference's. A single clean pass (backing 1) must not replace a
+    *     median-of-N record (backing N>1): the median is strictly better
+    *     evidence of the true walls, and the downgrade silently widens the
+    *     band sentinel's tolerance to one run's noise.
+    *
+    * `force` (env SPARK_GRAFT_RECORD=replace) overrides the SF, coverage,
+    * band, and backing checks for deliberate re-baselining (suite renamed,
+    * SF changed, accepted perf regression); it does NOT override the
+    * filter, iters, or contended checks — there is no legitimate reason
+    * for a filtered, min-of-N, or dirty run to become the reference.
     */
   def mayReplaceReference(
       filterActive: Boolean,
@@ -200,15 +214,19 @@ object BenchSentinel {
       runSf: String,
       committed: Option[String],
       force: Boolean = false,
-      itersActive: Boolean = false): Boolean = {
+      itersActive: Boolean = false,
+      runBand: Seq[String] = Nil,
+      candidateBacking: Int = 1): Boolean = {
     if (filterActive || itersActive || runContended) return false
     if (force) return true
+    if (runBand.nonEmpty) return false
     committed match {
       case None => true
       case Some(rec) =>
-        val refNames = parseQueryTimes(rec).keySet
-        val sfOk = recordSf(rec).forall(_ == runSf)
-        sfOk && refNames.subsetOf(runQueries)
+        parseBackingRuns(rec).getOrElse(1) <= candidateBacking && {
+          val refNames = parseQueryTimes(rec).keySet
+          recordSf(rec).forall(_ == runSf) && refNames.subsetOf(runQueries)
+        }
     }
   }
 }

@@ -156,6 +156,55 @@ class BenchSentinelSpec extends AnyFunSuite {
       itersActive = true))
   }
 
+  test("reference-record guard refuses band-flagged and lower-backed candidates (the r15 overwrite, replayed)") {
+    // The r15 end-of-round episode: the committed reference was the
+    // median of 4 archived clean runs (126.98 s, backing_runs:4, band
+    // empty); the driver's single-pass 139.31 s run — itself band-flagging
+    // q_triangles at 2x — was clean by the contended trip (needs >=5
+    // exceeders) and legally overwrote it, downgrading backing 4 -> 1.
+    val median4 = Some(
+      """{"metric":"total","value":126.983,"unit":"sec","queries":{"q1":1.0,"q_triangles":7.506},"nq":171,"band":[],"contended":false,"backing_runs":4,"sf":"/root/testdata/sf0.1"}""")
+    val sf = "/root/testdata/sf0.1"
+    val full = Set("q1", "q_triangles")
+    // band-flagged candidate: refused even though not contended
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = median4,
+      runBand = Seq("q_triangles"), candidateBacking = 1))
+    // band-clean but lower-backed: a single pass must not downgrade a
+    // median-of-4 record
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = median4,
+      runBand = Nil, candidateBacking = 1))
+    // equal-or-better backing with a clean band may replace
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = median4,
+      runBand = Nil, candidateBacking = 4))
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = median4,
+      runBand = Nil, candidateBacking = 5))
+    // a pre-r15 reference without the stamp is treated as backing 1
+    val unstamped = Some(
+      """{"metric":"total","value":126.983,"queries":{"q1":1.0},"contended":false,"sf":"/root/testdata/sf0.1"}""")
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = unstamped,
+      runBand = Nil, candidateBacking = 1))
+    // force re-baselines across band/backing (accepted regression path)...
+    assert(BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = false,
+      runQueries = full, runSf = sf, committed = median4, force = true,
+      runBand = Seq("q_triangles"), candidateBacking = 1))
+    // ...but still never launders a contended or min-of-N run
+    assert(!BenchSentinel.mayReplaceReference(
+      filterActive = false, runContended = true,
+      runQueries = full, runSf = sf, committed = median4, force = true,
+      runBand = Nil, candidateBacking = 4))
+  }
+
   test("backing_runs lineage stamp round-trips; absent on pre-r15 records") {
     val stamped = """{"metric":"total","value":129.477,"unit":"sec","queries":{"q1":0.3},"nq":167,"contended":false,"passes":1,"backing_runs":3,"sf":"/root/testdata/sf0.1"}"""
     assert(BenchSentinel.parseBackingRuns(stamped) === Some(3))
