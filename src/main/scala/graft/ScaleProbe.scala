@@ -945,6 +945,92 @@ object ScaleProbe {
         println(f"${s"zonemap_x$m"}%-14s $total%6d ${prunedDf.inputFiles.length}%8d $rows%10d $wPruned%8.2f")
       }
     }
+    // (e3) LEFT-outer overlap join's lineage cut (r16): overlapJoinLeft
+    //     materializes the matched output once (MEMORY_AND_DISK local
+    //     checkpoint) so the bucketed join isn't executed twice for the
+    //     two output branches. The probe pins the SPILL POSTURE at growing
+    //     size: the cut's storage level must be disk-backed (so a matched
+    //     side larger than executor memory spills instead of OOMing),
+    //     bytes-per-output-row must stay flat (no superlinear residency),
+    //     and the blocks must be releasable once the consumer is done.
+    if (sec("overlapleft")) {
+      def side(n: Long, mul: Long): DataFrame = spark.range(n).select(
+        (col("id") % 64L).cast("string").as("k"),
+        timestamp_seconds(lit(1704067200L) + pmod(col("id") * mul, lit(n)) * 60L).as("s"),
+        col("id").as("oid"))
+        .withColumn("e", col("s") + make_dt_interval(lit(0), lit(0), lit(0),
+          (col("oid") % 3600L + 1L).cast("double")))
+      println(f"${"overlap_left"}%-14s ${"rows/side"}%10s ${"out_rows"}%10s ${"wall_s"}%8s ${"cut_mem_mb"}%10s ${"cut_disk_mb"}%11s ${"b/row"}%8s")
+      Seq(40000L, 400000L).foreach { n =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        var rows = 0L
+        val l = side(n, 7919); val r = side(n, 104729)
+        val w = time {
+          rows = graft.operators.IntervalJoin.overlapJoinLeft(
+            l, r, Seq("k"), "s", "e", "s", "e", "_r", bucketSeconds = 3600L)
+            .count()
+        }
+        val newIds = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+        val infos = spark.sparkContext.getRDDStorageInfo
+          .filter(i => newIds.contains(i.id))
+        require(infos.nonEmpty, "the lineage cut left no persisted RDD to audit")
+        require(infos.forall(_.storageLevel.useDisk),
+          s"cut storage level not disk-backed: ${infos.map(_.storageLevel).mkString}")
+        val mem = infos.map(_.memSize).sum
+        val disk = infos.map(_.diskSize).sum
+        println(f"overlap_left   $n%10d $rows%10d $w%8.2f ${mem / 1e6}%10.1f ${disk / 1e6}%11.1f ${(mem + disk).toDouble / math.max(rows, 1)}%8.1f")
+        // release: once the consumer's action is done the blocks must free
+        newIds.foreach(id =>
+          spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      }
+    }
+    // (e4) stream-stream ASOF state under key-cardinality growth (r16):
+    //     the operator's state is pending lefts above the watermark plus
+    //     ONE carry right per key — O(keys) by design, with NO eviction
+    //     (the same posture as any keyed streaming aggregate: a key seen
+    //     once is remembered). The probe measures the state store's actual
+    //     row/byte footprint via the streaming progress events as keys
+    //     grow 10×, pinning linear-in-keys (not rows) growth.
+    if (sec("streamstate")) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val peakBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val so = e.progress.stateOperators
+          if (so.nonEmpty) {
+            peak.getAndAccumulate(so.map(_.numRowsTotal).sum, math.max)
+            peakBytes.getAndAccumulate(so.map(_.memoryUsedBytes).sum, math.max)
+          }
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      def sideK(keys: Long, perKey: Long): DataFrame =
+        spark.range(keys * perKey).select(
+          (col("id") % keys).as("k"),
+          timestamp_seconds(lit(1704067200L) + (col("id") / keys) * 60L).as("t"),
+          (col("id") % 97L).cast("double").as("v"),
+          col("id").as("ord"))
+      println(f"${"stream_state"}%-14s ${"keys"}%10s ${"rows/side"}%10s ${"wall_s"}%8s ${"peak_rows"}%10s ${"rows/key"}%9s ${"peak_mb"}%8s")
+      spark.streams.addListener(listener)
+      try Seq(10000L, 100000L).foreach { keys =>
+        peak.set(0L); peakBytes.set(0L)
+        var out = 0L
+        val w = time {
+          out = graft.streaming.StreamingGate
+            .asofAvailableNow(spark, sideK(keys, 4), sideK(keys, 4))
+            .count()
+        }
+        // listener delivery is async; progress events flush within the bus
+        Thread.sleep(2000)
+        require(out == keys * 4, s"asof output rows: got $out, want ${keys * 4}")
+        println(f"stream_state   $keys%10d ${keys * 4}%10d $w%8.2f ${peak.get()}%10d ${peak.get().toDouble / keys}%9.2f ${peakBytes.get() / 1e6}%8.1f")
+      } finally spark.streams.removeListener(listener)
+    }
     // (e) the COMPOSED corpus pipeline (r14, carried from the r12 brief):
     //     CorpusPipelineSpec's 6-stage chain (quality → exact dedup →
     //     near-dup dedup → span removal → decontaminate → split) run as

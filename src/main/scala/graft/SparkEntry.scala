@@ -1460,6 +1460,26 @@ object SparkEntry {
         .orderBy("ts", "event_id")
     }),
 
+    // Multi-column zone map (r16): the manifest additionally records
+    // per-file min/max of the SECONDARY sort column (event_id under the
+    // (ts, event_id) RangeWriter layout — stats ride the same single
+    // manifest scan), so an id-range scan with NO predicate on the
+    // primary key still plans O(surviving files) instead of full-scanning
+    // — the real user shape a single-column zone map whiffs on. Exact
+    // filter re-applied over survivors, so the result is byte-identical
+    // to the plain filtered scan the oracle runs.
+    "q_pruned_scan_2col" -> ((s, dir) => {
+      val src = ev(s, dir)
+        .filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap2").toString + "/events_ts"
+      graft.storage.RangeWriter.writeSorted(src, tmp, Seq("ts", "event_id"), numFiles = 12)
+      graft.storage.Manifest.write(s, tmp, "ts", extraCols = Seq("event_id"))
+      graft.storage.PrunedScan.readRangeMulti(s, tmp,
+          Seq(("event_id", 100L, 400L)))
+        .orderBy("ts", "event_id")
+    }),
+
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
     // Runs to fixpoint, so the output is the exact connected components of
@@ -4139,6 +4159,12 @@ object SparkEntry {
             WHERE event_type = 'click'
               AND $evTs >= TIMESTAMP '2024-01-08 00:00:00'
               AND $evTs <= TIMESTAMP '2024-01-12 23:59:59.999999'
+            ORDER BY ts, event_id""",
+
+      "q_pruned_scan_2col" ->
+        s"""SELECT event_id, $evTs AS ts, user_id, value FROM events
+            WHERE event_type = 'click'
+              AND event_id BETWEEN 100 AND 400
             ORDER BY ts, event_id""",
 
       "q_mixture_sample" ->

@@ -307,11 +307,23 @@ final class Processor(spark: SparkSession, warehouse: String) {
     */
   def getCoverage(pair: String): CoverageInfo = {
     val p = validatePair(pair)
-    // ONE tagged-union pass (QueryEngine.coverage — the same operator
-    // q_coverage gates) over whichever tables exist, instead of four
-    // driver-blocking jobs (3 counts + a min/max agg); tables absent from
-    // the warehouse keep the reference's zero/None fallbacks
-    val sources = Seq(
+    // METADATA FAST PATH (r16): on a manifest-fresh warehouse every number
+    // coverage reports — per-table row count, earliest/latest timestamp —
+    // is already in the `_manifest` sidecars the writers maintain, so the
+    // whole call is a handful of driver-side sidecar reads: ZERO Spark
+    // jobs, ZERO data files opened (the reference answers the same call
+    // from table metadata in <5 ms, docs/DATABASE_SCHEMA.md:769). Any
+    // month without a fresh, timestamp-keyed sidecar drops its TABLE to
+    // the scan fallback below — per table, so one stale sidecar never
+    // forces the whole call onto the data.
+    import graft.storage.PrunedScan
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val readers = Seq(
       ("raw_spread_ticks",
         () => TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))),
       ("standard_ticks",
@@ -320,14 +332,28 @@ final class Processor(spark: SparkSession, warehouse: String) {
         () => spark.read.parquet(s"$warehouse/ohlc_1m")
           .filter(col("instrument") === p)))
       .filter { case (t, _) => tableExists(t) }
-      .map { case (t, f) => (t, f(), "timestamp") }
-    val rows: Map[String, (Long, Option[Timestamp], Option[Timestamp])] =
+    val meta: Map[String, (Long, Option[Timestamp], Option[Timestamp])] =
+      readers.flatMap { case (t, _) =>
+        PrunedScan.monthPartitionedCoverage(conf,
+          new org.apache.hadoop.fs.Path(s"$warehouse/$t"), "timestamp",
+          Some(p))
+          .map(v => t -> ((v._1, v._2.map(usToTs), v._3.map(usToTs))))
+      }.toMap
+    // scan fallback: ONE tagged-union pass (QueryEngine.coverage — the
+    // same operator q_coverage gates) over ONLY the tables the sidecars
+    // couldn't prove, instead of four driver-blocking jobs
+    val sources = readers.collect {
+      case (t, f) if !meta.contains(t) => (t, f(), "timestamp")
+    }
+    if (sources.nonEmpty) Processor.coverageDataScans.incrementAndGet()
+    val scanned: Map[String, (Long, Option[Timestamp], Option[Timestamp])] =
       if (sources.isEmpty) Map.empty
       else QueryEngine.coverage(sources).collect().map { r =>
         r.getString(0) -> ((r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
           if (r.isNullAt(3)) None else Some(r.getTimestamp(3))))
       }.toMap
+    val rows = meta ++ scanned
     def cnt(t: String): Long = rows.get(t).map(_._1).getOrElse(0L)
     val (earliest, latest) = rows.get("raw_spread_ticks")
       .map(v => (v._2, v._3)).getOrElse((None, None))
@@ -444,4 +470,15 @@ final class Processor(spark: SparkSession, warehouse: String) {
       .select(OhlcGenerator.Columns.map(col): _*)
     QueryEngine.batches(df, "timestamp", Nil, pageSize, maxBatches)
   }
+}
+
+object Processor {
+  /** Counts [[Processor.getCoverage]] calls that had to fall back to a
+    * data scan for at least one table — the test pin that a coverage call
+    * on a manifest-fresh warehouse runs ZERO Spark jobs and opens ZERO
+    * data files (the same observability pattern as
+    * [[graft.ohlc.OhlcGenerator.footerReads]] / `Probes.probeJobs`).
+    */
+  private[graft] val coverageDataScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -31,13 +31,23 @@ object Manifest {
       spark: SparkSession,
       path: String,
       keyCol: String,
-      intervalCols: Option[(String, String)] = None): DataFrame = {
+      intervalCols: Option[(String, String)] = None,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val base = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
     val stats = Seq(
       count(lit(1)).as("rows"),
       min(col(keyCol)).as("min_key"),
       max(col(keyCol)).as("max_key")) ++
+      // secondary zone-map columns (r16): per-file min/max for EVERY listed
+      // column rides the same single scan, named min__<col>/max__<col>.
+      // RangeWriter layouts sorted by (k1, k2) make the secondary stats
+      // nearly as tight as the primary's for correlated columns, and a
+      // predicate on the secondary ALONE — a user's id-range scan under a
+      // (ts, event_id) sort — can now prune instead of full-scanning.
+      extraCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))
+      } ++
       // interval tables additionally carry per-file LENGTH stats (max +
       // approx p99 of end-start, in µs over well-formed rows) so
       // [[graft.operators.IntervalJoin.overlapJoinAutoStored]] can size
@@ -51,9 +61,16 @@ object Manifest {
         Seq(max(wf).as("max_len_us"),
           percentile_approx(wf, lit(0.99), lit(10000)).as("p99_len_us"))
       }
-    base.agg(stats.head, stats.tail: _*)
+    val withKey = base.agg(stats.head, stats.tail: _*)
       .withColumn("key_col", lit(keyCol))
-      .orderBy("min_key", "file")
+    // `cols` records WHICH secondary columns carry stats (comma-joined,
+    // identical on every row): an all-NULL column drops its min__/max__
+    // fields from the JSON line, and without this witness "no stats
+    // recorded" and "all-NULL file" would be indistinguishable.
+    val withCols =
+      if (extraCols.isEmpty) withKey
+      else withKey.withColumn("cols", lit(extraCols.mkString(",")))
+    withCols.orderBy("min_key", "file")
   }
 
   /** Write the manifest as JSON under `<path>/_manifest` (one part file —
@@ -63,8 +80,9 @@ object Manifest {
       spark: SparkSession,
       path: String,
       keyCol: String,
-      intervalCols: Option[(String, String)] = None): Unit =
-    build(spark, path, keyCol, intervalCols)
+      intervalCols: Option[(String, String)] = None,
+      extraCols: Seq[String] = Nil): Unit =
+    build(spark, path, keyCol, intervalCols, extraCols)
       .coalesce(1)
       .write.mode("overwrite")
       // full µs precision with an explicit offset: the default JSON
@@ -182,6 +200,67 @@ object Manifest {
       }
       if (keyCols.size != 1) return None
       Some((keyCols.head, entries.toMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Driver-side per-file ranges for an ARBITRARY recorded column —
+    * primary (`key_col`/min_key/max_key) or secondary (`cols` membership +
+    * min__<col>/max__<col>, written via `extraCols`) — WITHOUT a Spark
+    * job, same parse-the-JSON-parts discipline as [[fileRowCounts]].
+    * Returns basename → (min, max) raw JSON tokens. A line whose `cols`
+    * witness lists the column but carries no min__/max__ fields is a file
+    * where that column is entirely NULL → (None, None): provably empty
+    * for any range predicate. `None` when the sidecar is missing/garbled
+    * or the column is recorded NOWHERE (neither key_col nor `cols`) — no
+    * stats is no evidence, the caller must full-scan. Callers MUST
+    * freshness-check the key set against the directory's actual parquet
+    * basenames, exactly as for [[fileRowCounts]].
+    */
+  def fileColRanges(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path,
+      column: String)
+      : Option[Map[String, (Option[String], Option[String])]] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      // primary key: the existing parser already enforces single-key_col
+      fileKeyRanges(conf, dir) match {
+        case Some((k, ranges)) if k == column => return Some(ranges)
+        case _ => ()
+      }
+      val mdir = new Path(dir, "_manifest")
+      val fs = mdir.getFileSystem(conf)
+      if (!fs.exists(mdir)) return None
+      val parts = fs.listStatus(mdir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".json"))
+      if (parts.isEmpty) return None
+      val filePat = """"file":"([^"]+)"""".r
+      val colsPat = """"cols":"([^"]*)"""".r
+      val q = java.util.regex.Pattern.quote(column)
+      val minPat = (""""min__""" + q + """":("(?:[^"\\]|\\.)*"|[^,}]+)""").r
+      val maxPat = (""""max__""" + q + """":("(?:[^"\\]|\\.)*"|[^,}]+)""").r
+      val entries = parts.flatMap { p =>
+        val in = fs.open(p.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.filter(_.nonEmpty).map { line =>
+          val file = filePat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(f) => f.split('/').last
+            case None => return None // garbled line: the sidecar is suspect
+          }
+          val listed = colsPat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(cs) => cs.split(',').contains(column)
+            case None => false // no secondary witness on this line
+          }
+          if (!listed) return None // column not recorded: no evidence
+          val mn = minPat.findFirstMatchIn(line).map(_.group(1))
+          val mx = maxPat.findFirstMatchIn(line).map(_.group(1))
+          file -> (mn, mx)
+        }
+      }
+      Some(entries.toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -100,30 +100,50 @@ object PrunedScan {
     } else scala.util.Try(BigDecimal(t)).toOption.map(NumKey(_))
   }
 
-  /** Caller-supplied bound → [[Key]]. A String bound is ALWAYS the string
-    * axis, even when it would parse as a date: the exact filter compares
-    * a string bound against a string column LEXICOGRAPHICALLY, and
-    * temporal-parsing it here could order differently (mixed offsets,
+  /** Caller-supplied bound → ([[Key]] usable as a range LOWER bound,
+    * [[Key]] usable as a range UPPER bound). A String bound is ALWAYS the
+    * string axis, even when it would parse as a date: the exact filter
+    * compares a string bound against a string column LEXICOGRAPHICALLY,
+    * and temporal-parsing it here could order differently (mixed offsets,
     * space-vs-T forms) and wrongly prune. Against a timestamp-keyed
     * manifest a string bound therefore falls back to the full scan —
     * pass Timestamp/Instant bounds to prune temporal keys.
+    *
+    * ZONE-LESS temporals (java.sql.Date / LocalDate / LocalDateTime) are
+    * the subtle case (r16 review fix): the exact filter the pruned read
+    * re-applies coerces them against a timestamp key in the SESSION time
+    * zone, while a TIMESTAMP_NTZ key compares them as wall-clock (≡ a UTC
+    * resolution of the manifest's offset-less tokens) — and which key
+    * flavor the files hold is unknown at prune time. Resolving to a single
+    * instant (the old behavior: hard UTC) shifted the bound by the zone
+    * offset on any non-UTC session and could PROVE files empty that the
+    * exact filter would keep. Instead the wall-clock is resolved under
+    * BOTH interpretations and the range is widened conservatively: the
+    * lower bound takes the earlier instant, the upper the later. A widened
+    * range only ever keeps extra files (≤ the zone offset's worth of data,
+    * vs month-scale files); a skip stays a proof under EITHER key flavor.
     */
-  private def boundKey(v: Any): Option[Key] = v match {
-    case null => None
-    case d: BigDecimal => Some(NumKey(d))
-    case t: java.sql.Timestamp => Some(TimeKey(instantMicros(t.toInstant)))
-    case n: java.lang.Number => Some(NumKey(BigDecimal(n.toString)))
-    case d: java.sql.Date =>
-      Some(TimeKey(instantMicros(
-        d.toLocalDate.atStartOfDay.toInstant(java.time.ZoneOffset.UTC))))
-    case i: java.time.Instant => Some(TimeKey(instantMicros(i)))
-    case l: java.time.LocalDateTime =>
-      Some(TimeKey(instantMicros(l.toInstant(java.time.ZoneOffset.UTC))))
-    case l: java.time.LocalDate =>
-      Some(TimeKey(instantMicros(
-        l.atStartOfDay.toInstant(java.time.ZoneOffset.UTC))))
-    case s: String => Some(StrKey(s))
-    case _ => None
+  private def boundKeys(
+      v: Any,
+      zone: java.time.ZoneId): Option[(Key, Key)] = {
+    def exact(k: Key) = Some((k, k))
+    def wallClock(l: java.time.LocalDateTime): Option[(Key, Key)] = {
+      val utc = instantMicros(l.toInstant(java.time.ZoneOffset.UTC))
+      val sess = instantMicros(l.atZone(zone).toInstant)
+      Some((TimeKey(math.min(utc, sess)), TimeKey(math.max(utc, sess))))
+    }
+    v match {
+      case null => None
+      case d: BigDecimal => exact(NumKey(d))
+      case t: java.sql.Timestamp => exact(TimeKey(instantMicros(t.toInstant)))
+      case n: java.lang.Number => exact(NumKey(BigDecimal(n.toString)))
+      case d: java.sql.Date => wallClock(d.toLocalDate.atStartOfDay)
+      case i: java.time.Instant => exact(TimeKey(instantMicros(i)))
+      case l: java.time.LocalDateTime => wallClock(l)
+      case l: java.time.LocalDate => wallClock(l.atStartOfDay)
+      case s: String => exact(StrKey(s))
+      case _ => None
+    }
   }
 
   /** Surviving basenames for [lo, hi] (inclusive both ends), or None when
@@ -158,29 +178,60 @@ object PrunedScan {
     * every file and relies on its exact filter. This is the per-leaf
     * primitive; [[readRange]] wraps it for flat tables and partitioned
     * readers (e.g. the tick warehouse) call it per pruned partition.
+    *
+    * `zone` only matters for zone-less temporal bounds (see [[boundKeys]]);
+    * Instant/Timestamp bounds — everything the internal warehouse callers
+    * pass via [[sessionInstant]] — are exact under any value.
     */
   private[graft] def prunedDataFiles(
       conf: org.apache.hadoop.conf.Configuration,
       dir: HPath,
       keyCol: String,
       lo: Any,
-      hi: Any): Option[Seq[HPath]] =
+      hi: Any,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[Seq[HPath]] =
+    prunedDataFilesMulti(conf, dir, Seq((keyCol, lo, hi)), zone)
+
+  /** Multi-column zone-map pruning (r16): surviving data-file paths for
+    * the CONJUNCTION of per-column inclusive ranges, or None when NO
+    * column could prove anything. Each column prunes independently against
+    * its recorded stats (primary key_col min/max or secondary
+    * min__/max__ written via `Manifest.write(extraCols)`), and the
+    * survivor sets are INTERSECTED — sound because the predicate is a
+    * conjunction: a file provably empty for any one conjunct is empty for
+    * the whole. A column with no/unusable stats simply doesn't constrain
+    * (its conjunct is enforced by the re-applied exact filter); the
+    * all-or-nothing per-column discipline of [[survivors]] still holds, so
+    * one odd file aborts that COLUMN's pruning, never a partial answer.
+    * The freshness proof (sidecar file-name set == directory contents) is
+    * checked once and gates every column.
+    */
+  private[graft] def prunedDataFilesMulti(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: HPath,
+      bounds: Seq[(String, Any, Any)],
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[Seq[HPath]] =
     try {
+      require(bounds.nonEmpty, "at least one column range required")
       val fs = dir.getFileSystem(conf)
       val dataNames = fs.listStatus(dir).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
           !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith("."))
-        .map(_.getPath.getName)
-      for {
-        loK <- boundKey(lo)
-        hiK <- boundKey(hi)
-        km <- Manifest.fileKeyRanges(conf, dir)
-        (mKeyCol, ranges) = km
-        if mKeyCol == keyCol          // stats describe a different column
-        if ranges.keySet == dataNames.toSet // stale/partial sidecar
-        kept <- survivors(ranges, loK, hiK)
-      } yield kept.map(n => new HPath(dir, n))
+        .map(_.getPath.getName).toSet
+      val perCol: Seq[Option[Set[String]]] = bounds.map { case (c, lo, hi) =>
+        for {
+          loKs <- boundKeys(lo, zone)
+          hiKs <- boundKeys(hi, zone)
+          ranges <- Manifest.fileColRanges(conf, dir, c)
+          if ranges.keySet == dataNames // stale/partial sidecar
+          kept <- survivors(ranges, loKs._1, hiKs._2)
+        } yield kept.toSet
+      }
+      val usable = perCol.flatten
+      if (usable.isEmpty) None // no column could prove anything
+      else Some(usable.reduce(_ intersect _).toSeq.sorted
+        .map(n => new HPath(dir, n)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def parseWallClock(t: String): java.time.LocalDateTime =
@@ -257,6 +308,90 @@ object PrunedScan {
       })
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Coverage of a month-partitioned warehouse table — (total rows,
+    * min key, max key as epoch µs) — answered ENTIRELY from manifest
+    * sidecars on the driver: zero Spark jobs, zero data-file opens, zero
+    * parquet footer reads (r16; the analogue of the reference's <5 ms
+    * metadata coverage read, `docs/DATABASE_SCHEMA.md:769`). Every month
+    * directory must carry a FRESH sidecar (file-name set == directory
+    * contents — the usual task-UUID freshness proof) keyed on `keyCol`
+    * with temporally-parseable stats; ANY unusable month returns None and
+    * the caller falls back to the data scan. All-NULL-key files contribute
+    * their rows but no min/max; a table with dirs but zero rows yields
+    * (0, None, None). Precision note: sidecars written by [[Manifest]]
+    * carry full-µs timestamps; an externally ms-truncated sidecar would
+    * understate bounds by <1 ms — acceptable for coverage reporting, and
+    * the pruning path (which must PROVE) keeps its own slack.
+    */
+  def monthPartitionedCoverage(
+      conf: org.apache.hadoop.conf.Configuration,
+      root: HPath,
+      keyCol: String,
+      instrument: Option[String]): Option[(Long, Option[Long], Option[Long])] =
+    try {
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return None
+      // PROVE the layout before claiming anything: a table written with a
+      // different partitioning (no instrument= level, or loose data files
+      // at the root) must fall back to the scan, NOT be reported as a
+      // proven zero — metadata answers are only as true as the layout
+      // assumption they ride on.
+      val rootKids = fs.listStatus(root).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val allInstDirs = rootKids
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
+        .map(_.getPath)
+      if (allInstDirs.isEmpty || allInstDirs.size != rootKids.size) return None
+      val instDirs = instrument match {
+        // a VALID layout without this instrument's dir is a true zero
+        case Some(i) =>
+          allInstDirs.filter(_.getName == s"instrument=${i.toUpperCase}")
+        case None => allInstDirs
+      }
+      val monthDirs = instDirs.flatMap { d =>
+        val kids = fs.listStatus(d).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+        val months = kids
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+          .map(_.getPath)
+        if (months.size != kids.size) return None // stray files: layout unproven
+        months
+      }
+      var rows = 0L
+      var mn = Option.empty[Long]
+      var mx = Option.empty[Long]
+      monthDirs.foreach { d =>
+        val dataNames = fs.listStatus(d).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.getName).toSet
+        val counts = Manifest.fileRowCounts(conf, d) match {
+          case Some(c) if c.keySet == dataNames => c
+          case _ => return None // missing/stale sidecar: no proof
+        }
+        val ranges = Manifest.fileKeyRanges(conf, d) match {
+          case Some((k, r)) if k == keyCol && r.keySet == dataNames => r
+          case _ => return None
+        }
+        rows += counts.values.sum
+        ranges.values.foreach {
+          case (None, None) => () // all-NULL key file
+          case (Some(mnTok), Some(mxTok)) =>
+            (tokenKey(mnTok), tokenKey(mxTok)) match {
+              case (Some(TimeKey(a)), Some(TimeKey(b))) =>
+                mn = Some(mn.fold(a)(math.min(_, a)))
+                mx = Some(mx.fold(b)(math.max(_, b)))
+              case _ => return None // non-temporal stats: not this key
+            }
+          case _ => return None // half-present stats: sidecar suspect
+        }
+      }
+      Some((rows, mn, mx))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Inclusive range scan over the dataset at `path` (a flat directory of
     * parquet files — partitioned tables prune partitions first and apply
     * this per leaf), reading ONLY the files whose manifest zone-map range
@@ -269,12 +404,33 @@ object PrunedScan {
       path: String,
       keyCol: String,
       lo: Any,
-      hi: Any): DataFrame = {
-    require(lo != null && hi != null, "readRange bounds must be non-null")
-    val exact: Column = col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)
+      hi: Any): DataFrame =
+    readRangeMulti(spark, path, Seq((keyCol, lo, hi)))
+
+  /** Inclusive MULTI-column range scan (r16): the conjunction of per-column
+    * [lo, hi] ranges, file-pruned by intersecting each column's zone-map
+    * survivors ([[prunedDataFilesMulti]]) — so a predicate on a SECONDARY
+    * sort column (recorded via `Manifest.write(extraCols)`) prunes too,
+    * alone or stacked with the primary. Columns without usable stats fall
+    * back gracefully: their conjunct is only enforced by the re-applied
+    * exact filter. Bounds accept numerics, java.sql/java.time temporals,
+    * and strings; zone-less temporals are range-widened per [[boundKeys]].
+    */
+  def readRangeMulti(
+      spark: SparkSession,
+      path: String,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    require(bounds.nonEmpty, "readRangeMulti needs at least one column range")
+    require(bounds.forall { case (_, lo, hi) => lo != null && hi != null },
+      "range bounds must be non-null")
+    val exact: Column = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val zone =
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val picked: Option[Seq[String]] =
-      prunedDataFiles(spark.sessionState.newHadoopConf(), new HPath(path),
-        keyCol, lo, hi).map(_.map(_.toString))
+      prunedDataFilesMulti(spark.sessionState.newHadoopConf(),
+        new HPath(path), bounds, zone).map(_.map(_.toString))
     picked match {
       case Some(Nil) =>
         // every file proven out of range: empty result, real schema

@@ -31,6 +31,18 @@ object StreamingGate {
 
   private val FlushKey = "__flush"
 
+  /** Serializes [[withGatePartitions]] bodies: the shuffle-partition
+    * override is a SESSION-GLOBAL mutation, so two concurrent gates on the
+    * shared session could interleave their read-set/restore and clobber
+    * each other's (or the caller's) setting. The lock makes gate runs
+    * mutually exclusive — correct restore is guaranteed among gates; a
+    * NON-gate query running concurrently on the same session would still
+    * observe 8 shuffle partitions for the gate's duration (a perf knob,
+    * never a correctness one), which is the documented cost of these
+    * bounded correctness gates sharing the Processor's session.
+    */
+  private val gateLock = new Object
+
   /** Run `body` with a small shuffle-partition count and restore the
     * session's setting after. Stateful streaming pays one state-store
     * instance per shuffle partition PER MICRO-BATCH per stateful
@@ -40,13 +52,14 @@ object StreamingGate {
     * partition-count independent; every gate totally orders its output).
     * Production streams size this per job as usual.
     */
-  private def withGatePartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
-    try body
-    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
+  private def withGatePartitions[T](spark: SparkSession)(body: => T): T =
+    gateLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "8")
+      try body
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
 
   /** Streaming 1-minute OHLC over a bounded point frame, emitted through a
     * real watermark/append/AvailableNow run. Output columns match the
@@ -272,6 +285,18 @@ object StreamingGate {
       instruments: Seq[String],
       watermark: String = "2 minutes"
   ): DataFrame = withGatePartitions(spark) {
+    // an instrument absent from the code map would encode to a NULL key,
+    // and NULL-k silver rows fall out of stage 2's `k =!= flush` filter —
+    // the batch twin emits bars for EVERY instrument present, so silent
+    // dropping is a divergence. Fail loudly instead (r16 review fix); the
+    // check is one small distinct over the bounded gate fixtures.
+    val unmapped = rawSpread.select("instrument")
+      .union(standard.select("instrument"))
+      .distinct().collect().map(_.getString(0))
+      .filterNot(instruments.contains)
+    require(unmapped.isEmpty,
+      "instruments missing from the code map: " +
+        unmapped.map(s => if (s == null) "<null>" else s).sorted.mkString(", "))
     val code = instruments.zipWithIndex
       .map { case (n, i) => (n, i.toLong) }.toMap
     val codeCol = instruments.foldLeft(lit(null).cast("long")) {

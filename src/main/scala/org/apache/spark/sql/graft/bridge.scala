@@ -55,6 +55,14 @@ object bridge {
     val qe = ds.queryExecution
     val physical = qe.executedPlan
     val rdd = physical.execute().map(_.copy())
+    // EXPLICIT spill-safe storage level (r16): localCheckpoint's default is
+    // MEMORY_AND_DISK today, but the cut's safety at 100× — a matched
+    // overlap-join output larger than executor memory must spill, not OOM —
+    // must not hang off a default that a Spark upgrade or a caller's prior
+    // persist() could change (localCheckpoint REUSES any pre-set level).
+    // Pinning it here makes every cut's materialization disk-backed by
+    // construction; ScaleProbe's overlapleft section measures the spill.
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.localCheckpoint()
     // a PartitioningCollection can reference attributes the analyzed output
     // doesn't expose; keep its first leaf, as Dataset.checkpoint does

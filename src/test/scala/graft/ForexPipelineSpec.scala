@@ -148,6 +148,35 @@ class ForexPipelineSpec extends SparkSpec {
     assert(p.getInstruments === Seq("EURUSD"))
   }
 
+  test("coverage on a manifest-fresh warehouse answers from sidecars: zero data scans") {
+    val (p, dir) = env
+    val wh = dir.resolve("warehouse").toString
+    // ingest + regenerate left every month of all three tables with a
+    // fresh _manifest, so the whole coverage call is driver-side sidecar
+    // reads — the scan-fallback counter must not move, and every number
+    // (counts AND the µs-precision earliest/latest) must still be exact
+    val before = Processor.coverageDataScans.get()
+    val cov = p.getCoverage("EURUSD")
+    assert(Processor.coverageDataScans.get() === before,
+      "coverage fell back to a data scan despite fresh sidecars")
+    assert(cov.rawSpreadTicks === 8 && cov.standardTicks === 4 && cov.ohlcBars === 5)
+    assert(cov.earliest.get.toString === "2024-01-01 14:30:01.000001")
+
+    // degrade ONE table's sidecar: only that table scans, the result is
+    // unchanged (the fallback path and the metadata path must agree)
+    val mdir = new java.io.File(
+      s"$wh/standard_ticks/instrument=EURUSD/yyyymm=202402/_manifest")
+    assert(mdir.isDirectory, "expected a sidecar to degrade")
+    val stash = new java.io.File(mdir.getParentFile, "_manifest_stash")
+    assert(mdir.renameTo(stash))
+    try {
+      val cov2 = p.getCoverage("EURUSD")
+      assert(Processor.coverageDataScans.get() === before + 1,
+        "a sidecar-less month must drop its table to the scan fallback")
+      assert(cov2 === cov, "scan fallback and metadata path disagree")
+    } finally assert(stash.renameTo(mdir))
+  }
+
   test("cursor pagination over-fetch/trim and batch iterator") {
     val (p, _) = env
     val page1 = p.queryOhlcPage("EURUSD", None, pageSize = 2)

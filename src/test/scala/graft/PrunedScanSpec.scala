@@ -238,6 +238,105 @@ class PrunedScanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("secondary-column zone map: id-range scan under a (ts, event_id) sort prunes and matches the full scan") {
+    val out = Files.createTempDirectory("pruned_2col").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 8)
+    Manifest.write(spark, out, "ts", extraCols = Seq("event_id"))
+    val total = dataFiles(out).length
+    val ids = events.agg(min("event_id"), max("event_id")).as[(Long, Long)].head()
+    val lo = ids._1 + (ids._2 - ids._1) / 4
+    val hi = ids._1 + (ids._2 - ids._1) / 3
+    // predicate on the SECONDARY column only — no bound on the primary key
+    val pruned = PrunedScan.readRangeMulti(spark, out, Seq(("event_id", lo, hi)))
+    val full = spark.read.parquet(out)
+      .filter(col("event_id") >= lo && col("event_id") <= hi)
+    assert(pruned.orderBy("event_id").collect()
+      .sameElements(full.orderBy("event_id").collect()))
+    assert(pruned.count() > 0)
+    assert(pruned.inputFiles.length < total,
+      s"read ${pruned.inputFiles.length} of $total files — secondary stats pruned nothing")
+  }
+
+  test("multi-column bounds intersect survivor sets; conjunction stays exact") {
+    val out = Files.createTempDirectory("pruned_multi").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 8)
+    Manifest.write(spark, out, "ts", extraCols = Seq("event_id"))
+    val tsLo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val tsHi = java.sql.Timestamp.valueOf("2024-01-20 23:59:59.999999")
+    val ids = events.agg(min("event_id"), max("event_id")).as[(Long, Long)].head()
+    val idLo = ids._1
+    val idHi = ids._1 + (ids._2 - ids._1) / 3
+    val both = PrunedScan.readRangeMulti(spark, out,
+      Seq(("ts", tsLo, tsHi), ("event_id", idLo, idHi)))
+    val tsOnly = PrunedScan.readRangeMulti(spark, out, Seq(("ts", tsLo, tsHi)))
+    val idOnly = PrunedScan.readRangeMulti(spark, out, Seq(("event_id", idLo, idHi)))
+    val full = spark.read.parquet(out).filter(
+      col("ts") >= lit(tsLo) && col("ts") <= lit(tsHi) &&
+        col("event_id") >= idLo && col("event_id") <= idHi)
+    assert(both.orderBy("ts", "event_id").collect()
+      .sameElements(full.orderBy("ts", "event_id").collect()))
+    assert(both.count() > 0)
+    assert(both.inputFiles.length <= tsOnly.inputFiles.length &&
+      both.inputFiles.length <= idOnly.inputFiles.length,
+      "intersection must never plan more files than either column alone")
+  }
+
+  test("manifest without secondary stats: a secondary-column scan falls back to the full scan") {
+    val out = Files.createTempDirectory("pruned_nosec").toString + "/data"
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 4)
+    Manifest.write(spark, out, "ts") // no extraCols: event_id unrecorded
+    val total = dataFiles(out).length
+    val pruned = PrunedScan.readRangeMulti(spark, out, Seq(("event_id", 1L, 50L)))
+    assert(pruned.inputFiles.length == total,
+      "unrecorded column stats must not prune")
+    val full = spark.read.parquet(out)
+      .filter(col("event_id") >= 1L && col("event_id") <= 50L)
+    assert(pruned.count() == full.count())
+  }
+
+  test("all-NULL secondary-column file is skipped (cols witness disambiguates from unrecorded)") {
+    val out = Files.createTempDirectory("pruned_nullsec").toString + "/data"
+    val df = events.limit(200)
+      .withColumn("k", when(col("event_id") % 2 === 0, col("event_id")))
+      .withColumn("grp", when(col("k").isNull, 0).otherwise(1))
+    df.repartitionByRange(2, col("grp")).drop("grp")
+      .write.mode("overwrite").parquet(out)
+    Manifest.write(spark, out, "ts", extraCols = Seq("k"))
+    assert(dataFiles(out).length == 2)
+    val ids = df.filter(col("k").isNotNull)
+      .agg(min("k"), max("k")).as[(Long, Long)].head()
+    val pruned = PrunedScan.readRangeMulti(spark, out, Seq(("k", ids._1, ids._2)))
+    assert(pruned.inputFiles.length == 1, "the all-null-k file must be skipped")
+    assert(pruned.count() == df.filter(col("k").isNotNull).count())
+  }
+
+  test("zone-less temporal bounds on a non-UTC session: widened range never wrongly skips (the Tokyo shift)") {
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "Asia/Tokyo")
+      val out = Files.createTempDirectory("pruned_tzbound").toString + "/data"
+      // rows at 2024-01-09T15:00Z .. 2024-01-09T23:59Z — BEFORE midnight
+      // UTC but ON/AFTER the Jan-10 Tokyo wall-clock date. A UTC-resolved
+      // LocalDate bound (the pre-r16 behavior) proves this file empty and
+      // skips it; the session-zone exact filter keeps every row.
+      val df = spark.range(60).select(
+        expr("timestamp_micros(1704812400000000 + id * 600000000)").as("ts"),
+        col("id").as("v"))
+      RangeWriter.writeSorted(df, out, Seq("ts"), numFiles = 3)
+      Manifest.write(spark, out, "ts")
+      val lo = java.time.LocalDate.parse("2024-01-10")
+      val hi = java.time.LocalDate.parse("2024-01-11")
+      val pruned = PrunedScan.readRange(spark, out, "ts", lo, hi)
+      val full = spark.read.parquet(out)
+        .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      assert(pruned.orderBy("ts").collect()
+        .sameElements(full.orderBy("ts").collect()))
+      assert(pruned.count() == full.count() && full.count() > 0,
+        "rows in the Tokyo-early window must survive the zone map")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no sidecar at all falls back to full scan + filter") {
     val out = Files.createTempDirectory("pruned_nosidecar").toString + "/data"
     RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)

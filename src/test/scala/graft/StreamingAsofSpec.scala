@@ -88,6 +88,22 @@ class StreamingAsofSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("an instrument missing from the code map fails loudly instead of dropping its bars") {
+    val e = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+    def ticks(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(
+        when(col("user_id") % 2 === 0, "EURUSD").otherwise("GBPUSD").as("instrument"),
+        col("ts").as("timestamp"),
+        col("value").as("bid"), (col("value") + 0.1).as("ask"))
+    // GBPUSD rows are present but unmapped: the batch twin would emit its
+    // bars, so the gate must refuse rather than silently filter them out
+    val ex = intercept[IllegalArgumentException] {
+      StreamingGate.ohlcEnrichedAvailableNow(
+        spark, ticks("purchase"), ticks("click"), Seq("EURUSD"))
+    }
+    assert(ex.getMessage.contains("GBPUSD"))
+  }
+
   test("arrival order independence: random file splits, out-of-order batches") {
     // rows land in micro-batches in RANDOM order (each file is a batch,
     // maxFilesPerTrigger=1); with a watermark delay covering the full
