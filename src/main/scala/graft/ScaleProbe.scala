@@ -870,6 +870,57 @@ object ScaleProbe {
           .chooseAsofDispatch(l, r, Seq("k"), "t", "t")
         println(s"burst_dispatch conc=$c form=${d.form} width=${d.bucketSeconds}s")
       }
+      // (r16) MINUTE-scale burst: every dense row inside ONE 60 s window
+      // of the month. The HOURLY peak sees the burst at hour resolution —
+      // its width (3600 × target / rows ≈ 450 s here) still swallows the
+      // whole 60 s burst into a single bucket, re-serializing it; the
+      // minute peak (same probe pass) demands 60 × target / rows ≈ 7 s,
+      // cutting the burst into ~target-row buckets.
+      def microSide(n: Long, payload: Boolean): DataFrame = {
+        val dense = spark.range(n).select(
+          lit("HOT").as("k"),
+          expr(s"timestamp_micros(1704067200000000 + CAST(id * (60000000.0 / $n) AS BIGINT))").as("t"),
+          col("id").as("ord"))
+        val anchors = spark.range(1000L).select(
+          lit("HOT").as("k"),
+          expr(s"timestamp_micros(1704067200000000 + id * ${monthSec * 1000L})").as("t"),
+          (col("id") + n).as("ord"))
+        val u = dense.unionByName(anchors)
+        if (payload)
+          u.select(col("k"), col("t"), (col("ord") % 1000).cast("double").as("v"))
+        else u.select(col("k"), col("t"), col("ord"))
+      }
+      def runMicro(n: Long, mode: String): Double = {
+        val l = microSide(n, payload = false)
+        val r = microSide(n / 2, payload = true)
+        if (mode == "hourpeak") {
+          // the r15 sizing: hourly peak only — the whole minute burst
+          // lands in one hour, so this width is ~3600·target/rows
+          val rows = n + n / 2 + 2000L
+          val width = graft.operators.AsofJoin
+            .bucketWidthFor(rows, monthSec, rows, 3600L, 1000000L)
+          time(graft.operators.AsofJoin.leftAsofBucketed(
+            l, r, Seq("k"), "t", "t", Seq("v"), "_c", bucketSeconds = width)
+            .agg(count(col("v_c")), sum(col("v_c"))).head())
+        } else {
+          time(graft.operators.AsofJoin.leftAsofAuto(
+            l, r, Seq("k"), "t", "t", Seq("v"), "_c")
+            .agg(count(col("v_c")), sum(col("v_c"))).head())
+        }
+      }
+      runMicro(200000L, "hourpeak"); runMicro(200000L, "auto") // warm
+      println(f"${"asof_uburst"}%-14s ${"rows/side"}%10s ${"wall_s"}%8s")
+      Seq("hourpeak", "auto").foreach { m =>
+        val wall = runMicro(8000000L, m)
+        println(f"uburst_$m%-12s ${8000000L}%10d $wall%8.2f")
+      }
+      locally {
+        val l = microSide(8000000L, payload = false)
+        val r = microSide(4000000L, payload = true)
+        val d = graft.operators.AsofJoin
+          .chooseAsofDispatch(l, r, Seq("k"), "t", "t")
+        println(s"uburst_dispatch form=${d.form} width=${d.bucketSeconds}s")
+      }
     }
     // (f) big-big interval-overlap join on ONE hot key (r14): Catalyst
     //     executes the keyed theta join as a join on the key alone with

@@ -330,6 +330,36 @@ object AsofJoin {
     }
   }
 
+  /** [[bucketWidthFor]] with a SECOND, finer peak (r16): the hourly peak
+    * misses a sub-hour micro-burst — an open-auction burst packing its
+    * rows into one minute of an otherwise-quiet hour has ~60× its hourly
+    * density inside the burst, and the hour-peak width re-serializes
+    * there exactly as the r14 average width did inside an hour burst.
+    * The candidate set just grows by one: width = min(avg, hour-peak,
+    * fine-peak), each being what the target-rows-per-bucket goal demands
+    * at its own resolution. A zero fine peak (no timed rows, or sampled
+    * evidence below the probe's significance floor) keeps the coarser
+    * answer; clamping as in the base sizer. Purely physical as ever: a
+    * mis-sized width moves cost, never rows.
+    */
+  def bucketWidthFor(
+      hotKeyRows: Long,
+      spanSeconds: Long,
+      peakWindowRows: Long,
+      peakWindowSeconds: Long,
+      peakFineRows: Long,
+      peakFineSeconds: Long,
+      targetRowsPerBucket: Long): Long = {
+    val base = bucketWidthFor(hotKeyRows, spanSeconds, peakWindowRows,
+      peakWindowSeconds, targetRowsPerBucket)
+    if (peakFineRows <= 0L || peakFineSeconds <= 0L) base
+    else {
+      val wFine = peakFineSeconds.toDouble * targetRowsPerBucket.toDouble /
+        peakFineRows.toDouble
+      math.max(1L, math.min(base, wFine.toLong))
+    }
+  }
+
   /** [[chooseAsofForm]] extended with bucket-width sizing: same two-tier
     * probe discipline (capped no-shuffle quick reject, then ONE sampled
     * per-key agg — the span AND peak-window stats ride that same pass, so
@@ -359,7 +389,8 @@ object AsofJoin {
     val stats = Probes.hottestKeyBurstStats(keys, on, "__t", threshold)
     if (stats.rows > threshold)
       AsofDispatch("bucketed", bucketWidthFor(stats.rows, stats.spanSeconds,
-        stats.peakWindowRows, Probes.PeakWindowSeconds, threshold))
+        stats.peakWindowRows, Probes.PeakWindowSeconds,
+        stats.peakFineRows, Probes.FineWindowSeconds, threshold))
     else AsofDispatch("plain", defaultBucketSeconds)
   }
 

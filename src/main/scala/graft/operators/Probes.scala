@@ -89,11 +89,34 @@ object Probes {
     */
   val PeakWindowSeconds: Long = 3600L
 
-  /** Shape of the hottest join key: total rows, time span, and the row
-    * count of its BUSIEST [[PeakWindowSeconds]]-wide window. Rows and peak
-    * are scaled back to full-data estimates when the probe sampled.
+  /** Fine window for SUB-HOUR bursts (r16): open-auction-style bursts in
+    * the reference's tick domain are seconds-to-minutes, and an hourly
+    * peak sees only their hour-average. Minute resolution catches them;
+    * the sampled per-minute counts are noisier, so the fine peak is only
+    * REPORTED when its sampled evidence clears [[MinFineSampleRows]] —
+    * below that it reads 0 ("no evidence") and sizing keeps the hourly
+    * answer. A missed fine burst costs bucket-width optimality, never
+    * rows (widths are purely physical).
     */
-  final case class HotKeyStats(rows: Long, spanSeconds: Long, peakWindowRows: Long)
+  val FineWindowSeconds: Long = 60L
+
+  /** Minimum SAMPLED rows in the busiest fine window before the fine peak
+    * is trusted: below this a Poisson-level fluctuation could fabricate a
+    * "burst" and shrink the width for no reason (cost-only, but noisy).
+    */
+  val MinFineSampleRows: Long = 32L
+
+  /** Shape of the hottest join key: total rows, time span, the row count
+    * of its BUSIEST [[PeakWindowSeconds]]-wide window, and (r16) of its
+    * busiest [[FineWindowSeconds]]-wide window (0 when the sampled
+    * evidence is below [[MinFineSampleRows]]). Rows and peaks are scaled
+    * back to full-data estimates when the probe sampled.
+    */
+  final case class HotKeyStats(
+      rows: Long,
+      spanSeconds: Long,
+      peakWindowRows: Long,
+      peakFineRows: Long = 0L)
 
   /** [[hottestKeyCount]] extended with the hottest key's TIME SPAN and
     * PEAK WINDOW density, from the SAME sampled pass (the span min/max and
@@ -124,21 +147,35 @@ object Probes {
     val frac = math.min(1.0, SampleRowsTarget / threshold.toDouble)
     val src =
       if (frac < 1.0) keys.sample(withReplacement = false, frac, seed) else keys
-    // pre-aggregate per (key, coarse window): per-window counts + time
+    // pre-aggregate per (key, FINE window) — the finest granularity — then
+    // roll the fine windows up into coarse ones: per-window counts + time
     // bounds partially combine map-side, so the probe's shuffle stays
-    // sample-sized; NULL times land in a NULL window and are excluded from
-    // span/peak (they carry no ordering information)
-    val wCol = floor(unix_micros(col("__probe_t")) /
-      (PeakWindowSeconds * 1000000L)).cast("long")
-    val perWindow = src.groupBy((keyCols.map(col) :+ wCol.as("__w")): _*)
-      .agg(count(lit(1)).as("__wn"),
+    // sample-sized, and BOTH peak resolutions ride the same single action
+    // (the rollup stages operate on the already-tiny pre-agg). NULL times
+    // land in a NULL window and are excluded from span/peaks (they carry
+    // no ordering information).
+    val wFine = floor(unix_micros(col("__probe_t")) /
+      (FineWindowSeconds * 1000000L)).cast("long")
+    val perFine = src.groupBy((keyCols.map(col) :+ wFine.as("__wf")): _*)
+      .agg(count(lit(1)).as("__fn"),
         min(col("__probe_t")).as("__wlo"), max(col("__probe_t")).as("__whi"))
+    val wCoarse = floor(col("__wf") * FineWindowSeconds / PeakWindowSeconds)
+      .cast("long")
+    val perWindow = perFine
+      .groupBy((keyCols.map(col) :+ wCoarse.as("__w")): _*)
+      .agg(sum(col("__fn")).as("__wn"),
+        min(col("__wlo")).as("__wlo"), max(col("__whi")).as("__whi"),
+        // null-window fine rows carry no peak evidence; test the SOURCE
+        // column (__wf), not the grouping alias __w — an alias defined in
+        // the same groupBy is a lateral reference inside agg functions
+        max(when(col("__wf").isNotNull, col("__fn"))).as("__wfpeak"))
     val hottest = perWindow.groupBy(keyCols.map(col): _*)
       .agg(sum(col("__wn")).as("__n"),
         min(col("__wlo")).as("__lo"), max(col("__whi")).as("__hi"),
-        max(when(col("__w").isNotNull, col("__wn"))).as("__peak"))
-      .agg(max_by(struct(col("__n"), col("__lo"), col("__hi"), col("__peak")),
-        col("__n")))
+        max(when(col("__w").isNotNull, col("__wn"))).as("__peak"),
+        max(col("__wfpeak")).as("__fpeak"))
+      .agg(max_by(struct(col("__n"), col("__lo"), col("__hi"), col("__peak"),
+        col("__fpeak")), col("__n")))
       .head()
     if (hottest.isNullAt(0)) return HotKeyStats(0L, 0L, 0L)
     val row = hottest.getStruct(0)
@@ -151,8 +188,11 @@ object Probes {
         java.time.Duration.between(lo, hi).getSeconds
       }
     val peak = if (row.isNullAt(3)) 0L else row.getLong(3)
+    val finePeakSampled = if (row.isNullAt(4)) 0L else row.getLong(4)
     def scaled(v: Long): Long = if (frac < 1.0) (v / frac).toLong else v
-    HotKeyStats(scaled(n), span, scaled(peak))
+    val fine =
+      if (finePeakSampled >= MinFineSampleRows) scaled(finePeakSampled) else 0L
+    HotKeyStats(scaled(n), span, scaled(peak), fine)
   }
 
   /** Back-compat view of [[hottestKeyBurstStats]]: (rows, spanSeconds) of

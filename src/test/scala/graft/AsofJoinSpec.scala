@@ -270,9 +270,47 @@ class AsofJoinSpec extends SparkSpec {
     // happen to land in it: ids 0 and 1 of the 25920s series fall in hours
     // 0 and 7 — only id 0 shares the burst hour)
     assert(s.peakWindowRows === 5001L)
+    // (r16) the MINUTE peak rides the same pass: seconds 0..1399 carry 2
+    // burst rows, 1400+ carry 1, so minutes 0..22 hold 120 each; sparse
+    // id 0 (t = burst start) lands in minute 0 → 121
+    assert(s.peakFineRows === 121L)
     // empty input: all-zero, no NPE
     assert(Probes.hottestKeyBurstStats(df.filter("1 = 0"), Seq("k"), "t", 100L)
       === Probes.HotKeyStats(0L, 0L, 0L))
+  }
+
+  test("sub-hour burst: the minute peak shrinks the width where the hour peak is blind") {
+    import AsofJoin.bucketWidthFor
+    import graft.operators.Probes
+    val span = 30L * 86400L
+    // 1M of a key's 10M rows inside ONE minute of an otherwise-uniform
+    // month: the hour holding the burst has ~1.0M + 14k rows — only ~3.6×
+    // the average hour — so the hour-peak width barely moves; the minute
+    // peak sees the real density and demands 60 × 1M / 1M = 60 s
+    val hourAvg = 10000000L / (span / 3600L)
+    val burstHour = 1000000L + hourAvg
+    val w2 = bucketWidthFor(10000000L, span, burstHour, 3600L, 1000000L)
+    val w3 = bucketWidthFor(10000000L, span, burstHour, 3600L,
+      1000000L, 60L, 1000000L)
+    assert(w3 === math.min(w2, 60L) && w3 < w2,
+      s"minute peak must shrink the width: hour-only $w2, with-fine $w3")
+    // degenerate fine stats keep the coarser answer
+    assert(bucketWidthFor(10000000L, span, burstHour, 3600L, 0L, 60L, 1000000L)
+      === w2)
+    assert(bucketWidthFor(10000000L, span, burstHour, 3600L, 1000000L, 0L,
+      1000000L) === w2)
+    // uniform traffic: the fine correction is a no-op (fine width ≥ hour's)
+    val finePeakUniform = 10000000L / (span / 60L)
+    assert(bucketWidthFor(10000000L, span, hourAvg, 3600L,
+      finePeakUniform, 60L, 1000000L)
+      === bucketWidthFor(10000000L, span, hourAvg, 3600L, 1000000L))
+    // probe significance floor: a sampled fine peak below MinFineSampleRows
+    // reads 0 from the probe, so sizing provably keeps the coarser answer
+    val tiny = spark.range(10L).selectExpr("'HOT' AS k",
+      "timestamp_seconds(1704067200 + id) AS t")
+    val st = Probes.hottestKeyBurstStats(tiny, Seq("k"), "t", threshold = 5L)
+    assert(st.peakFineRows === 0L,
+      s"sub-floor fine evidence must read 0, got ${st.peakFineRows}")
   }
 
   test("burst-resistant width: a month-span key bunched into one hour gets an hour-scale width") {
