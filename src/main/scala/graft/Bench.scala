@@ -224,6 +224,21 @@ object Bench {
     // .mayReplaceReference); override for deliberate re-baselining with
     // SPARK_GRAFT_RECORD=replace.
     try {
+      // backing_runs: this record is a SINGLE clean run. The bench3.sh
+      // median installer overwrites the stamp with its clean-run count,
+      // so "median of N" lineage claims stay machine-checkable.
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"backing_runs":1,"sf":"$sfDir"}"""
+      // PER-RUN RECORD (r16): every full (unfiltered, non-iters) run writes
+      // its record to bench_run.json unconditionally — contended or not;
+      // it is a run LOG, and the median protocol (tools/bench3.sh) filters
+      // on the verdict fields itself. This decouples run capture from
+      // reference replacement: with the backing-runs guard below, a single
+      // run can never overwrite a median-of-N reference, so the protocol
+      // could no longer detect runs by the reference file changing.
+      if (args.isEmpty && iters <= 1)
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_run.json"),
+          (full + "\n").getBytes("UTF-8"))
       val refPath = java.nio.file.Paths.get("bench_full.json")
       val committed =
         if (java.nio.file.Files.exists(refPath))
@@ -236,11 +251,6 @@ object Bench {
           runSf = sfDir, committed = committed, force = rebaseline,
           itersActive = iters > 1,
           runBand = finalBand, candidateBacking = 1)) {
-        // backing_runs: this record is a SINGLE clean run. The bench3.sh
-        // median installer overwrites the stamp with its clean-run count,
-        // so "median of N" lineage claims stay machine-checkable.
-        val full =
-          s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"slowest":${toJson(slowest)},"nq":${results.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"backing_runs":1,"sf":"$sfDir"}"""
         java.nio.file.Files.write(refPath, (full + "\n").getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }

@@ -155,12 +155,77 @@ final class Processor(spark: SparkSession, warehouse: String) {
     } finally rawIn.unpersist()
   }
 
+  /** Month-partition labels of `table` for one instrument, from ONE
+    * driver-side directory listing — ZERO Spark jobs (r16). The partition
+    * directory names ARE ground truth: the writers derive `yyyymm` from
+    * each row's timestamp, so a month's rows live exactly in its
+    * directory. None when the layout is not the proven
+    * instrument=/yyyymm= shape (stray files, foreign partitioning) — the
+    * caller falls back to the data scan; a month directory holding no
+    * data files contributes nothing (it holds no rows either). An
+    * instrument absent from a PROVEN layout is a true empty Seq.
+    */
+  private def storedMonthsMeta(table: String, pair: String): Option[Seq[String]] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return Some(Nil)
+      val kids = fs.listStatus(root).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val instDirs = kids.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("instrument="))
+      if (instDirs.size != kids.size || instDirs.isEmpty) return None
+      val mine = instDirs.map(_.getPath)
+        .filter(_.getName == s"instrument=${pair.toUpperCase}")
+      val months = mine.flatMap { d =>
+        val mk = fs.listStatus(d).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+        val mdirs = mk.filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
+        if (mdirs.size != mk.size) return None // stray files: layout unproven
+        mdirs.map(_.getPath).filter { m =>
+          fs.listStatus(m).exists(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+        }.map(_.getName.stripPrefix("yyyymm="))
+      }
+      if (months.forall(m => m.length == 6 && m.forall(_.isDigit)))
+        Some(months.sorted)
+      else None // a label the writers never produce: not our layout
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Months with no stored raw_spread ticks, from the earliest stored month
     * to the current month (`clickhouse_gap_detector.py:57-139`).
+    *
+    * METADATA FAST PATH (r16): on the warehouse's own instrument=/yyyymm=
+    * layout the stored months are the partition directory NAMES — the gap
+    * list is pure driver-side arithmetic over one listing, zero Spark
+    * jobs (the reference answers this from partition metadata the same
+    * way, `clickhouse_gap_detector.py:57-93`). Any other layout falls
+    * back to the month-series EXCEPT distinct-months scan.
     */
   def missingMonths(pair: String): Seq[String] = {
     val p = validatePair(pair)
     if (!tableExists("raw_spread_ticks")) return Nil
+    storedMonthsMeta("raw_spread_ticks", p) match {
+      case Some(Nil) => return Nil // proven layout, no stored months
+      case Some(months) =>
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
+        val start = java.time.YearMonth.parse(months.min, fmt)
+        val last = java.time.YearMonth.now(java.time.ZoneOffset.UTC)
+        val have = months.toSet
+        return Iterator.iterate(start)(_.plusMonths(1))
+          .takeWhile(!_.isAfter(last))
+          .filterNot(m => have(m.format(fmt)))
+          .map(m => f"${m.getYear}%04d-${m.getMonthValue}%02d")
+          .toSeq
+      case None => () // unproven layout: scan below
+    }
+    Processor.listingDataScans.incrementAndGet()
     val stored = TickIngest.readTicks(spark, warehouse, "raw_spread", Some(p))
     val range = stored.agg(min("timestamp"), max("timestamp")).head()
     if (range.isNullAt(0)) return Nil
@@ -363,9 +428,39 @@ final class Processor(spark: SparkSession, warehouse: String) {
 
   def getInstruments: Seq[String] =
     if (!tableExists("raw_spread_ticks")) Nil
-    else spark.read.parquet(s"$warehouse/raw_spread_ticks")
-      .select("instrument").distinct().orderBy("instrument")
-      .collect().map(_.getString(0)).toSeq
+    else instrumentsMeta("raw_spread_ticks").getOrElse {
+      // unproven layout: the distinct scan stays the truth
+      Processor.listingDataScans.incrementAndGet()
+      spark.read.parquet(s"$warehouse/raw_spread_ticks")
+        .select("instrument").distinct().orderBy("instrument")
+        .collect().map(_.getString(0)).toSeq
+    }
+
+  /** Instruments with stored data, from ONE driver-side listing — ZERO
+    * Spark jobs (r16): the instrument= partition directory names holding
+    * at least one non-empty month. None when the layout is not the proven
+    * instrument=/yyyymm= shape (the caller scans instead).
+    */
+  private def instrumentsMeta(table: String): Option[Seq[String]] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+      val fs = root.getFileSystem(conf)
+      val kids = fs.listStatus(root).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val instDirs = kids.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("instrument="))
+      if (instDirs.size != kids.size || instDirs.isEmpty) return None
+      val names = instDirs.map(_.getPath.getName.stripPrefix("instrument="))
+        .filter { i =>
+          storedMonthsMeta(table, i) match {
+            case Some(months) => months.nonEmpty
+            case None => return None // stray files below: layout unproven
+          }
+        }
+      Some(names.sorted)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Earliest/latest dates with actual data, as ISO strings
     * (`get_available_dates`, `processor.py:550-563`): (None, None) when
@@ -480,5 +575,13 @@ object Processor {
     * [[graft.ohlc.OhlcGenerator.footerReads]] / `Probes.probeJobs`).
     */
   private[graft] val coverageDataScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Counts getInstruments / missingMonths calls that fell back to a data
+    * scan because the table's layout was not the proven
+    * instrument=/yyyymm= shape — the test pin that both answer from ONE
+    * driver-side listing (zero Spark jobs) on a real warehouse.
+    */
+  private[graft] val listingDataScans =
     new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -240,11 +240,28 @@ class ForexPipelineSpec extends SparkSpec {
   }
 
   test("gap detection spans stored range to current month") {
-    val (p, _) = env
+    val (p, dir) = env
+    // on the warehouse's own layout both the gap list and the instrument
+    // list answer from ONE driver-side listing — no data scan (r16)
+    val before = Processor.listingDataScans.get()
     val missing = p.missingMonths("EURUSD")
     assert(!missing.contains("2024-01"))
     assert(!missing.contains("2024-02"))
     assert(missing.contains("2024-03"))
+    assert(p.getInstruments === Seq("EURUSD"))
+    assert(Processor.listingDataScans.get() === before,
+      "gap/instrument listing fell back to a data scan on a proven layout")
+    // the metadata path and the scan path must AGREE: degrade the layout
+    // with a stray file at the table root and re-ask
+    val stray = new java.io.File(
+      s"${dir.resolve("warehouse")}/raw_spread_ticks/stray.tmp")
+    assert(stray.createNewFile())
+    try {
+      assert(p.missingMonths("EURUSD") === missing)
+      assert(p.getInstruments === Seq("EURUSD"))
+      assert(Processor.listingDataScans.get() === before + 2,
+        "an unproven layout must scan")
+    } finally assert(stray.delete())
   }
 
   test("validation rejects bad pair/timeframe/date") {
