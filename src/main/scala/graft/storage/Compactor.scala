@@ -116,7 +116,16 @@ object Compactor {
       val old = Manifest.read(spark, d.toString)
       if (old.columns.contains("key_col")) {
         val key = old.select("key_col").head().getString(0)
-        Manifest.write(spark, d.toString, key)
+        // carry the SECONDARY zone-map columns through the rebuild too
+        // (r16): the old manifest's `cols` witness names them, so a
+        // compaction doesn't silently downgrade multi-column pruning to
+        // primary-only
+        val extras =
+          if (old.columns.contains("cols"))
+            old.select("cols").head().getString(0).split(',').toSeq
+              .filter(_.nonEmpty)
+          else Nil
+        Manifest.write(spark, d.toString, key, extraCols = extras)
       }
     }
     n

@@ -102,4 +102,31 @@ class CompactorSpec extends SparkSpec {
       .map(_.getInt(0)).toSet === Set(1, 2))
     assert(parent.count() === 2500L)
   }
+
+  test("compaction carries secondary zone-map columns through the manifest rebuild") {
+    val dir = Files.createTempDirectory("compact5").toString + "/data"
+    val df = spark.range(5000).select(col("id"),
+      (col("id") * 7L % 5000L).as("v2"))
+    graft.storage.RangeWriter.writeSorted(df, dir, Seq("id", "v2"), numFiles = 12)
+    graft.storage.Manifest.write(spark, dir, "id", extraCols = Seq("v2"))
+    Compactor.compact(spark, dir, targetBytes = 24L * 1024,
+      sortKeys = Seq("id", "v2"))
+    val m = graft.storage.Manifest.read(spark, dir)
+    assert(m.columns.contains("cols") && m.columns.contains("min__v2"),
+      "rebuilt manifest lost the secondary stats")
+    assert(m.select("cols").head().getString(0) === "v2")
+    // and the secondary column still PRUNES against the compacted layout —
+    // v2 here is not correlated with the sort, so just pin equivalence +
+    // a primary-column prune that still skips files
+    val byV2 = graft.storage.PrunedScan.readRangeMulti(
+      spark, dir, Seq(("v2", 0L, 100L)))
+    assert(byV2.count() ===
+      spark.read.parquet(dir).filter(col("v2") <= 100L).count())
+    val total = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(total > 1, s"compaction should leave several files, got $total")
+    val byId = graft.storage.PrunedScan.readRange(spark, dir, "id", 0L, 100L)
+    assert(byId.count() === 101L)
+    assert(byId.inputFiles.length < total, "primary pruning lost after compaction")
+  }
 }
