@@ -211,9 +211,15 @@ object Bench {
     // that exceed even after contention recovery are either persistent
     // load or a genuine regression — either way worth surfacing by name.
     val finalBand = BenchSentinel.bandExceeders(results.toMap, refTimes)
+    // significant subset: the exceeders whose absolute excess clears the
+    // noise floor — the only ones that disqualify this run from replacing
+    // the reference or entering the median protocol (the full band stays
+    // recorded for diagnostics)
+    val sigBand = BenchSentinel.significantBandExceeders(results.toMap, refTimes)
     val bandJson = finalBand.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sigBandJson = sigBand.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinel =
-      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"ref_queries":${refTimes.size},"ref_backing":$refBacking,"level_shift":${reported.levelShifted},"contended":$contended,"passes":${passes.size}"""
+      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)},"io_first":${fmt(reported.ioFirst)},"io_last":${fmt(reported.ioLast)},"band":$bandJson,"band_sig":$sigBandJson,"ref_queries":${refTimes.size},"ref_backing":$refBacking,"level_shift":${reported.levelShifted},"contended":$contended,"passes":${passes.size}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(shown)},"slowest":${toJson(slowest)},"nq":${results.size},"nerr":${failed.size},"errors":$errJson,"flaky":$flakyJson,$sentinel,"sf":"$sfDir"}"""
     // REFERENCE-RECORD GUARD: bench_full.json is the band sentinel's only
@@ -250,7 +256,7 @@ object Bench {
           runQueries = results.map(_._1).toSet,
           runSf = sfDir, committed = committed, force = rebaseline,
           itersActive = iters > 1,
-          runBand = finalBand, candidateBacking = 1)) {
+          runBand = sigBand, candidateBacking = 1)) {
         java.nio.file.Files.write(refPath, (full + "\n").getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }

@@ -68,6 +68,29 @@ object BenchSentinel {
     else shared.toSeq.map(times).sum / shared.toSeq.map(ref).sum
   }
 
+  /** [[bandExceeders]] restricted to entries whose ABSOLUTE excess over
+    * the committed wall clears `absExcessSec` — the significance test for
+    * decisions that act on a SINGLE exceeder (reference replacement,
+    * median-protocol run disqualification). A 2.5× blip on a 110 ms query
+    * is scheduler/GC noise (the r16 episode: q_bitwise 0.113 → 0.28 s
+    * band-flagged an otherwise-clean 122.7 s run and would have
+    * disqualified it from the median protocol), while real contention or
+    * a real regression moves seconds. The COLLECTIVE contended verdict
+    * ([[bandContended]]) deliberately keeps the unfiltered list: five
+    * small queries inflating together is a load signal even when each
+    * excess is modest.
+    */
+  def significantBandExceeders(
+      times: Map[String, Double],
+      ref: Map[String, Double],
+      factor: Double = 2.0,
+      floorSec: Double = 0.1,
+      absExcessSec: Double = 0.5): Seq[String] =
+    bandExceeders(times, ref, factor, floorSec).filter { n =>
+      (for (t <- times.get(n); r <- ref.get(n)) yield t - r > absExcessSec)
+        .getOrElse(false)
+    }
+
   /** The band verdict: ≥ `minCount` individual exceeders, or the shared
     * total inflated past `totalFactor`.
     */

@@ -82,6 +82,25 @@ class BenchSentinelSpec extends AnyFunSuite {
       Seq("big", "mid"))
   }
 
+  test("significantBandExceeders: a sub-noise-floor blip never disqualifies alone (the q_bitwise episode)") {
+    // the r16 episode, replayed: q_bitwise 0.113 s committed → 0.28 s in
+    // an otherwise-clean 122.7 s run — 2.48× but only 167 ms of excess.
+    // It stays in the diagnostic band yet must NOT disqualify the run.
+    val r = Map("q_bitwise" -> 0.113, "q_triangles" -> 7.506, "big" -> 5.0)
+    val t = Map("q_bitwise" -> 0.28, "q_triangles" -> 7.4, "big" -> 5.1)
+    assert(BenchSentinel.bandExceeders(t, r) === Seq("q_bitwise"))
+    assert(BenchSentinel.significantBandExceeders(t, r).isEmpty)
+    // the r15 q_triangles overwrite-class excess (7.5 → 15.4 s) IS
+    // significant — seconds of excess, not a scheduler blip
+    val t2 = t.updated("q_triangles", 15.391)
+    assert(BenchSentinel.significantBandExceeders(t2, r) === Seq("q_triangles"))
+    // boundary: factor cleared but excess exactly at the floor → not
+    // significant; just past it → significant
+    val r3 = Map("q" -> 0.4)
+    assert(BenchSentinel.significantBandExceeders(Map("q" -> 0.9), r3).isEmpty)
+    assert(BenchSentinel.significantBandExceeders(Map("q" -> 0.91), r3) === Seq("q"))
+  }
+
   test("bandContended: ≥5 individual exceeders trip even when totals hide them") {
     // 5 small queries at 2.5× inside a big stable suite: total ratio stays
     // under 1.2 but the per-query count trips

@@ -71,20 +71,24 @@ for i in range(1, runs + 1):
         continue
     with open(path) as f:
         d = json.load(f)
+    band_sig = d.get("band_sig", d.get("band"))  # pre-r16 records: full band
     status = "CONTENDED" if d.get("contended") else (
-        f"BAND:{','.join(d['band'])}" if d.get("band") else "clean")
+        f"BAND:{','.join(band_sig)}" if band_sig else "clean")
     print(f"run {i}: total={d['value']:.2f}s passes={d.get('passes')} "
           f"calib {d.get('calib_first')}->{d.get('calib_last')} [{status}]")
     # flaky (a query that threw in one pass and timed in another) is as
     # disqualifying as errors where official records are accepted — the
     # surviving minimum may have raced whatever killed the other pass.
-    # (r16) a non-empty BAND verdict disqualifies too: 1-4 exceeders slip
-    # under the contended trip (>=5) yet the record itself calls those
-    # walls suspect — the exact run class that overwrote the r15 median.
-    # A genuine accepted regression flags the SAME query in EVERY run;
-    # re-baseline that explicitly with SPARK_GRAFT_RECORD=replace.
+    # (r16) a SIGNIFICANT band verdict disqualifies too: 1-4 exceeders
+    # slip under the contended trip (>=5) yet the record itself calls
+    # those walls suspect — the exact run class that overwrote the r15
+    # median. Significance = absolute excess over the committed wall
+    # clears 0.5 s (BenchSentinel.significantBandExceeders): a 2.5x blip
+    # on a 110 ms query is scheduler noise, not a reason to discard a
+    # clean 120 s run. A genuine accepted regression flags the SAME query
+    # in EVERY run; re-baseline explicitly with SPARK_GRAFT_RECORD=replace.
     if (not d.get("contended") and not d.get("errors")
-            and not d.get("flaky") and not d.get("band")):
+            and not d.get("flaky") and not band_sig):
         recs.append((d["value"], path, i))
 if not recs:
     sys.exit("no clean (contended:false, error- and flake-free) runs — nothing "
