@@ -996,6 +996,55 @@ object ScaleProbe {
         println(f"${s"zonemap_x$m"}%-14s $total%6d ${prunedDf.inputFiles.length}%8d $rows%10d $wPruned%8.2f")
       }
     }
+    // (e2b) z-order + 2-column zone map (r16): ONE layout serving BOTH
+    //     access patterns. A lexicographic (ts, event_id) sort prunes only
+    //     on ts — a replicated export's per-file event_id ranges span the
+    //     whole id space, so an id-range scan reads everything. Morton
+    //     clustering keeps per-file min/max tight in BOTH dimensions; with
+    //     the manifest recording both columns, a time-range scan AND an
+    //     id-range scan each plan O(few) files, and the planned-file count
+    //     stays ~constant as the export grows (the structural 100 TB
+    //     metric, as in e2).
+    if (sec("zorder2col")) {
+      import graft.storage.{Manifest, PrunedScan, RangeWriter}
+      val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-10 23:59:59.999999")
+      println(f"${"zorder_2col"}%-14s ${"files"}%6s ${"planned"}%8s ${"rows"}%10s ${"wall_s"}%8s")
+      Seq(1, 4, 16).foreach { m =>
+        val out = s"$base/zorder2_x$m"
+        val reps = spark.range(m.toLong).select(col("id").as("rep"))
+        val df = src.crossJoin(reps)
+          .withColumn("event_id", col("event_id") + col("rep") * lit(10000000L))
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+            (unix_micros(col("ts")) / 60000000L).as("tmin"))
+        if (!new java.io.File(s"$out/_manifest").exists()) {
+          // tmin (whole minutes) rides along as the z-order's second
+          // dimension; ts itself carries the manifest's primary stats
+          RangeWriter.writeZOrdered(df, out, "event_id", "tmin",
+            bits = 12, numFiles = 64 * m)
+          Manifest.write(spark, out, "ts", extraCols = Seq("event_id"))
+        }
+        val total = new java.io.File(out).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        def agg(d: DataFrame) = d.agg(count(lit(1)), sum("value")).head()
+        // time-range scan (primary axis)
+        val tFull = spark.read.parquet(out)
+          .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        val tPruned = PrunedScan.readRange(spark, out, "ts", lo, hi)
+        val wT = time(agg(tPruned))
+        assert(tPruned.count() == tFull.count(), "time scan must match")
+        println(f"${s"time_x$m"}%-14s $total%6d ${tPruned.inputFiles.length}%8d ${tPruned.count()}%10d $wT%8.2f")
+        // id-range scan (secondary axis — the pattern a (ts, id) sort
+        // cannot prune at all on a replicated export)
+        val iFull = spark.read.parquet(out)
+          .filter(col("event_id") >= 10000L && col("event_id") <= 30000L)
+        val iPruned = PrunedScan.readRangeMulti(spark, out,
+          Seq(("event_id", 10000L, 30000L)))
+        val wI = time(agg(iPruned))
+        assert(iPruned.count() == iFull.count(), "id scan must match")
+        println(f"${s"id_x$m"}%-14s $total%6d ${iPruned.inputFiles.length}%8d ${iPruned.count()}%10d $wI%8.2f")
+      }
+    }
     // (e3) LEFT-outer overlap join's lineage cut (r16): overlapJoinLeft
     //     materializes the matched output once (MEMORY_AND_DISK local
     //     checkpoint) so the bucketed join isn't executed twice for the

@@ -337,6 +337,35 @@ class PrunedScanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("z-ordered layout + 2-column manifest: EITHER column alone prunes files") {
+    // the composition the z-order writer exists for: Morton clustering
+    // keeps per-file min/max tight in BOTH dimensions, so a 2-column
+    // manifest turns scans filtering on either column into O(few files) —
+    // a lexicographic (a, b) sort only ever prunes on a
+    val out = Files.createTempDirectory("pruned_z").toString + "/data"
+    val df = spark.range(65536).select(
+      col("id").as("rid"),
+      (col("id") % 256L).as("x"),
+      expr("id DIV 256").as("y")) // DIV: `/` on longs is double division
+    RangeWriter.writeZOrdered(df, out, "x", "y", bits = 8, numFiles = 16)
+    Manifest.write(spark, out, "x", extraCols = Seq("y"))
+    val total = dataFiles(out).length
+    assert(total >= 8)
+    for (c <- Seq("x", "y")) {
+      val pruned = PrunedScan.readRangeMulti(spark, out, Seq((c, 0L, 31L)))
+      val full = spark.read.parquet(out)
+        .filter(col(c) >= 0L && col(c) <= 31L)
+      assert(pruned.count() === full.count() && pruned.count() > 0)
+      assert(pruned.inputFiles.length < total,
+        s"$c-range scan read ${pruned.inputFiles.length} of $total z-ordered files")
+    }
+    // and the 2-D box intersects both survivor sets
+    val box = PrunedScan.readRangeMulti(spark, out,
+      Seq(("x", 0L, 31L), ("y", 0L, 31L)))
+    assert(box.count() === 32L * 32L)
+    assert(box.inputFiles.length < total)
+  }
+
   test("no sidecar at all falls back to full scan + filter") {
     val out = Files.createTempDirectory("pruned_nosidecar").toString + "/data"
     RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)
