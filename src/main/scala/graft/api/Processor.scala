@@ -167,35 +167,30 @@ final class Processor(spark: SparkSession, warehouse: String) {
     */
   private def storedMonthsMeta(table: String, pair: String): Option[Seq[String]] =
     try {
+      import graft.storage.PrunedScan
       val conf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
       val fs = root.getFileSystem(conf)
       if (!fs.exists(root)) return Some(Nil)
-      val kids = fs.listStatus(root).toSeq
-        .filterNot(s => s.getPath.getName.startsWith("_") ||
-          s.getPath.getName.startsWith("."))
-      val instDirs = kids.filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("instrument="))
-      if (instDirs.size != kids.size || instDirs.isEmpty) return None
-      val mine = instDirs.map(_.getPath)
-        .filter(_.getName == s"instrument=${pair.toUpperCase}")
-      val months = mine.flatMap { d =>
-        val mk = fs.listStatus(d).toSeq
-          .filterNot(s => s.getPath.getName.startsWith("_") ||
-            s.getPath.getName.startsWith("."))
-        val mdirs = mk.filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
-        if (mdirs.size != mk.size) return None // stray files: layout unproven
-        mdirs.map(_.getPath).filter { m =>
-          fs.listStatus(m).exists(s => s.isFile &&
-            s.getPath.getName.endsWith(".parquet") &&
-            !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-        }.map(_.getName.stripPrefix("yyyymm="))
+      // shared layout proofs (PrunedScan.provenInstrumentDirs/MonthDirs —
+      // one set of rules for coverage, gaps, and listing, so the fast
+      // paths can't drift apart): every root child an UPPERCASE
+      // instrument= dir, every instrument child a valid yyyymm= dir
+      val instDirs = PrunedScan.provenInstrumentDirs(fs, root) match {
+        case Some(dirs) => dirs
+        case None => return None
       }
-      if (months.forall(m => m.length == 6 && m.forall(_.isDigit)))
-        Some(months.sorted)
-      else None // a label the writers never produce: not our layout
+      val mine = instDirs.filter(_.getName == s"instrument=${pair.toUpperCase}")
+      val months = mine.flatMap { d =>
+        PrunedScan.provenMonthDirs(fs, d) match {
+          case Some(mdirs) =>
+            // a month dir with no data files holds no rows: not stored
+            mdirs.filter(PrunedScan.hasDataFiles(fs, _))
+              .map(_.getName.stripPrefix("yyyymm="))
+          case None => return None // stray files/labels: layout unproven
+        }
+      }
+      Some(months.sorted)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Months with no stored raw_spread ticks, from the earliest stored month
@@ -443,22 +438,22 @@ final class Processor(spark: SparkSession, warehouse: String) {
     */
   private def instrumentsMeta(table: String): Option[Seq[String]] =
     try {
+      import graft.storage.PrunedScan
       val conf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
       val fs = root.getFileSystem(conf)
-      val kids = fs.listStatus(root).toSeq
-        .filterNot(s => s.getPath.getName.startsWith("_") ||
-          s.getPath.getName.startsWith("."))
-      val instDirs = kids.filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("instrument="))
-      if (instDirs.size != kids.size || instDirs.isEmpty) return None
-      val names = instDirs.map(_.getPath.getName.stripPrefix("instrument="))
-        .filter { i =>
-          storedMonthsMeta(table, i) match {
-            case Some(months) => months.nonEmpty
-            case None => return None // stray files below: layout unproven
-          }
+      // ONE root listing; each instrument dir proven + walked once (no
+      // per-instrument re-derivation from the root)
+      val instDirs = PrunedScan.provenInstrumentDirs(fs, root) match {
+        case Some(dirs) => dirs
+        case None => return None
+      }
+      val names = instDirs.filter { d =>
+        PrunedScan.provenMonthDirs(fs, d) match {
+          case Some(mdirs) => mdirs.exists(PrunedScan.hasDataFiles(fs, _))
+          case None => return None // stray files below: layout unproven
         }
+      }.map(_.getName.stripPrefix("instrument="))
       Some(names.sorted)
     } catch { case scala.util.control.NonFatal(_) => None }
 

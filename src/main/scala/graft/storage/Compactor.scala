@@ -116,16 +116,25 @@ object Compactor {
       val old = Manifest.read(spark, d.toString)
       if (old.columns.contains("key_col")) {
         val key = old.select("key_col").head().getString(0)
-        // carry the SECONDARY zone-map columns through the rebuild too
-        // (r16): the old manifest's `cols` witness names them, so a
-        // compaction doesn't silently downgrade multi-column pruning to
-        // primary-only
+        // carry the SECONDARY zone-map columns AND interval-length stats
+        // through the rebuild too (r16): the old manifest's `cols` /
+        // `interval_cols` witnesses name them, so a compaction doesn't
+        // silently downgrade multi-column pruning to primary-only or
+        // stored-width interval dispatch to the probe path
         val extras =
           if (old.columns.contains("cols"))
             old.select("cols").head().getString(0).split(',').toSeq
               .filter(_.nonEmpty)
           else Nil
-        Manifest.write(spark, d.toString, key, extraCols = extras)
+        val interval =
+          if (old.columns.contains("interval_cols"))
+            old.select("interval_cols").head().getString(0).split(',') match {
+              case Array(s, e) => Some((s, e))
+              case _ => None
+            }
+          else None
+        Manifest.write(spark, d.toString, key, intervalCols = interval,
+          extraCols = extras)
       }
     }
     n

@@ -70,7 +70,15 @@ object Manifest {
     val withCols =
       if (extraCols.isEmpty) withKey
       else withKey.withColumn("cols", lit(extraCols.mkString(",")))
-    withCols.orderBy("min_key", "file")
+    // interval_cols witness (r16): records WHICH (start, end) columns the
+    // length stats describe, so a rebuilder (Compactor) can regenerate
+    // them — without it a compaction silently dropped max/p99_len_us and
+    // overlapJoinAutoStored degraded to the probe path forever after
+    val withIv = intervalCols match {
+      case Some((s, e)) => withCols.withColumn("interval_cols", lit(s"$s,$e"))
+      case None => withCols
+    }
+    withIv.orderBy("min_key", "file")
   }
 
   /** Write the manifest as JSON under `<path>/_manifest` (one part file —

@@ -308,6 +308,62 @@ object PrunedScan {
       })
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Layout proof, instrument level (r16, shared by coverage / gap / list
+    * fast paths): Some(instrument= dirs) when EVERY child of `root` is an
+    * instrument= directory whose name is canonically UPPERCASE (what the
+    * writers produce — a lowercase `instrument=eurusd` is a foreign
+    * layout whose rows the metadata paths would misreport, so it fails
+    * the proof instead); None otherwise (stray files, foreign
+    * partitioning). Underscore/dot-prefixed entries are reader-invisible
+    * and ignored, as everywhere.
+    */
+  private[graft] def provenInstrumentDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: HPath): Option[Seq[HPath]] = {
+    val kids = fs.listStatus(root).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+    val inst = kids.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.startsWith("instrument=") &&
+        n.stripPrefix("instrument=") == n.stripPrefix("instrument=").toUpperCase
+    }
+    if (inst.isEmpty || inst.size != kids.size) None else Some(inst.map(_.getPath))
+  }
+
+  /** Layout proof, month level: Some(yyyymm= dirs with VALID labels —
+    * six ASCII digits, month 01-12) when every child of the instrument
+    * dir is such a directory; None on stray files or labels the writers
+    * never produce (202400, 202413, unicode digits — a caller that
+    * parsed those would throw or misreport instead of falling back).
+    * Callers decide what an EMPTY month dir means for them.
+    */
+  private[graft] def provenMonthDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      instDir: HPath): Option[Seq[HPath]] = {
+    def validLabel(m: String): Boolean =
+      m.length == 6 && m.forall(c => c >= '0' && c <= '9') &&
+        { val mm = m.substring(4).toInt; mm >= 1 && mm <= 12 }
+    val kids = fs.listStatus(instDir).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+    val months = kids.filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("yyyymm=") &&
+      validLabel(s.getPath.getName.stripPrefix("yyyymm=")))
+    if (months.size != kids.size) None else Some(months.map(_.getPath))
+  }
+
+  /** Data-file presence for a month dir (the gap/list fast paths treat a
+    * file-less month as not stored; coverage lets the sidecar speak).
+    */
+  private[graft] def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Boolean =
+    fs.listStatus(dir).exists(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet") &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+
   /** Coverage of a month-partitioned warehouse table — (total rows,
     * min key, max key as epoch µs) — answered ENTIRELY from manifest
     * sidecars on the driver: zero Spark jobs, zero data-file opens, zero
@@ -336,13 +392,10 @@ object PrunedScan {
       // at the root) must fall back to the scan, NOT be reported as a
       // proven zero — metadata answers are only as true as the layout
       // assumption they ride on.
-      val rootKids = fs.listStatus(root).toSeq
-        .filterNot(s => s.getPath.getName.startsWith("_") ||
-          s.getPath.getName.startsWith("."))
-      val allInstDirs = rootKids
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
-        .map(_.getPath)
-      if (allInstDirs.isEmpty || allInstDirs.size != rootKids.size) return None
+      val allInstDirs = provenInstrumentDirs(fs, root) match {
+        case Some(dirs) => dirs
+        case None => return None
+      }
       val instDirs = instrument match {
         // a VALID layout without this instrument's dir is a true zero
         case Some(i) =>
@@ -350,14 +403,10 @@ object PrunedScan {
         case None => allInstDirs
       }
       val monthDirs = instDirs.flatMap { d =>
-        val kids = fs.listStatus(d).toSeq
-          .filterNot(s => s.getPath.getName.startsWith("_") ||
-            s.getPath.getName.startsWith("."))
-        val months = kids
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("yyyymm="))
-          .map(_.getPath)
-        if (months.size != kids.size) return None // stray files: layout unproven
-        months
+        provenMonthDirs(fs, d) match {
+          case Some(months) => months
+          case None => return None // stray files/labels: layout unproven
+        }
       }
       var rows = 0L
       var mn = Option.empty[Long]

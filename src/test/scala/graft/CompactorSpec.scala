@@ -129,4 +129,28 @@ class CompactorSpec extends SparkSpec {
     assert(byId.count() === 101L)
     assert(byId.inputFiles.length < total, "primary pruning lost after compaction")
   }
+
+  test("compaction carries interval-length stats through the manifest rebuild") {
+    val dir = Files.createTempDirectory("compact6").toString + "/data"
+    val df = spark.range(4000).select(
+      col("id"),
+      expr("timestamp_seconds(1704067200 + id * 60)").as("s"),
+      expr("timestamp_seconds(1704067200 + id * 60 + (id % 900) + 1)").as("e"))
+    graft.storage.RangeWriter.writeSorted(df, dir, Seq("s"), numFiles = 10)
+    graft.storage.Manifest.write(spark, dir, "s", intervalCols = Some(("s", "e")))
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val before = graft.storage.Manifest.fileIntervalStats(conf, p)
+    assert(before.isDefined && before.get.values.exists(_._1 > 0L),
+      "fixture must carry interval stats")
+    Compactor.compact(spark, dir, targetBytes = 24L * 1024, sortKeys = Seq("s"))
+    // the rebuilt manifest must still answer stored-width interval
+    // dispatch: fresh (file set matches) AND stat-bearing
+    val after = graft.storage.Manifest.fileIntervalStats(conf, p)
+    assert(after.isDefined, "compaction dropped the interval-length stats")
+    val live = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(after.get.keySet === live, "rebuilt stats must describe the new files")
+    assert(after.get.values.exists(_._1 > 0L))
+  }
 }

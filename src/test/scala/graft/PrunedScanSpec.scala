@@ -366,6 +366,46 @@ class PrunedScanSpec extends SparkSpec {
     assert(box.inputFiles.length < total)
   }
 
+  test("layout proofs: lowercase instrument dirs and impossible month labels fail the proof") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = Files.createTempDirectory("proof").toString
+    val fs = new Path(root).getFileSystem(conf)
+    def mk(p: String) = new java.io.File(s"$root/$p").mkdirs()
+    mk("t1/instrument=EURUSD/yyyymm=202401")
+    assert(PrunedScan.provenInstrumentDirs(fs, new Path(s"$root/t1")).isDefined)
+    assert(PrunedScan.provenMonthDirs(fs,
+      new Path(s"$root/t1/instrument=EURUSD")).map(_.size) === Some(1))
+    // a lowercase dir is a FOREIGN layout: metadata paths would misreport
+    // its rows (the scan path reads the column value as written), so the
+    // proof fails and callers fall back to the scan
+    mk("t2/instrument=eurusd/yyyymm=202401")
+    assert(PrunedScan.provenInstrumentDirs(fs, new Path(s"$root/t2")).isEmpty)
+    // labels the writers never produce (month 00/13, unicode digits)
+    // fail the month proof — a caller that parsed them would throw
+    // instead of degrading
+    mk("t3/instrument=EURUSD/yyyymm=202400")
+    assert(PrunedScan.provenMonthDirs(fs,
+      new Path(s"$root/t3/instrument=EURUSD")).isEmpty)
+    mk("t4/instrument=EURUSD/yyyymm=202413")
+    assert(PrunedScan.provenMonthDirs(fs,
+      new Path(s"$root/t4/instrument=EURUSD")).isEmpty)
+    mk("t5/instrument=EURUSD/yyyymm=20240١") // unicode digit
+    assert(PrunedScan.provenMonthDirs(fs,
+      new Path(s"$root/t5/instrument=EURUSD")).isEmpty)
+    // and the gap fast path survives such a layout by SCANNING: a
+    // yyyymm=202400 month under an otherwise-proven table must not throw
+    mk("t3w/raw_spread_ticks/instrument=EURUSD/yyyymm=202400")
+    val p = new graft.api.Processor(spark, s"$root/t3w")
+    // falls back to the scan; empty dir → unable to infer schema is the
+    // scan path's own contract, so just assert NO DateTimeParseException
+    intercept[Exception] { p.missingMonths("EURUSD") } match {
+      case _: java.time.format.DateTimeParseException =>
+        fail("metadata path threw instead of falling back")
+      case _ => () // the scan path's own (schema) error is fine here
+    }
+  }
+
   test("no sidecar at all falls back to full scan + filter") {
     val out = Files.createTempDirectory("pruned_nosidecar").toString + "/data"
     RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)

@@ -104,6 +104,25 @@ recs.sort()
 median = recs[(len(recs) - 1) // 2]
 with open(median[1]) as f:
     rec = json.load(f)
+# (r16) the SF / query-coverage guards that Bench's own reference guard
+# enforces must hold HERE too — capture now comes from bench_run.json,
+# which is written unconditionally, so without this check a wrong-SF or
+# shrunk-suite protocol run would install over the committed reference
+# (the r13 clobber class, reopened through the side door). Explicit
+# re-baselining still works: SPARK_GRAFT_RECORD=replace skips it.
+if os.environ.get("SPARK_GRAFT_RECORD") != "replace" and \
+        os.path.exists("bench_full.json"):
+    with open("bench_full.json") as f:
+        sitting = json.load(f)
+    if sitting.get("sf") and sitting["sf"] != rec.get("sf"):
+        sys.exit(f"median run measured sf={rec.get('sf')} but the committed "
+                 f"reference is sf={sitting['sf']} — refusing to install. "
+                 "Re-baseline deliberately with SPARK_GRAFT_RECORD=replace.")
+    missing = set(sitting.get("queries", {})) - set(rec.get("queries", {}))
+    if missing:
+        sys.exit(f"median run lacks {len(missing)} queries the committed "
+                 f"reference carries (e.g. {sorted(missing)[:3]}) — refusing "
+                 "to install. Re-baseline with SPARK_GRAFT_RECORD=replace.")
 # lineage stamp: this record is the median of len(recs) archived clean runs
 # (Bench self-stamps 1 on a single-run install). Compact separators keep the
 # machine-written shape BenchSentinel's regex parsers expect.
