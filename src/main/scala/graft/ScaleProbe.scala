@@ -1117,7 +1117,7 @@ object ScaleProbe {
           col("id").as("ord"))
       println(f"${"stream_state"}%-14s ${"keys"}%10s ${"rows/side"}%10s ${"wall_s"}%8s ${"peak_rows"}%10s ${"rows/key"}%9s ${"peak_mb"}%8s")
       spark.streams.addListener(listener)
-      try Seq(10000L, 100000L).foreach { keys =>
+      try Seq(10000L, 100000L, 1000000L).foreach { keys =>
         peak.set(0L); peakBytes.set(0L)
         var out = 0L
         val w = time {
