@@ -406,6 +406,48 @@ class PrunedScanSpec extends SparkSpec {
     }
   }
 
+  test("property: random data, random splits, random bounds — pruned scan ≡ full filter, skips are proofs") {
+    // fixed-seed randomized pin over the whole pruning stack: long and
+    // timestamp keys, NULLs mixed in, arbitrary (even empty/inverted)
+    // bounds. The pruned read must equal the plain filtered scan row
+    // count EXACTLY in every trial — a single wrongly-skipped file breaks
+    // equality. Trials are tiny; the value is the input-space coverage.
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 12) {
+      val out = Files.createTempDirectory(s"pruned_prop$trial").toString + "/d"
+      val n = 500 + rnd.nextInt(1500)
+      val nullEvery = 3 + rnd.nextInt(7)
+      val scale = 1L << (3 + rnd.nextInt(20))
+      val temporal = rnd.nextBoolean()
+      val base = spark.range(n).select(
+        col("id"),
+        when(col("id") % nullEvery =!= 0,
+          (col("id") * scale) % 1000000007L).as("kl"))
+      val df =
+        if (temporal) base.withColumn("k",
+          expr("timestamp_micros(1704067200000000 + kl * 1000)")).drop("kl")
+        else base.withColumnRenamed("kl", "k")
+      RangeWriter.writeSorted(df, out, Seq("k"), numFiles = 1 + rnd.nextInt(7))
+      Manifest.write(spark, out, "k")
+      val dom = 1000000007L
+      val a = math.abs(rnd.nextLong()) % dom
+      val b = math.abs(rnd.nextLong()) % dom
+      val (loL, hiL) = if (rnd.nextInt(5) == 0) (a, b) // sometimes inverted/empty
+        else (math.min(a, b), math.max(a, b))
+      val (lo: Any, hi: Any) =
+        if (temporal)
+          (new java.sql.Timestamp(1704067200000L + loL / 1000),
+            new java.sql.Timestamp(1704067200000L + hiL / 1000))
+        else (loL, hiL)
+      val pruned = PrunedScan.readRange(spark, out, "k", lo, hi)
+      val full = spark.read.parquet(out)
+        .filter(col("k") >= lit(lo) && col("k") <= lit(hi))
+      assert(pruned.count() === full.count(),
+        s"trial $trial (temporal=$temporal n=$n scale=$scale bounds=[$lo,$hi]): " +
+          s"pruned ${pruned.count()} != full ${full.count()}")
+    }
+  }
+
   test("no sidecar at all falls back to full scan + filter") {
     val out = Files.createTempDirectory("pruned_nosidecar").toString + "/data"
     RangeWriter.writeSorted(events, out, Seq("event_id"), numFiles = 4)

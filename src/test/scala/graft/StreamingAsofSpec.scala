@@ -88,6 +88,26 @@ class StreamingAsofSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("concurrent gates serialize the shuffle-partition override and restore it exactly") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def side(n: Long) = spark.range(n).selectExpr("id % 7 AS k",
+      "timestamp_seconds(1704067200 + id * 60) AS t",
+      "CAST(id AS DOUBLE) AS v", "id AS ord")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two gates racing on the shared session: without the gate lock their
+    // read-set/restore could interleave and leave the session at 8
+    val fs = (1 to 2).map { _ =>
+      Future(StreamingGate.asofAvailableNow(spark, side(200), side(200)).count())
+    }
+    val counts = Await.result(Future.sequence(fs), 10.minutes)
+    assert(counts === Seq(200L, 200L))
+    assert(spark.conf.get(key) === prev,
+      s"shuffle partitions not restored after concurrent gates: ${spark.conf.get(key)}")
+  }
+
   test("an instrument missing from the code map fails loudly instead of dropping its bars") {
     val e = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
     def ticks(tpe: String) = e.filter(col("event_type") === tpe)
