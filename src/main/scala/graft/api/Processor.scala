@@ -505,10 +505,34 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
-    val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
-        start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
+    QueryEngine.cursorPageBy(
+      ticksFrom(p, variant, start, end), "timestamp", Nil, cursor, pageSize)
+  }
+
+  /** Cursor-aware ticks scan factory for keyset pagination: the page's
+    * cursor TIGHTENS the pruned read's lower bound (months and files below
+    * the cursor are never listed/planned), formatted losslessly in the
+    * session zone so [[graft.storage.PrunedScan.sessionInstant]] round-trips
+    * it exactly. The read's inclusive `>=` bound is a superset of the
+    * strict `>` the pager re-applies — correct by construction.
+    */
+  private[graft] def ticksFrom(
+      p: String,
+      variant: String,
+      start: Option[String],
+      end: Option[String]): Option[Timestamp] => DataFrame = { cursor =>
+    val lo0 = start.map(_ + " 00:00:00")
+    val loC = cursor.map { c =>
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .format(c.toInstant.atZone(zone))
+    }
+    // fixed-format timestamps order lexicographically; a fraction suffix on
+    // an otherwise-equal prefix only moves the bound later, so max is exact
+    val lo = (lo0.toSeq ++ loC.toSeq).reduceOption((a, b) => if (a < b) b else a)
+    TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
+        lo, end.map(_ + " 23:59:59.999999"))
       .select("timestamp", "bid", "ask")
-    QueryEngine.cursorPage(df, "timestamp", Nil, cursor, pageSize)
   }
 
   /** Tick batch iterator (`query_ticks_batches`,
@@ -525,14 +549,56 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
-    val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
-        start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
-      .select("timestamp", "bid", "ask")
-    QueryEngine.batches(df, "timestamp", Nil, pageSize, maxBatches)
+    QueryEngine.batchesBy(
+      ticksFrom(p, variant, start, end), "timestamp", Nil, pageSize, maxBatches)
+  }
+
+  /** ohlc_1m scan for keyset pagination: with a cursor in hand, month
+    * partitions strictly before the cursor's month are dropped BY NAME on
+    * the driver and each surviving month is zone-mapped through its
+    * `_manifest` sidecar, so a page at the tail of a deep table lists and
+    * plans only the tail months' files — re-scan-per-page is exactly what
+    * the reference's keyset pagination exists to avoid
+    * (`clickhouse_query_engine.py:390-423`), and the ticks path already
+    * prunes this way. Result-identical to the plain partitioned read: the
+    * caller re-applies the strict `timestamp > cursor` filter and any
+    * listing/sidecar problem falls back to the full read (slower, never
+    * wrong). The cursor instant maps to its yyyymm label in the SESSION
+    * zone — the same zone `date_format(..., "yyyyMM")` used at write time,
+    * so label order is monotone in event time.
+    */
+  private[graft] def readOhlc1mFrom(p: String, after: Option[Timestamp]): DataFrame = {
+    import graft.storage.PrunedScan
+    import org.apache.hadoop.fs.Path
+    val root = s"$warehouse/ohlc_1m"
+    def plain() = spark.read.parquet(root)
+      .filter(col("instrument") === p)
+      .select(OhlcGenerator.Columns.map(col): _*)
+    after match {
+      case None => plain()
+      case Some(c) =>
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        val d = c.toInstant.atZone(zone).toLocalDate
+        val loMonth = f"${d.getYear}%04d${d.getMonthValue}%02d"
+        PrunedScan.monthPartitionedFiles(
+          spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
+          Some(p), Some(loMonth), None, c,
+          PrunedScan.sessionInstant(spark, "9999-01-01")) match {
+          case None => plain()
+          case Some(Nil) => plain().filter(lit(false)) // schema-exact empty
+          case Some(paths) =>
+            spark.read.option("basePath", root)
+              .parquet(paths.map(_.toString): _*)
+              .filter(col("instrument") === p)
+              .select(OhlcGenerator.Columns.map(col): _*)
+        }
+    }
   }
 
   /** Keyset pagination over OHLC (`query_ohlc_paginated`,
-    * `clickhouse_query_engine.py:390-472`).
+    * `clickhouse_query_engine.py:390-472`). Each page re-plans from its
+    * own cursor through [[readOhlc1mFrom]] — already-paged months are
+    * never re-listed.
     */
   def queryOhlcPage(
       pair: String,
@@ -540,14 +606,12 @@ final class Processor(spark: SparkSession, warehouse: String) {
       pageSize: Int = 1000
   ): QueryEngine.CursorPage = {
     val p = validatePair(pair)
-    val df = spark.read.parquet(s"$warehouse/ohlc_1m")
-      .filter(col("instrument") === p)
-      .select(OhlcGenerator.Columns.map(col): _*)
-    QueryEngine.cursorPage(df, "timestamp", Nil, cursor, pageSize)
+    QueryEngine.cursorPageBy(readOhlc1mFrom(p, _), "timestamp", Nil, cursor, pageSize)
   }
 
   /** Batch iterator (`query_ohlc_batches`, `clickhouse_query_engine.py:
-    * 474-534`).
+    * 474-534`). Successive pages prune ever more months as the iterator
+    * advances (see [[readOhlc1mFrom]]).
     */
   def queryOhlcBatches(
       pair: String,
@@ -555,10 +619,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
       maxBatches: Option[Int] = None
   ): Iterator[DataFrame] = {
     val p = validatePair(pair)
-    val df = spark.read.parquet(s"$warehouse/ohlc_1m")
-      .filter(col("instrument") === p)
-      .select(OhlcGenerator.Columns.map(col): _*)
-    QueryEngine.batches(df, "timestamp", Nil, pageSize, maxBatches)
+    QueryEngine.batchesBy(readOhlc1mFrom(p, _), "timestamp", Nil, pageSize, maxBatches)
   }
 }
 

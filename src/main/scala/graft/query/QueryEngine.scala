@@ -74,7 +74,26 @@ object QueryEngine {
       tiebreak: Seq[String],
       cursor: Option[Timestamp],
       pageSize: Int
+  ): CursorPage = cursorPageBy(_ => df, time, tiebreak, cursor, pageSize)
+
+  /** [[cursorPage]] with a cursor-aware scan factory: `dfFor(cursor)` is
+    * invoked once per page with the page's effective cursor, so a caller
+    * backed by a month-partitioned, zone-mapped warehouse table can plan
+    * ONLY the files at or after the cursor (see
+    * `Processor.queryOhlcPage`) — a page at the tail of a deep table then
+    * lists O(tail months), not O(all files), per page. The strict
+    * `time > cursor` filter is ALWAYS re-applied here, so the factory
+    * only needs to return a superset of the qualifying rows; `dfFor(None)`
+    * must return the full scan.
+    */
+  def cursorPageBy(
+      dfFor: Option[Timestamp] => DataFrame,
+      time: String,
+      tiebreak: Seq[String],
+      cursor: Option[Timestamp],
+      pageSize: Int
   ): CursorPage = {
+    val df = dfFor(cursor)
     val spark = df.sparkSession
     val filtered = cursor match {
       case Some(c) => df.filter(col(time) > lit(c))
@@ -121,13 +140,26 @@ object QueryEngine {
       tiebreak: Seq[String],
       pageSize: Int,
       maxBatches: Option[Int] = None
+  ): Iterator[DataFrame] = batchesBy(_ => df, time, tiebreak, pageSize, maxBatches)
+
+  /** [[batches]] over a cursor-aware scan factory (see [[cursorPageBy]]):
+    * each successive page re-plans from its own cursor, so iterating a
+    * deep warehouse table prunes ever more months as the iterator
+    * advances instead of re-listing the whole table every page.
+    */
+  def batchesBy(
+      dfFor: Option[Timestamp] => DataFrame,
+      time: String,
+      tiebreak: Seq[String],
+      pageSize: Int,
+      maxBatches: Option[Int] = None
   ): Iterator[DataFrame] = new Iterator[DataFrame] {
     private var cursor: Option[Timestamp] = None
     private var more = true
     private var n = 0
     override def hasNext: Boolean = more && maxBatches.forall(n < _)
     override def next(): DataFrame = {
-      val page = cursorPage(df, time, tiebreak, cursor, pageSize)
+      val page = cursorPageBy(dfFor, time, tiebreak, cursor, pageSize)
       cursor = page.nextCursor
       more = page.hasMore
       n += 1

@@ -191,6 +191,27 @@ class ForexPipelineSpec extends SparkSpec {
     assert(batches.map(_.count()).sum === 5)
   }
 
+  test("tail-cursor pagination plans only the tail months' files (r16 verdict item 2)") {
+    val (p, _) = env
+    // warehouse spans 202401 + 202402; a February cursor must never list or
+    // plan a January file on EITHER pagination surface — already-paged
+    // months are pruned by name before the scan is even built
+    val febCursor = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val ohlcScan = p.readOhlc1mFrom("EURUSD", Some(febCursor))
+    assert(ohlcScan.inputFiles.nonEmpty &&
+      ohlcScan.inputFiles.forall(_.contains("yyyymm=202402")),
+      s"planned: ${ohlcScan.inputFiles.mkString(", ")}")
+    val tickScan = p.ticksFrom("EURUSD", "raw_spread", None, None)(Some(febCursor))
+    assert(tickScan.inputFiles.nonEmpty &&
+      tickScan.inputFiles.forall(_.contains("yyyymm=202402")),
+      s"planned: ${tickScan.inputFiles.mkString(", ")}")
+    // pruned pages return exactly what the full read would after the cursor
+    val ohlcPg = p.queryOhlcPage("EURUSD", Some(febCursor), pageSize = 10)
+    assert(ohlcPg.pageSize === 1 && !ohlcPg.hasMore) // the single Feb bar
+    val tickPg = p.queryTicksPage("EURUSD", cursor = Some(febCursor), pageSize = 10)
+    assert(tickPg.pageSize === 2 && !tickPg.hasMore) // the two Feb raw ticks
+  }
+
   test("tick-level pagination, available dates, size estimate (reference facade parity)") {
     val (p, _) = env
     // ticks paginate on the timestamp keyset exactly like OHLC: 8 raw ticks
