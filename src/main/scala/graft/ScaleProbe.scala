@@ -1021,8 +1021,8 @@ object ScaleProbe {
           // tmin (whole minutes) rides along as the z-order's second
           // dimension; ts itself carries the manifest's primary stats
           RangeWriter.writeZOrdered(df, out, "event_id", "tmin",
-            bits = 12, numFiles = 64 * m)
-          Manifest.write(spark, out, "ts", extraCols = Seq("event_id"))
+            bits = 12, numFiles = 64 * m,
+            manifestKey = Some(("ts", Seq("event_id"))))
         }
         val total = new java.io.File(out).listFiles()
           .count(_.getName.endsWith(".parquet"))

@@ -26,7 +26,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
   private val dateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
 
   def validatePair(pair: String): String = {
-    val p = pair.toUpperCase
+    val p = pair.toUpperCase(java.util.Locale.ROOT)
     require(Enums.Pairs.contains(p),
       s"Invalid pair: $pair. Valid: ${Enums.Pairs.mkString(", ")}")
     p
@@ -180,11 +180,12 @@ final class Processor(spark: SparkSession, warehouse: String) {
         case Some(dirs) => dirs
         case None => return None
       }
-      val mine = instDirs.filter(_.getName == s"instrument=${pair.toUpperCase}")
+      val mine = instDirs.filter(_.getName == s"instrument=${pair.toUpperCase(java.util.Locale.ROOT)}")
       val months = mine.flatMap { d =>
         PrunedScan.provenMonthDirs(fs, d) match {
           case Some(mdirs) =>
             // a month dir with no data files holds no rows: not stored
+            // (zero-row part files cannot arise — see hasDataFiles doc)
             mdirs.filter(PrunedScan.hasDataFiles(fs, _))
               .map(_.getName.stripPrefix("yyyymm="))
           case None => return None // stray files/labels: layout unproven
@@ -256,13 +257,18 @@ final class Processor(spark: SparkSession, warehouse: String) {
       variant: String = "raw_spread",
       start: Option[String] = None,
       end: Option[String] = None,
-      limit: Option[Int] = None
+      limit: Option[Int] = None,
+      bidRange: Option[(Double, Double)] = None
   ): DataFrame = {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
+    // a price band (docs/CLICKHOUSE_USER_GUIDE.md:450-454 workload) prunes
+    // FILES through the sidecars' bid stats (r17), not just row groups —
+    // the exact filter is re-applied inside the pruned read
+    val bands = bidRange.toSeq.map { case (lo, hi) => ("bid", lo: Any, hi: Any) }
     val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
-      start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"))
+      start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"), bands)
     val ordered = df.select("timestamp", "bid", "ask").orderBy("timestamp")
     limit.map(ordered.limit).getOrElse(ordered)
   }

@@ -128,7 +128,7 @@ object OhlcGenerator {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val base =
-      new Path(s"$warehouse/$table/instrument=${instrument.toUpperCase}")
+      new Path(s"$warehouse/$table/instrument=${instrument.toUpperCase(java.util.Locale.ROOT)}")
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) return Nil
     val monthDirs =
@@ -282,7 +282,7 @@ object OhlcGenerator {
           .mode("overwrite")
           .option("compression", "zstd")
           .partitionBy("yyyymm")
-          .parquet(s"$warehouse/ohlc_1m/instrument=${instrument.toUpperCase}")
+          .parquet(s"$warehouse/ohlc_1m/instrument=${instrument.toUpperCase(java.util.Locale.ROOT)}")
       } else {
         scoped.write
           .mode("overwrite")
@@ -307,7 +307,7 @@ object OhlcGenerator {
     // slower.
     {
       import org.apache.hadoop.fs.Path
-      val ohlcBase = s"$warehouse/ohlc_1m/instrument=${instrument.toUpperCase}"
+      val ohlcBase = s"$warehouse/ohlc_1m/instrument=${instrument.toUpperCase(java.util.Locale.ROOT)}"
       val touched: Seq[String] =
         if (months.nonEmpty) months
         else try {
@@ -325,7 +325,7 @@ object OhlcGenerator {
       }
     }
     spark.read.parquet(s"$warehouse/ohlc_1m")
-      .filter(col("instrument") === instrument.toUpperCase)
+      .filter(col("instrument") === instrument.toUpperCase(java.util.Locale.ROOT))
       .count()
   }
 }

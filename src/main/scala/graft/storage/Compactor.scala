@@ -64,11 +64,39 @@ object Compactor {
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
-    val out =
+    // z-order layout witness (r17): a manifest written by
+    // [[RangeWriter.writeZOrdered]] names the Morton dimensions + bits.
+    // Without re-clustering, a round-robin rewrite keeps the data but
+    // widens every output file's min/max to the full range — the manifest
+    // would be dutifully rebuilt and pruning on BOTH axes silently
+    // degrades to a full scan. Explicit sortKeys still win (the caller is
+    // changing the layout on purpose; the stale witness is then dropped).
+    val zWitness: Option[(String, String, Int)] =
+      if (sortKeys.nonEmpty) None
+      else try {
+        val mp = new Path(d, "_manifest")
+        if (fs.exists(mp) && fs.getFileStatus(mp).isDirectory) {
+          val old = Manifest.read(spark, dir)
+          if (old.columns.contains("zorder_cols") &&
+              old.columns.contains("zorder_bits")) {
+            val r = old.select("zorder_cols", "zorder_bits").head()
+            r.getString(0).split(',') match {
+              case Array(x, y) if df.columns.contains(x) && df.columns.contains(y) =>
+                Some((x, y, r.getLong(1).toInt))
+              case _ => None
+            }
+          } else None
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val zClustered = zWitness.flatMap { case (x, y, bits) =>
+      RangeWriter.zOrderedLayout(df, x, y, bits, n)
+    }
+    val out = zClustered.getOrElse {
       if (sortKeys.nonEmpty)
         df.repartitionByRange(n, sortKeys.map(col): _*)
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.repartition(n)
+    }
     // HIDDEN sibling names (leading dot): Spark/Hadoop data-source listing
     // and partition discovery ignore dot- and underscore-prefixed paths, so
     // a concurrent reader of the PARENT table never sees the temp/backup
@@ -134,7 +162,11 @@ object Compactor {
             }
           else None
         Manifest.write(spark, d.toString, key, intervalCols = interval,
-          extraCols = extras)
+          extraCols = extras,
+          // the witness is carried only when the rewrite actually
+          // re-clustered on it — a fallback/overridden layout must not
+          // claim a z order it no longer has
+          zorder = zWitness.filter(_ => zClustered.isDefined))
       }
     }
     n

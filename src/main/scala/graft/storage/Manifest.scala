@@ -32,7 +32,18 @@ object Manifest {
       path: String,
       keyCol: String,
       intervalCols: Option[(String, String)] = None,
-      extraCols: Seq[String] = Nil): DataFrame = {
+      extraCols: Seq[String] = Nil,
+      zorder: Option[(String, String, Int)] = None): DataFrame = {
+    // up-front shape validation (r16 advice): a duplicate extra column
+    // would alias two identical min__/max__ fields (write fails late and
+    // uglier), a comma corrupts the comma-joined `cols` witness (split
+    // reconstructs wrong names and pruning falls back), and keyCol as an
+    // extra duplicates min_key/max_key under a second name
+    require(extraCols.distinct == extraCols,
+      s"duplicate extraCols: ${extraCols.mkString(",")}")
+    require(extraCols.forall(c => !c.contains(",") && c != keyCol),
+      s"extraCols must be comma-free and distinct from keyCol: " +
+        extraCols.mkString("[", ", ", "]"))
     val base = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
     val stats = Seq(
@@ -78,7 +89,19 @@ object Manifest {
       case Some((s, e)) => withCols.withColumn("interval_cols", lit(s"$s,$e"))
       case None => withCols
     }
-    withIv.orderBy("min_key", "file")
+    // z-order layout witness (r17): records that the FILES themselves are
+    // Morton-clustered on (x, y) at `bits` resolution — so a rebuilder
+    // ([[Compactor]]) re-clusters with the same key instead of silently
+    // flattening the layout to round-robin (which would keep the manifest
+    // readable but widen every file's min/max to the full data range,
+    // degrading both columns' pruning to a full scan)
+    val withZ = zorder match {
+      case Some((x, y, bits)) => withIv
+        .withColumn("zorder_cols", lit(s"$x,$y"))
+        .withColumn("zorder_bits", lit(bits))
+      case None => withIv
+    }
+    withZ.orderBy("min_key", "file")
   }
 
   /** Write the manifest as JSON under `<path>/_manifest` (one part file —
@@ -89,8 +112,9 @@ object Manifest {
       path: String,
       keyCol: String,
       intervalCols: Option[(String, String)] = None,
-      extraCols: Seq[String] = Nil): Unit =
-    build(spark, path, keyCol, intervalCols, extraCols)
+      extraCols: Seq[String] = Nil,
+      zorder: Option[(String, String, Int)] = None): Unit =
+    build(spark, path, keyCol, intervalCols, extraCols, zorder)
       .coalesce(1)
       .write.mode("overwrite")
       // full µs precision with an explicit offset: the default JSON

@@ -279,11 +279,12 @@ object PrunedScan {
       loMonth: Option[String],
       hiMonth: Option[String],
       lo: Any,
-      hi: Any): Option[Seq[HPath]] =
+      hi: Any,
+      extraBounds: Seq[(String, Any, Any)] = Nil): Option[Seq[HPath]] =
     try {
       val fs = root.getFileSystem(conf)
       val instDirs = instrument match {
-        case Some(i) => Seq(new HPath(root, s"instrument=${i.toUpperCase}"))
+        case Some(i) => Seq(new HPath(root, s"instrument=${i.toUpperCase(java.util.Locale.ROOT)}"))
           .filter(fs.exists)
         case None => fs.listStatus(root).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
@@ -298,7 +299,12 @@ object PrunedScan {
         loMonth.forall(_ <= m) && hiMonth.forall(m <= _)
       }
       Some(monthDirs.flatMap { d =>
-        prunedDataFiles(conf, d, keyCol, lo, hi).getOrElse {
+        // the primary key bound plus any SECONDARY column bounds (r17:
+        // bid/ask price bands over the tick warehouse) prune as a
+        // conjunction through the month's sidecar — a sidecar without a
+        // given secondary's stats simply doesn't constrain on it
+        prunedDataFilesMulti(conf, d, (keyCol, lo, hi) +: extraBounds)
+          .getOrElse {
           fs.listStatus(d).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
               !s.getPath.getName.startsWith("_") &&
@@ -326,7 +332,7 @@ object PrunedScan {
     val inst = kids.filter { s =>
       val n = s.getPath.getName
       s.isDirectory && n.startsWith("instrument=") &&
-        n.stripPrefix("instrument=") == n.stripPrefix("instrument=").toUpperCase
+        n.stripPrefix("instrument=") == n.stripPrefix("instrument=").toUpperCase(java.util.Locale.ROOT)
     }
     if (inst.isEmpty || inst.size != kids.size) None else Some(inst.map(_.getPath))
   }
@@ -355,6 +361,19 @@ object PrunedScan {
 
   /** Data-file presence for a month dir (the gap/list fast paths treat a
     * file-less month as not stored; coverage lets the sidecar speak).
+    *
+    * ACCEPTED EDGE (r16 advice, adjudicated r17): file PRESENCE here is a
+    * proxy for "holds rows". A directory holding ONLY zero-row part files
+    * would make the metadata paths report a month as stored where the
+    * scan path would not — but no such file can exist under this engine's
+    * writers: Spark's FileFormatWriter skips empty tasks (a lone empty
+    * file is written only for a fully-empty dataframe, which the
+    * ingest/OHLC writers guard against), and a `_manifest` sidecar cannot
+    * adjudicate it either — manifests are built FROM a row scan, so a
+    * zero-row file never appears in one, and its presence in the dir
+    * would fail the sidecar freshness proof anyway. Consulting sidecars
+    * here would add a per-month read to a zero-job listing path to decide
+    * a case that cannot arise; documented instead.
     */
   private[graft] def hasDataFiles(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -399,7 +418,7 @@ object PrunedScan {
       val instDirs = instrument match {
         // a VALID layout without this instrument's dir is a true zero
         case Some(i) =>
-          allInstDirs.filter(_.getName == s"instrument=${i.toUpperCase}")
+          allInstDirs.filter(_.getName == s"instrument=${i.toUpperCase(java.util.Locale.ROOT)}")
         case None => allInstDirs
       }
       val monthDirs = instDirs.flatMap { d =>

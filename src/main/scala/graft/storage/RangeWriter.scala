@@ -58,18 +58,52 @@ object RangeWriter {
       xCol: String,
       yCol: String,
       bits: Int,
-      numFiles: Int
+      numFiles: Int,
+      manifestKey: Option[(String, Seq[String])] = None
   ): Unit = {
     require(numFiles >= 1)
+    val clustered = zOrderedLayout(df, xCol, yCol, bits, numFiles)
+    clustered.getOrElse(df).write.mode("overwrite").parquet(path)
+    // ship the zone-map manifest WITH the data (the q_pruned_scan_2col
+    // shape): keyed on x with y as the secondary by default — a caller
+    // whose routing key differs from the z dims overrides via manifestKey.
+    // The zorder witness is recorded only when clustering actually
+    // happened, so a Compactor rebuild never "re-clusters" a layout that
+    // was a plain fallback write (empty input / all-NULL dimension).
+    val spark = df.sparkSession
+    // a zero-row input can leave no data files at all (nothing to build a
+    // manifest over, and the build's read would fail on schema inference)
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val wrote = fs.exists(out) && fs.listStatus(out).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (wrote) {
+      val (key, extras) = manifestKey.getOrElse((xCol, Seq(yCol)))
+      Manifest.write(spark, path, key, extraCols = extras,
+        zorder = clustered.map(_ => (xCol, yCol, bits)))
+    }
+  }
+
+  /** The Morton-clustering transform behind [[writeZOrdered]]: the input
+    * range-partitioned and sorted by the z interleave of the two
+    * range-normalized dimensions, or None when EITHER dimension has no
+    * non-NULL values (empty input / all-NULL column — nothing to cluster
+    * on). Factored out so [[Compactor]] can re-cluster a z-ordered table
+    * from its manifest witness with the exact same arithmetic.
+    */
+  private[storage] def zOrderedLayout(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      numFiles: Int
+  ): Option[DataFrame] = {
     val b = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
-    if (b.isNullAt(0) || b.isNullAt(2)) {
-      // empty input, or EITHER dimension entirely NULL (min/max of an
-      // all-NULL column is NULL): nothing to cluster on, write as-is
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    if (b.isNullAt(0) || b.isNullAt(2)) return None
     val grid = (1L << bits).toDouble
     def cell(c: String, lo: Long, hi: Long): Column = {
       // span and the per-row delta are computed entirely in DOUBLE:
@@ -87,10 +121,9 @@ object RangeWriter {
       cell(xCol, b.getLong(0), b.getLong(1)),
       cell(yCol, b.getLong(2), b.getLong(3)),
       bits)
-    df.withColumn("__z", z)
+    Some(df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .drop("__z"))
   }
 }

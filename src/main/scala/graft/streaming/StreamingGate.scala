@@ -288,20 +288,24 @@ object StreamingGate {
     // an instrument absent from the code map would encode to a NULL key,
     // and NULL-k silver rows fall out of stage 2's `k =!= flush` filter —
     // the batch twin emits bars for EVERY instrument present, so silent
-    // dropping is a divergence. Fail loudly instead (r16 review fix); the
-    // check is one small distinct over the bounded gate fixtures.
-    val unmapped = rawSpread.select("instrument")
-      .union(standard.select("instrument"))
-      .distinct().collect().map(_.getString(0))
-      .filterNot(instruments.contains)
-    require(unmapped.isEmpty,
-      "instruments missing from the code map: " +
-        unmapped.map(s => if (s == null) "<null>" else s).sorted.mkString(", "))
+    // dropping is a divergence. Fail loudly — LAZILY (r17, r16 verdict
+    // item 4): the refusal rides the encode expression itself
+    // (raise_error on a NULL code), so the first unmapped row fails the
+    // query the moment it is actually processed, naming its instrument.
+    // Zero up-front scans: the r16 form pre-scanned BOTH full inputs with
+    // a distinct().collect() at gate setup — bounded for these fixtures,
+    // but a full pre-stream scan in the same-code-unbounded production
+    // posture.
     val code = instruments.zipWithIndex
       .map { case (n, i) => (n, i.toLong) }.toMap
-    val codeCol = instruments.foldLeft(lit(null).cast("long")) {
+    val codeCol0 = instruments.foldLeft(lit(null).cast("long")) {
       (acc, n) => when(col("instrument") === n, lit(code(n))).otherwise(acc)
     }
+    val codeCol = when(codeCol0.isNull,
+      raise_error(concat(lit("instrument missing from the code map: "),
+        coalesce(col("instrument").cast("string"), lit("<null>"))))
+        .cast("long"))
+      .otherwise(codeCol0)
     def side(df: DataFrame) = df.select(
       codeCol.as("k"), col("timestamp").as("t"),
       col("bid"), col("ask"), lit(0L).as("ord"))

@@ -191,6 +191,26 @@ class ForexPipelineSpec extends SparkSpec {
     assert(batches.map(_.count()).sum === 5)
   }
 
+  test("price-band query plans only files whose bid range can match (r16 verdict item 5)") {
+    val (p, _) = env
+    // January trades ~1.10, February ~1.08, one file per month under the
+    // ingest repartition; the ingest manifests carry bid/ask secondary
+    // stats (r17), so a 1.079..1.081 band with NO date predicate must
+    // prune the January file by its bid range alone
+    val band = p.queryTicks("EURUSD", bidRange = Some((1.079, 1.081)))
+    assert(band.inputFiles.nonEmpty &&
+      band.inputFiles.forall(_.contains("yyyymm=202402")),
+      s"planned: ${band.inputFiles.mkString(", ")}")
+    val rows = band.collect()
+    assert(rows.length === 2 &&
+      rows.forall(r => r.getAs[Double]("bid") >= 1.079 &&
+        r.getAs[Double]("bid") <= 1.081))
+    // and the band result equals the unpruned filtered read
+    val full = p.queryTicks("EURUSD").collect()
+      .filter(r => r.getAs[Double]("bid") >= 1.079 && r.getAs[Double]("bid") <= 1.081)
+    assert(rows.map(_.toString).sorted.sameElements(full.map(_.toString).sorted))
+  }
+
   test("tail-cursor pagination plans only the tail months' files (r16 verdict item 2)") {
     val (p, _) = env
     // warehouse spans 202401 + 202402; a February cursor must never list or

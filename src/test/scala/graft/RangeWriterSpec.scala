@@ -41,6 +41,28 @@ class RangeWriterSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == events.count())
   }
 
+  test("manifest rejects malformed extraCols up front (r16 advice)") {
+    import graft.storage.Manifest
+    val out = Files.createTempDirectory("manifest_v").toString + "/data"
+    val events = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "value")
+    RangeWriter.writeSorted(events, out, Seq("ts", "event_id"), numFiles = 2)
+    // duplicates would alias two identical min__/max__ fields; a comma
+    // corrupts the comma-joined `cols` witness; keyCol as an extra
+    // duplicates min_key/max_key under a second name
+    intercept[IllegalArgumentException] {
+      Manifest.write(spark, out, "ts", extraCols = Seq("event_id", "event_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.write(spark, out, "ts", extraCols = Seq("a,b"))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.write(spark, out, "ts", extraCols = Seq("ts"))
+    }
+    Manifest.write(spark, out, "ts", extraCols = Seq("event_id")) // valid
+    assert(Manifest.read(spark, out).columns.contains("min__event_id"))
+  }
+
   test("range-partitioned write yields disjoint, internally sorted files") {
     val out = Files.createTempDirectory("rangewrite").toString + "/sorted"
     val events = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")

@@ -116,12 +116,20 @@ class StreamingAsofSpec extends SparkSpec {
         col("ts").as("timestamp"),
         col("value").as("bid"), (col("value") + 0.1).as("ask"))
     // GBPUSD rows are present but unmapped: the batch twin would emit its
-    // bars, so the gate must refuse rather than silently filter them out
-    val ex = intercept[IllegalArgumentException] {
+    // bars, so the gate must refuse rather than silently filter them out.
+    // The refusal is LAZY (r17): it fires from the encode expression when
+    // the first unmapped row is processed — a task failure naming the
+    // instrument — instead of an up-front distinct().collect() pre-scan
+    // of both full inputs (which a production unbounded stream can't pay)
+    val ex = intercept[Exception] {
       StreamingGate.ohlcEnrichedAvailableNow(
         spark, ticks("purchase"), ticks("click"), Seq("EURUSD"))
     }
-    assert(ex.getMessage.contains("GBPUSD"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("GBPUSD")),
+      s"failure must name the unmapped instrument: ${messages(ex).mkString(" | ")}")
   }
 
   test("arrival order independence: random file splits, out-of-order batches") {
