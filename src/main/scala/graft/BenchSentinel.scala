@@ -91,8 +91,29 @@ object BenchSentinel {
         .getOrElse(false)
     }
 
-  /** The band verdict: ≥ `minCount` individual exceeders, or the shared
-    * total inflated past `totalFactor`.
+  /** Total seconds of significant band excess: the sum of (wall − ref)
+    * over [[significantBandExceeders]]. The depth axis the count trip
+    * misses — three queries collectively seconds over their walls is as
+    * much a load signal as five queries marginally over.
+    */
+  def excessSumSec(
+      times: Map[String, Double],
+      ref: Map[String, Double],
+      factor: Double = 2.0,
+      floorSec: Double = 0.1,
+      absExcessSec: Double = 0.5): Double =
+    significantBandExceeders(times, ref, factor, floorSec, absExcessSec)
+      .flatMap(n => for (t <- times.get(n); r <- ref.get(n)) yield t - r)
+      .sum
+
+  /** The band verdict: ≥ `minCount` individual exceeders, the shared
+    * total inflated past `totalFactor`, or (r17, r16 verdict item 6) the
+    * SUM of significant excesses past `excessTripSec`. The official r16
+    * run carried three band_sig flags totalling +9.4 s of excess
+    * (q_linear_probe alone +6.8 s) yet verdicted contended:false because
+    * the count trip needs ≥5 — the hardened guard refused to install it,
+    * but it still became the round's official snapshot; a run
+    * seconds-deep in excess must carry the contended mark itself.
     */
   def bandContended(
       times: Map[String, Double],
@@ -100,9 +121,11 @@ object BenchSentinel {
       factor: Double = 2.0,
       floorSec: Double = 0.1,
       minCount: Int = 5,
-      totalFactor: Double = 1.2): Boolean =
+      totalFactor: Double = 1.2,
+      excessTripSec: Double = 5.0): Boolean =
     bandExceeders(times, ref, factor, floorSec).size >= minCount ||
-      sharedTotalRatio(times, ref) > totalFactor
+      sharedTotalRatio(times, ref) > totalFactor ||
+      excessSumSec(times, ref, factor, floorSec) > excessTripSec
 
   /** Extract the per-query seconds from a bench_full.json line (the
     * `"queries":{...}` object). Regex-based on purpose: the record is

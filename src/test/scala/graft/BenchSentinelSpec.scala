@@ -113,6 +113,39 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(!BenchSentinel.bandContended(t4, r))
   }
 
+  test("excess-sum trip: seconds-deep band excess is contended below the count trip (the r16 run, replayed)") {
+    // the official r16 run: THREE band_sig queries totalling +9.4 s of
+    // excess (q_linear_probe alone +6.8 s) — under the ≥5 count trip and
+    // under the 1.2 total ratio (138.75/129.71 suite), yet seconds-deep.
+    // Reference = the committed r16 clean run (archived, in-repo); the
+    // run = that reference with the three flagged walls replayed verbatim
+    // (q_linear_probe 9.295 from BENCH_r16.json's own `slowest`;
+    // q_dedup_keep_best 3.16 / q_histogram 0.84 per the run's band_sig
+    // record quoted in VERDICT.md — the full per-query map of that run
+    // was a transient bench_run.json, not a committed artifact).
+    val refR16 = BenchSentinel.parseQueryTimes(scala.io.Source.fromFile(
+      "tools/bench_runs_r16/final172_w2/clean_run_1.json").mkString)
+    assert(refR16.size >= 170, "fixture file must parse")
+    val run = refR16 ++ Map(
+      "q_linear_probe" -> 9.295,
+      "q_dedup_keep_best" -> 3.16,
+      "q_histogram" -> 0.84)
+    val sig = BenchSentinel.significantBandExceeders(run, refR16)
+    assert(sig.toSet === Set("q_linear_probe", "q_dedup_keep_best", "q_histogram"))
+    assert(sig.size < 5, "below the count trip by construction")
+    assert(BenchSentinel.sharedTotalRatio(run, refR16) <= 1.2,
+      "below the total-ratio trip by construction")
+    assert(BenchSentinel.excessSumSec(run, refR16) > 5.0)
+    assert(BenchSentinel.bandContended(run, refR16),
+      "the r16 run must now verdict contended")
+
+    // synthetic boundaries: one +6 s exceeder trips alone; the same shape
+    // at +4.5 s total stays quiet (the trip is depth, not existence)
+    val base = (1 to 30).map(i => s"q_$i" -> 1.0).toMap
+    assert(BenchSentinel.bandContended(base + ("slow" -> 9.0), base + ("slow" -> 3.0)))
+    assert(!BenchSentinel.bandContended(base + ("slow" -> 7.5), base + ("slow" -> 3.0)))
+  }
+
   test("sharedTotalRatio needs enough overlap to mean anything") {
     val r = Map("a" -> 1.0, "b" -> 1.0)
     // only 2 shared queries: ratio pinned to 1.0 (insufficient evidence)
