@@ -1045,6 +1045,50 @@ object ScaleProbe {
         println(f"${s"id_x$m"}%-14s $total%6d ${iPruned.inputFiles.length}%8d ${iPruned.count()}%10d $wI%8.2f")
       }
     }
+    // (e2c) keyset pagination over the pruned month-partitioned warehouse
+    //     (r17): each page derives loMonth + a zone-map lower bound from
+    //     its cursor, so a page at the TAIL of a deep table lists and
+    //     plans only the tail months' files — the plain form re-lists and
+    //     re-plans the WHOLE table on every page. The structural 100 TB
+    //     metric: planned files per page must track the REMAINING range,
+    //     not the table size (at 10 years × many files/month, the plain
+    //     form's per-page listing+footer work is O(all files) × O(pages)).
+    if (sec("pagedprune")) {
+      import graft.ingest.TickIngest
+      import graft.query.QueryEngine
+      val wh = s"$base/page_wh"
+      val root = s"$wh/raw_spread_ticks"
+      if (!new java.io.File(root).exists()) {
+        // ~2M ticks at 32 s spacing from 2020-01-01 → spans ~24 months
+        val ticks = spark.range(2000000L).select(
+          timestamp_seconds(lit(1577836800L) + col("id") * 32L).as("timestamp"),
+          (lit(1.10) + (col("id") % 1000L).cast("double") / 100000.0).as("bid"),
+          (lit(1.10) + (col("id") % 1000L).cast("double") / 100000.0 + 0.0002).as("ask"))
+        TickIngest.writeTicks(ticks, wh, "EURUSD", "raw_spread")
+      }
+      val months = new java.io.File(s"$root/instrument=EURUSD").listFiles()
+        .count(_.getName.startsWith("yyyymm="))
+      val totalFiles = spark.read.parquet(root).inputFiles.length
+      // cursor deep in the LAST month — the worst case for the plain form
+      val cursor = java.sql.Timestamp.valueOf("2021-12-15 00:00:00")
+      val p = new graft.api.Processor(spark, wh)
+      val plainDf = spark.read.parquet(root)
+        .filter(col("instrument") === "EURUSD" && col("timestamp") > lit(cursor))
+        .select("timestamp", "bid", "ask")
+      val prunedDf = p.ticksFrom("EURUSD", "raw_spread", None, None)(Some(cursor))
+      val wPlain = time(QueryEngine.cursorPage(
+        spark.read.parquet(root).filter(col("instrument") === "EURUSD")
+          .select("timestamp", "bid", "ask"),
+        "timestamp", Nil, Some(cursor), 10000))
+      val wPruned = time(QueryEngine.cursorPageBy(
+        p.ticksFrom("EURUSD", "raw_spread", None, None),
+        "timestamp", Nil, Some(cursor), 10000))
+      assert(prunedDf.filter(col("timestamp") > lit(cursor)).count() ==
+        plainDf.count(), "pruned tail page scan must match the plain scan")
+      println(f"${"paged_prune"}%-14s ${"months"}%6s ${"files"}%6s ${"planned"}%8s ${"wall_s"}%8s")
+      println(f"${"plain_tail"}%-14s $months%6d $totalFiles%6d $totalFiles%8d $wPlain%8.2f")
+      println(f"${"pruned_tail"}%-14s $months%6d $totalFiles%6d ${prunedDf.inputFiles.length}%8d $wPruned%8.2f")
+    }
     // (e3) LEFT-outer overlap join's lineage cut (r16): overlapJoinLeft
     //     materializes the matched output once (MEMORY_AND_DISK local
     //     checkpoint) so the bucketed join isn't executed twice for the

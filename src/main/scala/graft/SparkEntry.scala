@@ -1480,6 +1480,26 @@ object SparkEntry {
         .orderBy("ts", "event_id")
     }),
 
+    // Z-order as the PRODUCTION layout (r17): the same-shaped events slice
+    // exported through RangeWriter.writeZOrdered — Morton-clustered files
+    // whose 2-column manifest the WRITER itself ships (with the
+    // zorder_cols/zorder_bits layout witness Compactor re-clusters by) —
+    // then range-scanned on the SECOND dimension alone, the shape a
+    // lexicographic (x, y) sort cannot prune at all. Exact filter
+    // re-applied over survivors, so the result is byte-identical to the
+    // oracle's plain filtered scan.
+    "q_zorder_scan" -> ((s, dir) => {
+      val src = ev(s, dir)
+        .filter(col("event_type") === "view")
+        .select("event_id", "ts", "user_id", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zscan").toString + "/events_z"
+      graft.storage.RangeWriter.writeZOrdered(src, tmp, "user_id", "event_id",
+        bits = 10, numFiles = 12)
+      graft.storage.PrunedScan.readRangeMulti(s, tmp,
+          Seq(("event_id", 1000L, 5000L)))
+        .orderBy("event_id")
+    }),
+
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
     // Runs to fixpoint, so the output is the exact connected components of
@@ -4166,6 +4186,12 @@ object SparkEntry {
             WHERE event_type = 'click'
               AND event_id BETWEEN 100 AND 400
             ORDER BY ts, event_id""",
+
+      "q_zorder_scan" ->
+        s"""SELECT event_id, $evTs AS ts, user_id, value FROM events
+            WHERE event_type = 'view'
+              AND event_id BETWEEN 1000 AND 5000
+            ORDER BY event_id""",
 
       "q_mixture_sample" ->
         """SELECT doc_id, source FROM documents
