@@ -1500,6 +1500,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Price-band scan over the REAL warehouse write path (r17): EURUSD
+    // ticks ingested through TickIngest.writeTicks (dedup-on-write, month
+    // partitions, manifests that now carry bid/ask secondary stats), then
+    // queried through Processor.queryTicks(bidRange) — the pruned read
+    // skips files whose per-file bid range can't reach the band, with the
+    // exact filter re-applied. events.ts is unique so dedup-on-write is
+    // the identity here and the oracle is the plain filtered projection.
+    "q_priceband" -> ((s, dir) => {
+      val (raw, _) = tickFrames(s, dir)
+      val wh = java.nio.file.Files.createTempDirectory("graft_priceband").toString
+      graft.ingest.TickIngest.writeTicks(
+        raw.filter(col("instrument") === "EURUSD"), wh, "EURUSD", "raw_spread")
+      new graft.api.Processor(s, wh)
+        .queryTicks("EURUSD", bidRange = Some((100.0, 200.0)))
+    }),
+
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
     // Runs to fixpoint, so the output is the exact connected components of
@@ -4192,6 +4208,19 @@ object SparkEntry {
             WHERE event_type = 'view'
               AND event_id BETWEEN 1000 AND 5000
             ORDER BY event_id""",
+
+      // bid = floor(value·64)/64 is an exact dyadic rational and ask adds
+      // an exact quarter multiple, so both survive the parquet round-trip
+      // and the band compare bit-identically; ts is unique among these
+      // rows, so the ingest's dedup-on-write is the identity
+      "q_priceband" ->
+        s"""SELECT $evTs AS timestamp,
+                   floor(value * 64) / 64 AS bid,
+                   floor(value * 64) / 64 + 0.25 * (1 + event_id % 3) AS ask
+            FROM events
+            WHERE event_type = 'purchase' AND user_id % 2 = 0
+              AND floor(value * 64) / 64 BETWEEN 100 AND 200
+            ORDER BY timestamp""",
 
       "q_mixture_sample" ->
         """SELECT doc_id, source FROM documents

@@ -62,6 +62,9 @@ object RangeWriter {
       manifestKey: Option[(String, Seq[String])] = None
   ): Unit = {
     require(numFiles >= 1)
+    require(xCol != yCol,
+      "z-order needs two distinct dimensions (and the default manifest " +
+        "records y as the key's secondary)")
     val clustered = zOrderedLayout(df, xCol, yCol, bits, numFiles)
     clustered.getOrElse(df).write.mode("overwrite").parquet(path)
     // ship the zone-map manifest WITH the data (the q_pruned_scan_2col
