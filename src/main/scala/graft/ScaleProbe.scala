@@ -1058,7 +1058,13 @@ object ScaleProbe {
       import graft.query.QueryEngine
       val wh = s"$base/page_wh"
       val root = s"$wh/raw_spread_ticks"
-      if (!new java.io.File(root).exists()) {
+      // key the skip-if-exists guard on the INSTRUMENT dir, not the table
+      // root: a crashed prior run can leave the root with only _temporary,
+      // which the root check would treat as ingested (null listFiles NPE
+      // below, unreadable parquet) — stale partial state then wedges every
+      // later probe run
+      val instDir = new java.io.File(s"$root/instrument=EURUSD")
+      if (!instDir.exists()) {
         // ~2M ticks at 32 s spacing from 2020-01-01 → spans ~24 months
         val ticks = spark.range(2000000L).select(
           timestamp_seconds(lit(1577836800L) + col("id") * 32L).as("timestamp"),
@@ -1066,8 +1072,8 @@ object ScaleProbe {
           (lit(1.10) + (col("id") % 1000L).cast("double") / 100000.0 + 0.0002).as("ask"))
         TickIngest.writeTicks(ticks, wh, "EURUSD", "raw_spread")
       }
-      val months = new java.io.File(s"$root/instrument=EURUSD").listFiles()
-        .count(_.getName.startsWith("yyyymm="))
+      val months = Option(instDir.listFiles()).fold(0)(
+        _.count(_.getName.startsWith("yyyymm=")))
       val totalFiles = spark.read.parquet(root).inputFiles.length
       // cursor deep in the LAST month — the worst case for the plain form
       val cursor = java.sql.Timestamp.valueOf("2021-12-15 00:00:00")

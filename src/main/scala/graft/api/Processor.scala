@@ -217,7 +217,8 @@ final class Processor(spark: SparkSession, warehouse: String) {
         return Iterator.iterate(start)(_.plusMonths(1))
           .takeWhile(!_.isAfter(last))
           .filterNot(m => have(m.format(fmt)))
-          .map(m => f"${m.getYear}%04d-${m.getMonthValue}%02d")
+          .map(m => graft.storage.PrunedScan.pad(m.getYear, 4) + "-" +
+            graft.storage.PrunedScan.pad(m.getMonthValue, 2))
           .toSeq
       case None => () // unproven layout: scan below
     }
@@ -237,7 +238,8 @@ final class Processor(spark: SparkSession, warehouse: String) {
         java.time.LocalDate.now(java.time.ZoneOffset.UTC).withDayOfMonth(1).toString)
       .collect()
       .map(_.getDate(0).toLocalDate)
-    gaps.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d").toSeq
+    gaps.map(d => graft.storage.PrunedScan.pad(d.getYear, 4) + "-" +
+      graft.storage.PrunedScan.pad(d.getMonthValue, 2)).toSeq
   }
 
   /** Hadoop FS existence probe — the warehouse can be file://, hdfs://, or
@@ -585,7 +587,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
       case Some(c) =>
         val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
         val d = c.toInstant.atZone(zone).toLocalDate
-        val loMonth = f"${d.getYear}%04d${d.getMonthValue}%02d"
+        val loMonth = PrunedScan.monthLabel(d.getYear, d.getMonthValue)
         PrunedScan.monthPartitionedFiles(
           spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
           Some(p), Some(loMonth), None, c,

@@ -31,7 +31,11 @@ object BasicUsage {
       } yield {
         val mid = 1.08 + 0.0001 * ((day * 7 + s) % 97)
         val spread = spreadPips * 1e-5
-        f"$month-$day%02d 09:${s / 2}%02d:${30 * (s % 2)}%02d.000000,${mid - spread / 2}%.5f,${mid + spread / 2}%.5f"
+        // Locale.ROOT: the default-locale f-interpolator can emit non-ASCII
+        // digits or a comma decimal separator, producing unparseable CSV
+        String.format(java.util.Locale.ROOT,
+          "%s-%02d 09:%02d:%02d.000000,%.5f,%.5f",
+          month, day, s / 2, 30 * (s % 2), mid - spread / 2, mid + spread / 2)
       }
       "Timestamp,Bid,Ask\n" + rows.mkString("\n") + "\n"
     }

@@ -35,12 +35,12 @@ object TickFetcher {
     */
   def monthUrl(base: String, pair: String, variant: String, year: Int, month: Int): String = {
     val s = symbol(pair, variant)
-    f"${base.stripSuffix("/")}/ticks/$s/$year/$month%02d/Exness_${s}_${year}_$month%02d.zip"
+    s"${base.stripSuffix("/")}/ticks/$s/$year/${graft.storage.PrunedScan.pad(month, 2)}/Exness_${s}_${year}_${graft.storage.PrunedScan.pad(month, 2)}.zip"
   }
 
   /** Spooled archive filename for a month (reference `downloader.py:70`). */
   def zipName(pair: String, variant: String, year: Int, month: Int): String =
-    f"Exness_${symbol(pair, variant)}_${year}_$month%02d.zip"
+    s"Exness_${symbol(pair, variant)}_${year}_${graft.storage.PrunedScan.pad(month, 2)}.zip"
 
   /** Fetch one monthly archive into `spoolDir`.
     *

@@ -64,6 +64,41 @@ object Compactor {
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
+    // Read the sitting manifest ONCE, up front (r17): the rewrite decision
+    // needs its z-order witness and the post-swap rebuild needs its
+    // key/cols/interval witnesses — the carried sidecar is byte-identical
+    // across the swap, so one read serves both (two Spark JSON reads per
+    // compaction otherwise).
+    final case class OldManifest(
+        key: String,
+        extras: Seq[String],
+        interval: Option[(String, String)],
+        zorder: Option[(String, String, Int)])
+    val oldManifest: Option[OldManifest] = try {
+      val mp = new Path(d, "_manifest")
+      if (fs.exists(mp) && fs.getFileStatus(mp).isDirectory) {
+        val old = Manifest.read(spark, dir)
+        if (!old.columns.contains("key_col")) None // foreign sidecar
+        else {
+          val r = old.head()
+          def str(c: String): Option[String] =
+            if (old.columns.contains(c)) Option(r.getString(r.fieldIndex(c)))
+            else None
+          val interval = str("interval_cols").map(_.split(',')).collect {
+            case Array(s, e) => (s, e)
+          }
+          val zorder = for {
+            zc <- str("zorder_cols")
+            Array(x, y) <- Option(zc.split(',')).filter(_.length == 2)
+            if old.columns.contains("zorder_bits")
+          } yield (x, y, r.getLong(r.fieldIndex("zorder_bits")).toInt)
+          Some(OldManifest(
+            r.getString(r.fieldIndex("key_col")),
+            str("cols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
+            interval, zorder))
+        }
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
     // z-order layout witness (r17): a manifest written by
     // [[RangeWriter.writeZOrdered]] names the Morton dimensions + bits.
     // Without re-clustering, a round-robin rewrite keeps the data but
@@ -73,21 +108,9 @@ object Compactor {
     // changing the layout on purpose; the stale witness is then dropped).
     val zWitness: Option[(String, String, Int)] =
       if (sortKeys.nonEmpty) None
-      else try {
-        val mp = new Path(d, "_manifest")
-        if (fs.exists(mp) && fs.getFileStatus(mp).isDirectory) {
-          val old = Manifest.read(spark, dir)
-          if (old.columns.contains("zorder_cols") &&
-              old.columns.contains("zorder_bits")) {
-            val r = old.select("zorder_cols", "zorder_bits").head()
-            r.getString(0).split(',') match {
-              case Array(x, y) if df.columns.contains(x) && df.columns.contains(y) =>
-                Some((x, y, r.getLong(1).toInt))
-              case _ => None
-            }
-          } else None
-        } else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+      else oldManifest.flatMap(_.zorder).filter { case (x, y, _) =>
+        df.columns.contains(x) && df.columns.contains(y)
+      }
     val zClustered = zWitness.flatMap { case (x, y, bits) =>
       RangeWriter.zOrderedLayout(df, x, y, bits, n)
     }
@@ -136,38 +159,21 @@ object Compactor {
     fs.delete(bak, true)
     // A carried [[Manifest]] is STALE after the rewrite: its per-file rows
     // and key min/max describe the old files. The manifest is
-    // self-describing (key_col column), so rebuild it in place against the
-    // compacted files. A foreign _manifest (hand-written file, or a dir
-    // without key_col) is left as carried — we can't know its key.
-    val manifestPath = new Path(d, "_manifest")
-    if (fs.exists(manifestPath) && fs.getFileStatus(manifestPath).isDirectory) {
-      val old = Manifest.read(spark, d.toString)
-      if (old.columns.contains("key_col")) {
-        val key = old.select("key_col").head().getString(0)
-        // carry the SECONDARY zone-map columns AND interval-length stats
-        // through the rebuild too (r16): the old manifest's `cols` /
-        // `interval_cols` witnesses name them, so a compaction doesn't
-        // silently downgrade multi-column pruning to primary-only or
-        // stored-width interval dispatch to the probe path
-        val extras =
-          if (old.columns.contains("cols"))
-            old.select("cols").head().getString(0).split(',').toSeq
-              .filter(_.nonEmpty)
-          else Nil
-        val interval =
-          if (old.columns.contains("interval_cols"))
-            old.select("interval_cols").head().getString(0).split(',') match {
-              case Array(s, e) => Some((s, e))
-              case _ => None
-            }
-          else None
-        Manifest.write(spark, d.toString, key, intervalCols = interval,
-          extraCols = extras,
-          // the witness is carried only when the rewrite actually
-          // re-clustered on it — a fallback/overridden layout must not
-          // claim a z order it no longer has
-          zorder = zWitness.filter(_ => zClustered.isDefined))
-      }
+    // self-describing (key_col column, captured in oldManifest above — the
+    // carried sidecar is byte-identical to the pre-swap one), so rebuild
+    // it in place against the compacted files, carrying the SECONDARY
+    // zone-map columns AND interval-length stats (r16) so a compaction
+    // doesn't silently downgrade multi-column pruning to primary-only or
+    // stored-width interval dispatch to the probe path. A foreign
+    // _manifest (hand-written file, or a dir without key_col) is left as
+    // carried — we can't know its key.
+    oldManifest.foreach { m =>
+      Manifest.write(spark, d.toString, m.key, intervalCols = m.interval,
+        extraCols = m.extras,
+        // the witness is carried only when the rewrite actually
+        // re-clustered on it — a fallback/overridden layout must not
+        // claim a z order it no longer has
+        zorder = zWitness.filter(_ => zClustered.isDefined))
     }
     n
   }

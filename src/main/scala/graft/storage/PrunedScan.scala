@@ -260,7 +260,22 @@ object PrunedScan {
     */
   def monthOf(t: String): String = {
     val d = parseWallClock(t).toLocalDate
-    f"${d.getYear}%04d${d.getMonthValue}%02d"
+    monthLabel(d.getYear, d.getMonthValue)
+  }
+
+  /** Locale-independent zero-padded ASCII month label (r17 review): the
+    * Scala f-interpolator formats %d with the JVM's default FORMAT
+    * locale, whose zero digit need not be ASCII '0' (arabic-indic
+    * digits) — a label built that way never matches an ASCII `yyyymm=`
+    * directory name, so every month would "prune" to nothing.
+    * Int.toString is locale-independent by spec.
+    */
+  private[graft] def monthLabel(year: Int, month: Int): String =
+    pad(year, 4) + pad(month, 2)
+
+  private[graft] def pad(n: Int, width: Int): String = {
+    val s = n.toString
+    if (s.length >= width) s else "0" * (width - s.length) + s
   }
 
   /** Data files of an instrument/yyyymm-partitioned warehouse table
@@ -284,8 +299,18 @@ object PrunedScan {
     try {
       val fs = root.getFileSystem(conf)
       val instDirs = instrument match {
-        case Some(i) => Seq(new HPath(root, s"instrument=${i.toUpperCase(java.util.Locale.ROOT)}"))
-          .filter(fs.exists)
+        case Some(i) =>
+          val dir = new HPath(root,
+            s"instrument=${i.toUpperCase(java.util.Locale.ROOT)}")
+          if (fs.exists(dir)) Seq(dir)
+          // A MISSING instrument dir proves "no rows" only on the proven
+          // instrument=/yyyymm= layout (r17 review): a foreign layout
+          // (e.g. partitioned by yyyymm only, instrument as a data
+          // column) has no instrument= dirs at all, and treating that as
+          // Some(Nil) would turn the caller's schema-exact-empty branch
+          // into a WRONG answer where the fallback read has rows.
+          else if (provenInstrumentDirs(fs, root).isDefined) Nil
+          else return None // foreign layout: caller falls back to the plain read
         case None => fs.listStatus(root).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("instrument="))
           .map(_.getPath)

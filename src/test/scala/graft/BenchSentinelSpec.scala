@@ -123,8 +123,9 @@ class BenchSentinelSpec extends AnyFunSuite {
     // q_dedup_keep_best 3.16 / q_histogram 0.84 per the run's band_sig
     // record quoted in VERDICT.md — the full per-query map of that run
     // was a transient bench_run.json, not a committed artifact).
-    val refR16 = BenchSentinel.parseQueryTimes(scala.io.Source.fromFile(
-      "tools/bench_runs_r16/final172_w2/clean_run_1.json").mkString)
+    val refR16 = BenchSentinel.parseQueryTimes(scala.util.Using.resource(
+      scala.io.Source.fromFile(
+        "tools/bench_runs_r16/final172_w2/clean_run_1.json"))(_.mkString))
     assert(refR16.size >= 170, "fixture file must parse")
     val run = refR16 ++ Map(
       "q_linear_probe" -> 9.295,

@@ -393,6 +393,30 @@ class PrunedScanSpec extends SparkSpec {
     }
   }
 
+  test("missing instrument dir: proven layout proves empty, foreign layout falls back (r17 review)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-12-31T00:00:00Z")
+    val rows = spark.range(100).select(
+      expr("timestamp_micros(1704412800000000 + id * 60000000)").as("timestamp"),
+      col("id").cast("double").as("bid"))
+
+    // proven instrument=/yyyymm= layout: an absent instrument IS empty
+    val proven = Files.createTempDirectory("mpf_proven").toString
+    rows.coalesce(1).write.parquet(s"$proven/instrument=EURUSD/yyyymm=202401")
+    assert(PrunedScan.monthPartitionedFiles(conf, new Path(proven),
+      "timestamp", Some("GBPUSD"), None, None, lo, hi) === Some(Nil))
+
+    // foreign layout (yyyymm only, instrument as a data column): a missing
+    // instrument= dir must NOT claim proven-empty — None routes the caller
+    // to the plain read, which still has the rows
+    val foreign = Files.createTempDirectory("mpf_foreign").toString
+    rows.coalesce(1).write.parquet(s"$foreign/yyyymm=202401")
+    assert(PrunedScan.monthPartitionedFiles(conf, new Path(foreign),
+      "timestamp", Some("EURUSD"), None, None, lo, hi).isEmpty)
+  }
+
   test("layout proofs: lowercase instrument dirs and impossible month labels fail the proof") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
