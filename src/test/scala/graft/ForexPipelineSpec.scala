@@ -247,6 +247,18 @@ class ForexPipelineSpec extends SparkSpec {
     val day = p.queryTicksPage("EURUSD",
       start = Some("2024-01-10"), end = Some("2024-01-10"))
     assert(day.pageSize === 5 && !day.hasMore)
+    // cursor AND date bounds compose (r17: the cursor tightens the pruned
+    // read's lower bound via a lexicographic max with the start bound):
+    // strictly after 14:30:02.2 on Jan 10 leaves exactly 3 of the 5 ticks
+    val dayAfter = p.queryTicksPage("EURUSD",
+      cursor = Some(java.sql.Timestamp.valueOf("2024-01-10 14:30:02.2")),
+      start = Some("2024-01-10"), end = Some("2024-01-10"))
+    assert(dayAfter.pageSize === 3 && !dayAfter.hasMore)
+    // a cursor BEFORE the start bound must not widen the range
+    val preCursor = p.queryTicksPage("EURUSD",
+      cursor = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      start = Some("2024-01-10"), end = Some("2024-01-10"))
+    assert(preCursor.pageSize === 5 && !preCursor.hasMore)
 
     assert(p.availableDates("EURUSD") === (Some("2024-01-01"), Some("2024-02-05")))
     assert(p.validateDateRange("2024-01-01", "2024-01-31") === (true, None))
