@@ -152,9 +152,19 @@ object Compactor {
           !fs.exists(new Path(d, name))
       }
       .foreach { st =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        // per-sidecar best-effort (r17 review): a sidecar that cannot be
+        // copied (bitrot tripping the FS checksum, a partial write) must
+        // not fail the compaction AFTER the successful swap — the data is
+        // already in place, and a missing/stale sidecar only routes
+        // readers to their footer/scan fallbacks (slower, never wrong).
+        // The un-copyable sidecar is dropped with the backup dir below;
+        // a Manifest-shaped one is rebuilt fresh by the rebuild step.
+        try org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
           new Path(d, st.getPath.getName), false,
           spark.sessionState.newHadoopConf())
+        catch { case scala.util.control.NonFatal(_) =>
+          fs.delete(new Path(d, st.getPath.getName), true) // no partial copy
+        }
       }
     fs.delete(bak, true)
     // A carried [[Manifest]] is STALE after the rewrite: its per-file rows

@@ -130,6 +130,47 @@ class CompactorSpec extends SparkSpec {
     assert(byId.inputFiles.length < total, "primary pruning lost after compaction")
   }
 
+  test("a garbled manifest degrades to carried-stale, never fails a completed compaction (r17)") {
+    val dir = Files.createTempDirectory("compact_g").toString + "/data"
+    val df = spark.range(3000).select(col("id"), (col("id") % 7L).as("v"))
+    graft.storage.RangeWriter.writeSorted(df, dir, Seq("id"), numFiles = 8)
+    graft.storage.Manifest.write(spark, dir, "id")
+    // garble the sidecar IN PLACE (stale .crc left behind): the local FS
+    // checksum now trips on any read/copy of it. The witness capture must
+    // swallow that (no key to rebuild with), the data rewrite must still
+    // complete, and the un-copyable sidecar is DROPPED rather than the
+    // carry step throwing ChecksumException AFTER the successful swap —
+    // readers fall back to footers/scans (slower, never wrong)
+    val mdir = new java.io.File(s"$dir/_manifest")
+    mdir.listFiles().filter(_.getName.startsWith("part-")).foreach { p =>
+      java.nio.file.Files.writeString(p.toPath, "{not json")
+    }
+    val n = Compactor.compact(spark, dir, targetBytes = 48L * 1024)
+    assert(n >= 1)
+    assert(spark.read.parquet(dir).count() === 3000L, "data must survive")
+    val pruned = graft.storage.PrunedScan.readRange(spark, dir, "id", 0L, 10L)
+    assert(pruned.count() === 11L)
+
+    // semantically-garbled but checksum-VALID sidecar (crc removed): the
+    // copy succeeds, so the stale sidecar is carried across the swap and
+    // the readers' freshness check rejects it — still never wrong
+    val dir2 = Files.createTempDirectory("compact_g2").toString + "/data"
+    graft.storage.RangeWriter.writeSorted(df, dir2, Seq("id"), numFiles = 8)
+    graft.storage.Manifest.write(spark, dir2, "id")
+    val mdir2 = new java.io.File(s"$dir2/_manifest")
+    mdir2.listFiles().filter(_.getName.startsWith("part-")).foreach { p =>
+      java.nio.file.Files.writeString(p.toPath, "{not json")
+    }
+    mdir2.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val n2 = Compactor.compact(spark, dir2, targetBytes = 48L * 1024)
+    assert(n2 >= 1)
+    assert(spark.read.parquet(dir2).count() === 3000L)
+    assert(new java.io.File(s"$dir2/_manifest").exists(),
+      "readable-but-garbled sidecar must be carried, not dropped")
+    val pruned2 = graft.storage.PrunedScan.readRange(spark, dir2, "id", 0L, 10L)
+    assert(pruned2.count() === 11L)
+  }
+
   test("compaction carries interval-length stats through the manifest rebuild") {
     val dir = Files.createTempDirectory("compact6").toString + "/data"
     val df = spark.range(4000).select(
