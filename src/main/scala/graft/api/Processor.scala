@@ -297,7 +297,8 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val prunedFiles = PrunedScan.monthPartitionedFiles(
       spark.sessionState.newHadoopConf(),
       new org.apache.hadoop.fs.Path(s"$warehouse/ohlc_1m"), "timestamp",
-      Some(p), start.map(PrunedScan.monthOf), end.map(PrunedScan.monthOf),
+      Some(p), start.map(PrunedScan.monthOfLo(spark, _)),
+      end.map(PrunedScan.monthOfHi(spark, _)),
       PrunedScan.sessionInstant(spark, start.getOrElse("1900-01-01")),
       PrunedScan.sessionInstant(spark,
         end.map(_ + " 23:59:59").getOrElse("9999-01-01")))
@@ -532,7 +533,11 @@ final class Processor(spark: SparkSession, warehouse: String) {
     val lo0 = start.map(_ + " 00:00:00")
     val loC = cursor.map { c =>
       val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      // Locale.ROOT (r17 review): the default FORMAT locale's DecimalStyle
+      // can emit non-ASCII digits, which PrunedScan.parseWallClock cannot
+      // parse — the cursor bound must stay ASCII like every other label
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS", java.util.Locale.ROOT)
         .format(c.toInstant.atZone(zone))
     }
     // fixed-format timestamps order lexicographically; a fraction suffix on
@@ -572,8 +577,10 @@ final class Processor(spark: SparkSession, warehouse: String) {
     * caller re-applies the strict `timestamp > cursor` filter and any
     * listing/sidecar problem falls back to the full read (slower, never
     * wrong). The cursor instant maps to its yyyymm label in the SESSION
-    * zone — the same zone `date_format(..., "yyyyMM")` used at write time,
-    * so label order is monotone in event time.
+    * zone — the same zone `date_format(..., "yyyyMM")` used at write time;
+    * label order is monotone in event time under a fixed offset, and
+    * zones with transitions get a one-day slack on the cut (see
+    * [[graft.storage.PrunedScan.monthOfLo]]).
     */
   private[graft] def readOhlc1mFrom(p: String, after: Option[Timestamp]): DataFrame = {
     import graft.storage.PrunedScan
@@ -586,7 +593,14 @@ final class Processor(spark: SparkSession, warehouse: String) {
       case None => plain()
       case Some(c) =>
         val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        val d = c.toInstant.atZone(zone).toLocalDate
+        // one day of slack for zones with offset transitions (r17
+        // advice): under a fall-back that crosses a month boundary, a
+        // row with timestamp > cursor can carry a wall-clock label in
+        // the PRIOR month — the by-name cut must stay a superset (see
+        // PrunedScan.monthOfLo). Fixed-offset sessions keep the exact cut.
+        val d = (if (zone.getRules.isFixedOffset) c.toInstant
+                 else c.toInstant.minus(java.time.Duration.ofDays(1)))
+          .atZone(zone).toLocalDate
         val loMonth = PrunedScan.monthLabel(d.getYear, d.getMonthValue)
         PrunedScan.monthPartitionedFiles(
           spark.sessionState.newHadoopConf(), new Path(root), "timestamp",

@@ -400,7 +400,8 @@ object TickIngest {
     // without them is slower, never wrong.
     val files: Option[Seq[Path]] = PrunedScan.monthPartitionedFiles(
       spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
-      instrument, start.map(PrunedScan.monthOf), end.map(PrunedScan.monthOf),
+      instrument, start.map(PrunedScan.monthOfLo(spark, _)),
+      end.map(PrunedScan.monthOfHi(spark, _)),
       PrunedScan.sessionInstant(spark, start.getOrElse("1900-01-01")),
       PrunedScan.sessionInstant(spark, end.getOrElse("9999-01-01")),
       extraBounds)

@@ -178,12 +178,21 @@ object Compactor {
     // _manifest (hand-written file, or a dir without key_col) is left as
     // carried — we can't know its key.
     oldManifest.foreach { m =>
-      Manifest.write(spark, d.toString, m.key, intervalCols = m.interval,
+      // best-effort like the sidecar copy above (r17 advice): the swap
+      // has SUCCEEDED — a rebuild failure (Manifest.build's validation
+      // tripping on a legacy/hand-written sidecar's duplicate or
+      // nonexistent columns) must not fail compact() after the fact. On
+      // failure the carried stale manifest stays in place; the freshness
+      // check (sidecar names == directory contents) already rejects it,
+      // routing readers to their footer/scan fallbacks — slower, never
+      // wrong.
+      try Manifest.write(spark, d.toString, m.key, intervalCols = m.interval,
         extraCols = m.extras,
         // the witness is carried only when the rewrite actually
         // re-clustered on it — a fallback/overridden layout must not
         // claim a z order it no longer has
         zorder = zWitness.filter(_ => zClustered.isDefined))
+      catch { case scala.util.control.NonFatal(_) => }
     }
     n
   }

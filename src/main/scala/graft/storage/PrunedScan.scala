@@ -263,6 +263,37 @@ object PrunedScan {
     monthLabel(d.getYear, d.getMonthValue)
   }
 
+  /** [[monthOf]] widened for use as a by-name month-cut LOWER bound
+    * (r17 advice): the month labels were written from each row's
+    * wall-clock in the session zone, and under a BACKWARD offset
+    * transition that crosses a month boundary a row with instant above
+    * the bound can carry a wall-clock — and thus a label — in the PRIOR
+    * month. The cut must stay a superset, so for zones with transitions
+    * the bound is slackened by one day (covers every historical
+    * transition, including 24 h date-line moves like Samoa 2011); the
+    * extra month's files are then zone-map-pruned and exact-filtered as
+    * usual. Fixed-offset zones (UTC) have wall clocks monotone in event
+    * time — no slack, identical to [[monthOf]].
+    */
+  def monthOfLo(spark: SparkSession, t: String): String =
+    monthMargined(spark, t, -1)
+
+  /** [[monthOf]] widened as a month-cut UPPER bound — the mirror of
+    * [[monthOfLo]] for FORWARD transitions (an instant below the bound
+    * can carry a wall-clock label in the NEXT month).
+    */
+  def monthOfHi(spark: SparkSession, t: String): String =
+    monthMargined(spark, t, 1)
+
+  private def monthMargined(
+      spark: SparkSession, t: String, days: Int): String = {
+    val zone =
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val d0 = parseWallClock(t).toLocalDate
+    val d = if (zone.getRules.isFixedOffset) d0 else d0.plusDays(days.toLong)
+    monthLabel(d.getYear, d.getMonthValue)
+  }
+
   /** Locale-independent zero-padded ASCII month label (r17 review): the
     * Scala f-interpolator formats %d with the JVM's default FORMAT
     * locale, whose zero digit need not be ASCII '0' (arabic-indic
