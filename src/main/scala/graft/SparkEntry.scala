@@ -96,6 +96,67 @@ object SparkEntry {
     (ticks("purchase"), ticks("click"))
   }
 
+  // ---- staged fixtures ------------------------------------------------
+
+  // Derived-layout fixtures built ONCE per (fixture, sf dir) via
+  // [[Stage.staged]], so the timed query bodies measure the pruned SCAN
+  // and not the fixture write (r17 verdict item 3). [[Bench]] calls
+  // [[stageFixtures]] before its calibration bracket; Verify simply
+  // builds on first use.
+
+  private def stagedZonemap(s: SparkSession, dir: String): String =
+    Stage.staged("zonemap", dir) { t =>
+      val src = ev(s, dir)
+        .filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      graft.storage.RangeWriter.writeSorted(src, t, Seq("ts", "event_id"), numFiles = 12)
+      graft.storage.Manifest.write(s, t, "ts")
+    }
+
+  private def stagedZonemap2(s: SparkSession, dir: String): String =
+    Stage.staged("zonemap2", dir) { t =>
+      val src = ev(s, dir)
+        .filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      graft.storage.RangeWriter.writeSorted(src, t, Seq("ts", "event_id"), numFiles = 12)
+      graft.storage.Manifest.write(s, t, "ts", extraCols = Seq("event_id"))
+    }
+
+  private def stagedZscan(s: SparkSession, dir: String): String =
+    Stage.staged("zscan", dir) { t =>
+      val src = ev(s, dir)
+        .filter(col("event_type") === "view")
+        .select("event_id", "ts", "user_id", "value")
+      graft.storage.RangeWriter.writeZOrdered(src, t, "user_id", "event_id",
+        bits = 10, numFiles = 12)
+    }
+
+  private def stagedPriceband(s: SparkSession, dir: String): String =
+    Stage.staged("priceband", dir) { tmp =>
+      val (raw, _) = tickFrames(s, dir)
+      graft.ingest.TickIngest.writeTicks(
+        raw.filter(col("instrument") === "EURUSD"), tmp, "EURUSD", "raw_spread")
+    }
+
+  private def stagedZeroSpread(s: SparkSession, dir: String): String =
+    Stage.staged("zerospread", dir) { tmp =>
+      val src = ev(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") % 2 === 0)
+        .select(
+          col("ts").as("timestamp"),
+          (floor(col("value") * 64) / 64).as("bid"),
+          (floor(col("value") * 64) / 64
+            + lit(0.25) * (col("event_id") % 3)).as("ask"))
+      graft.ingest.TickIngest.writeTicks(src, tmp, "EURUSD", "raw_spread")
+    }
+
+  /** Build every staged fixture for `dir` (idempotent, skip-if-staged). */
+  def stageFixtures(s: SparkSession, dir: String): Unit = {
+    stagedZonemap(s, dir); stagedZonemap2(s, dir); stagedZscan(s, dir)
+    stagedPriceband(s, dir); stagedZeroSpread(s, dir)
+    ()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -1448,12 +1509,7 @@ object SparkEntry {
     // zone map proves empty. Exact filter re-applied, so the result is
     // byte-identical to the plain filtered scan the oracle runs.
     "q_pruned_scan" -> ((s, dir) => {
-      val src = ev(s, dir)
-        .filter(col("event_type") === "click")
-        .select("event_id", "ts", "user_id", "value")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap").toString + "/events_ts"
-      graft.storage.RangeWriter.writeSorted(src, tmp, Seq("ts", "event_id"), numFiles = 12)
-      graft.storage.Manifest.write(s, tmp, "ts")
+      val tmp = stagedZonemap(s, dir)
       graft.storage.PrunedScan.readRange(s, tmp, "ts",
           java.sql.Timestamp.valueOf("2024-01-08 00:00:00"),
           java.sql.Timestamp.valueOf("2024-01-12 23:59:59.999999"))
@@ -1469,12 +1525,7 @@ object SparkEntry {
     // filter re-applied over survivors, so the result is byte-identical
     // to the plain filtered scan the oracle runs.
     "q_pruned_scan_2col" -> ((s, dir) => {
-      val src = ev(s, dir)
-        .filter(col("event_type") === "click")
-        .select("event_id", "ts", "user_id", "value")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap2").toString + "/events_ts"
-      graft.storage.RangeWriter.writeSorted(src, tmp, Seq("ts", "event_id"), numFiles = 12)
-      graft.storage.Manifest.write(s, tmp, "ts", extraCols = Seq("event_id"))
+      val tmp = stagedZonemap2(s, dir)
       graft.storage.PrunedScan.readRangeMulti(s, tmp,
           Seq(("event_id", 100L, 400L)))
         .orderBy("ts", "event_id")
@@ -1489,12 +1540,7 @@ object SparkEntry {
     // re-applied over survivors, so the result is byte-identical to the
     // oracle's plain filtered scan.
     "q_zorder_scan" -> ((s, dir) => {
-      val src = ev(s, dir)
-        .filter(col("event_type") === "view")
-        .select("event_id", "ts", "user_id", "value")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zscan").toString + "/events_z"
-      graft.storage.RangeWriter.writeZOrdered(src, tmp, "user_id", "event_id",
-        bits = 10, numFiles = 12)
+      val tmp = stagedZscan(s, dir)
       graft.storage.PrunedScan.readRangeMulti(s, tmp,
           Seq(("event_id", 1000L, 5000L)))
         .orderBy("event_id")
@@ -1507,14 +1553,22 @@ object SparkEntry {
     // skips files whose per-file bid range can't reach the band, with the
     // exact filter re-applied. events.ts is unique so dedup-on-write is
     // the identity here and the oracle is the plain filtered projection.
-    "q_priceband" -> ((s, dir) => {
-      val (raw, _) = tickFrames(s, dir)
-      val wh = java.nio.file.Files.createTempDirectory("graft_priceband").toString
-      graft.ingest.TickIngest.writeTicks(
-        raw.filter(col("instrument") === "EURUSD"), wh, "EURUSD", "raw_spread")
-      new graft.api.Processor(s, wh)
-        .queryTicks("EURUSD", bidRange = Some((100.0, 200.0)))
-    }),
+    "q_priceband" -> ((s, dir) =>
+      new graft.api.Processor(s, stagedPriceband(s, dir))
+        .queryTicks("EURUSD", bidRange = Some((100.0, 200.0)))),
+
+    // Zero-spread scan (r18, the last documented reference workload:
+    // `WHERE bid = ask`, docs/CLICKHOUSE_USER_GUIDE.md:450-454): same
+    // real ingest path as q_priceband but with a spread that cycles
+    // 0/0.25/0.5 by event_id, queried through queryTicks(zeroSpread) —
+    // files whose bid and ask ranges provably cannot overlap are pruned
+    // off the sidecars' bid/ask stats, with the exact `bid = ask` filter
+    // re-applied over the survivors. ts is unique among these rows, so
+    // dedup-on-write is the identity and the oracle is the plain
+    // filtered projection.
+    "q_zero_spread" -> ((s, dir) =>
+      new graft.api.Processor(s, stagedZeroSpread(s, dir))
+        .queryTicks("EURUSD", zeroSpread = true)),
 
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
@@ -1942,7 +1996,10 @@ object SparkEntry {
     "q_format_roundtrip" -> ((s, dir) => {
       val src = Tables.table(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      // the WRITE is part of what this query measures (the round-trip),
+      // so no memoized staging — but scratch under the swept stage root,
+      // not a stranded fresh /tmp dir per call
+      val tmp = Stage.scratch("fmt")
       def roundtrip(fmt: String, opts: Map[String, String]): DataFrame = {
         val p = s"$tmp/$fmt"
         src.write.mode("overwrite").options(opts).format(fmt).save(p)
@@ -4220,6 +4277,18 @@ object SparkEntry {
             FROM events
             WHERE event_type = 'purchase' AND user_id % 2 = 0
               AND floor(value * 64) / 64 BETWEEN 100 AND 200
+            ORDER BY timestamp""",
+
+      // spread cycles 0/0.25/0.5 exactly (dyadic bid + exact quarter
+      // multiples), so `bid = ask` is the event_id % 3 = 0 slice and the
+      // compare is bit-identical through the parquet round-trip
+      "q_zero_spread" ->
+        s"""SELECT $evTs AS timestamp,
+                   floor(value * 64) / 64 AS bid,
+                   floor(value * 64) / 64 + 0.25 * (event_id % 3) AS ask
+            FROM events
+            WHERE event_type = 'purchase' AND user_id % 2 = 0
+              AND event_id % 3 = 0
             ORDER BY timestamp""",
 
       "q_mixture_sample" ->

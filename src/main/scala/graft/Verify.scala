@@ -54,6 +54,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // sweep staged fixtures (Stage.staged/scratch): no stranded /tmp dirs
+    try Stage.cleanup() catch { case _: Throwable => () }
     spark.stop()
     // exit 0 even with failures: the dumped outputs + _errors.json are the
     // artifact; a nonzero rc could make a strict caller discard the entire

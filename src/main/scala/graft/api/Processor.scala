@@ -260,17 +260,26 @@ final class Processor(spark: SparkSession, warehouse: String) {
       start: Option[String] = None,
       end: Option[String] = None,
       limit: Option[Int] = None,
-      bidRange: Option[(Double, Double)] = None
+      bidRange: Option[(Double, Double)] = None,
+      askRange: Option[(Double, Double)] = None,
+      zeroSpread: Boolean = false
   ): DataFrame = {
     val p = validatePair(pair)
     require(Enums.Variants.contains(variant), s"Invalid variant: $variant")
     validateRange(start, end)
     // a price band (docs/CLICKHOUSE_USER_GUIDE.md:450-454 workload) prunes
-    // FILES through the sidecars' bid stats (r17), not just row groups —
-    // the exact filter is re-applied inside the pruned read
-    val bands = bidRange.toSeq.map { case (lo, hi) => ("bid", lo: Any, hi: Any) }
+    // FILES through the sidecars' bid/ask stats (r17), not just row
+    // groups — the exact filter is re-applied inside the pruned read.
+    // zeroSpread (same guide section's `WHERE bid = ask` workload, r18)
+    // prunes on bid/ask range OVERLAP: a file whose ask range sits
+    // wholly above its bid range provably holds no zero-spread row.
+    val bands =
+      bidRange.toSeq.map { case (lo, hi) => ("bid", lo: Any, hi: Any) } ++
+      askRange.toSeq.map { case (lo, hi) => ("ask", lo: Any, hi: Any) }
+    val pairs = if (zeroSpread) Seq(("bid", "ask")) else Nil
     val df = TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
-      start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"), bands)
+      start.map(_ + " 00:00:00"), end.map(_ + " 23:59:59.999999"), bands,
+      pairs)
     val ordered = df.select("timestamp", "bid", "ask").orderBy("timestamp")
     limit.map(ordered.limit).getOrElse(ordered)
   }

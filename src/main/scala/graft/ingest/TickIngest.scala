@@ -382,13 +382,21 @@ object TickIngest {
       instrument: Option[String] = None,
       start: Option[String] = None,
       end: Option[String] = None,
-      extraBounds: Seq[(String, Any, Any)] = Nil
+      extraBounds: Seq[(String, Any, Any)] = Nil,
+      overlapPairs: Seq[(String, String)] = Nil
   ): DataFrame = {
     import org.apache.hadoop.fs.Path
     import graft.storage.PrunedScan
     val root = s"$warehouse/${variant}_ticks"
-    def exactExtra(df: DataFrame): DataFrame = extraBounds.foldLeft(df) {
-      case (d, (c, lo, hi)) => d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    def exactExtra(df: DataFrame): DataFrame = {
+      val banded = extraBounds.foldLeft(df) {
+        case (d, (c, lo, hi)) => d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }
+      // the equality the overlap pruning is a necessary condition for
+      // (r18: zero-spread `bid = ask`) — always re-applied exactly
+      overlapPairs.foldLeft(banded) {
+        case (d, (a, b)) => d.filter(col(a) === col(b))
+      }
     }
     def fallback() =
       exactExtra(readTicks(spark, warehouse, variant, instrument, start, end))
@@ -404,7 +412,7 @@ object TickIngest {
       end.map(PrunedScan.monthOfHi(spark, _)),
       PrunedScan.sessionInstant(spark, start.getOrElse("1900-01-01")),
       PrunedScan.sessionInstant(spark, end.getOrElse("9999-01-01")),
-      extraBounds)
+      extraBounds, overlapPairs)
     files match {
       case None => fallback()
       case Some(Nil) => fallback().filter(lit(false)) // schema-exact empty

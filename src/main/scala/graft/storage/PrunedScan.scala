@@ -172,6 +172,39 @@ object PrunedScan {
     else Some(picks.flatten.flatten.sorted)
   }
 
+  /** Surviving basenames for a row-equality predicate `a = b` between two
+    * columns: a file can hold such a row only if its recorded [min, max]
+    * ranges for a and b OVERLAP — a necessary condition, so pruning on it
+    * is sound and the caller's re-applied exact filter does the rest (the
+    * reference's zero-spread workload `WHERE bid = ask`,
+    * `docs/CLICKHOUSE_USER_GUIDE.md:450-454`: a quiet-market file whose
+    * ask range sits wholly above its bid range provably has no such row).
+    * Same all-or-nothing discipline as [[survivors]]; a file all-NULL in
+    * EITHER column cannot satisfy the equality (NULL = x is never true)
+    * and is skipped.
+    */
+  private def overlapSurvivors(
+      ra: Map[String, (Option[String], Option[String])],
+      rb: Map[String, (Option[String], Option[String])]): Option[Seq[String]] = {
+    val picks = ra.toSeq.map { case (name, (amn, amx)) =>
+      (amn, amx, rb.get(name)) match {
+        case (_, _, None) => None // file missing on one side: suspect
+        case (None, None, Some(_)) => Some(None) // all-NULL a: skip
+        case (_, _, Some((None, None))) => Some(None) // all-NULL b: skip
+        case (Some(a0), Some(a1), Some((Some(b0), Some(b1)))) =>
+          for {
+            aLo <- tokenKey(a0); aHi <- tokenKey(a1)
+            bLo <- tokenKey(b0); bHi <- tokenKey(b1)
+            aBelow <- lt(padMax(aHi), bLo) // slack mirrors [[survivors]]
+            bBelow <- lt(padMax(bHi), aLo)
+          } yield if (aBelow || bBelow) None else Some(name)
+        case _ => None // half-present stats: the sidecar is suspect
+      }
+    }
+    if (picks.contains(None)) None
+    else Some(picks.flatten.flatten.sorted)
+  }
+
   /** Surviving data-file paths for [lo, hi] under ONE flat directory, or
     * None when the zone map cannot be used (missing/stale/garbled sidecar,
     * key_col mismatch, unparseable stats/bounds) — the caller then reads
@@ -210,9 +243,11 @@ object PrunedScan {
       conf: org.apache.hadoop.conf.Configuration,
       dir: HPath,
       bounds: Seq[(String, Any, Any)],
-      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[Seq[HPath]] =
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+      overlapPairs: Seq[(String, String)] = Nil): Option[Seq[HPath]] =
     try {
-      require(bounds.nonEmpty, "at least one column range required")
+      require(bounds.nonEmpty || overlapPairs.nonEmpty,
+        "at least one column range or overlap pair required")
       val fs = dir.getFileSystem(conf)
       val dataNames = fs.listStatus(dir).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
@@ -228,7 +263,18 @@ object PrunedScan {
           kept <- survivors(ranges, loKs._1, hiKs._2)
         } yield kept.toSet
       }
-      val usable = perCol.flatten
+      // cross-column equality conjuncts (r18: zero-spread `bid = ask`):
+      // prune files whose two ranges are provably disjoint
+      val perPair: Seq[Option[Set[String]]] = overlapPairs.map { case (a, b) =>
+        for {
+          ra <- Manifest.fileColRanges(conf, dir, a)
+          if ra.keySet == dataNames
+          rb <- Manifest.fileColRanges(conf, dir, b)
+          if rb.keySet == dataNames
+          kept <- overlapSurvivors(ra, rb)
+        } yield kept.toSet
+      }
+      val usable = (perCol ++ perPair).flatten
       if (usable.isEmpty) None // no column could prove anything
       else Some(usable.reduce(_ intersect _).toSeq.sorted
         .map(n => new HPath(dir, n)))
@@ -326,7 +372,8 @@ object PrunedScan {
       hiMonth: Option[String],
       lo: Any,
       hi: Any,
-      extraBounds: Seq[(String, Any, Any)] = Nil): Option[Seq[HPath]] =
+      extraBounds: Seq[(String, Any, Any)] = Nil,
+      overlapPairs: Seq[(String, String)] = Nil): Option[Seq[HPath]] =
     try {
       val fs = root.getFileSystem(conf)
       val instDirs = instrument match {
@@ -356,10 +403,12 @@ object PrunedScan {
       }
       Some(monthDirs.flatMap { d =>
         // the primary key bound plus any SECONDARY column bounds (r17:
-        // bid/ask price bands over the tick warehouse) prune as a
-        // conjunction through the month's sidecar — a sidecar without a
-        // given secondary's stats simply doesn't constrain on it
-        prunedDataFilesMulti(conf, d, (keyCol, lo, hi) +: extraBounds)
+        // bid/ask price bands over the tick warehouse) and cross-column
+        // equality overlaps (r18: zero-spread) prune as a conjunction
+        // through the month's sidecar — a sidecar without a given
+        // secondary's stats simply doesn't constrain on it
+        prunedDataFilesMulti(conf, d, (keyCol, lo, hi) +: extraBounds,
+            overlapPairs = overlapPairs)
           .getOrElse {
           fs.listStatus(d).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&

@@ -211,6 +211,42 @@ class ForexPipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(full.map(_.toString).sorted))
   }
 
+  test("zero-spread query plans only files whose bid/ask ranges can overlap (r17 verdict item 1)") {
+    // month 1: quiet market, bid in [1.1000, 1.1010] with a constant
+    // 0.002 spread — ask range sits wholly above bid range, so the file
+    // provably holds no bid=ask row and must be pruned off the sidecar
+    // stats alone. month 2: one genuine zero-spread tick.
+    val dir = Files.createTempDirectory("graft_zspread")
+    val wh = dir.resolve("wh").toString
+    import spark.implicits._
+    val ticks = Seq(
+      (java.sql.Timestamp.valueOf("2024-03-05 10:00:00"), 1.1000, 1.1020),
+      (java.sql.Timestamp.valueOf("2024-03-20 10:00:00"), 1.1010, 1.1030),
+      (java.sql.Timestamp.valueOf("2024-04-03 10:00:00"), 1.0990, 1.1010),
+      (java.sql.Timestamp.valueOf("2024-04-10 10:00:00"), 1.1005, 1.1005)
+    ).toDF("timestamp", "bid", "ask")
+    graft.ingest.TickIngest.writeTicks(ticks, wh, "EURUSD", "raw_spread")
+    val p = new Processor(spark, wh)
+    val zs = p.queryTicks("EURUSD", zeroSpread = true)
+    assert(zs.inputFiles.nonEmpty &&
+      zs.inputFiles.forall(_.contains("yyyymm=202404")),
+      s"planned: ${zs.inputFiles.mkString(", ")}")
+    val rows = zs.collect()
+    assert(rows.length === 1 &&
+      rows.head.getAs[Double]("bid") === 1.1005 &&
+      rows.head.getAs[Double]("ask") === 1.1005)
+    // result-identical to the unpruned read's exact filter
+    val full = p.queryTicks("EURUSD").collect()
+      .filter(r => r.getAs[Double]("bid") == r.getAs[Double]("ask"))
+    assert(rows.map(_.toString).sameElements(full.map(_.toString)))
+    // askRange symmetry: an ask band above every April ask prunes to March
+    val ab = p.queryTicks("EURUSD", askRange = Some((1.1015, 1.1040)))
+    assert(ab.inputFiles.nonEmpty &&
+      ab.inputFiles.forall(_.contains("yyyymm=202403")),
+      s"planned: ${ab.inputFiles.mkString(", ")}")
+    assert(ab.count() === 2)
+  }
+
   test("tail-cursor pagination plans only the tail months' files (r16 verdict item 2)") {
     val (p, _) = env
     // warehouse spans 202401 + 202402; a February cursor must never list or
