@@ -591,38 +591,62 @@ final class Processor(spark: SparkSession, warehouse: String) {
     * zones with transitions get a one-day slack on the cut (see
     * [[graft.storage.PrunedScan.monthOfLo]]).
     */
-  private[graft] def readOhlc1mFrom(p: String, after: Option[Timestamp]): DataFrame = {
+  private[graft] def readOhlc1mFrom(p: String, after: Option[Timestamp]): DataFrame =
+    ohlcFrom(p, None, None)(after)
+
+  /** Cursor-aware ohlc_1m scan factory with the inclusive date bounds the
+    * ticks path has (r17 verdict item 2 — reference `query_ohlc` is
+    * range-scoped, `clickhouse_query_engine.py:196-201`): exactly
+    * [[ticksFrom]]'s composition — the cursor TIGHTENS (never widens) the
+    * pruned lower bound, the fixed-format wall-clock strings order
+    * lexicographically so `max` is exact, and the strict `> cursor` the
+    * pager re-applies makes the read's inclusive `>=` a superset by
+    * construction. Month cuts carry the transition-zone one-day slack
+    * ([[graft.storage.PrunedScan.monthOfLo]]).
+    */
+  private[graft] def ohlcFrom(
+      p: String,
+      start: Option[String],
+      end: Option[String]): Option[Timestamp] => DataFrame = { cursor =>
     import graft.storage.PrunedScan
     import org.apache.hadoop.fs.Path
     val root = s"$warehouse/ohlc_1m"
-    def plain() = spark.read.parquet(root)
+    val lo0 = start.map(_ + " 00:00:00")
+    val loC = cursor.map { c =>
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS", java.util.Locale.ROOT)
+        .format(c.toInstant.atZone(zone))
+    }
+    val lo = (lo0.toSeq ++ loC.toSeq).reduceOption((a, b) => if (a < b) b else a)
+    val hi = end.map(_ + " 23:59:59.999999")
+    def exact(df: DataFrame): DataFrame = {
+      // the cursor's own bound is NOT applied here (the pager re-applies
+      // the strict `>` — under an ambiguous fall-back wall clock the
+      // inclusive cast could land an hour late and lose rows); the date
+      // bounds are the caller's inclusive contract
+      val s1 = start.fold(df)(s =>
+        df.filter(col("timestamp") >= lit(s + " 00:00:00").cast("timestamp")))
+      end.fold(s1)(e =>
+        s1.filter(col("timestamp") <= lit(e + " 23:59:59.999999").cast("timestamp")))
+    }
+    def plain() = exact(spark.read.parquet(root)
       .filter(col("instrument") === p)
-      .select(OhlcGenerator.Columns.map(col): _*)
-    after match {
+      .select(OhlcGenerator.Columns.map(col): _*))
+    if (lo.isEmpty && hi.isEmpty) plain()
+    else PrunedScan.monthPartitionedFiles(
+      spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
+      Some(p), lo.map(PrunedScan.monthOfLo(spark, _)),
+      hi.map(PrunedScan.monthOfHi(spark, _)),
+      PrunedScan.sessionInstant(spark, lo.getOrElse("1900-01-01")),
+      PrunedScan.sessionInstant(spark, hi.getOrElse("9999-01-01"))) match {
       case None => plain()
-      case Some(c) =>
-        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        // one day of slack for zones with offset transitions (r17
-        // advice): under a fall-back that crosses a month boundary, a
-        // row with timestamp > cursor can carry a wall-clock label in
-        // the PRIOR month — the by-name cut must stay a superset (see
-        // PrunedScan.monthOfLo). Fixed-offset sessions keep the exact cut.
-        val d = (if (zone.getRules.isFixedOffset) c.toInstant
-                 else c.toInstant.minus(java.time.Duration.ofDays(1)))
-          .atZone(zone).toLocalDate
-        val loMonth = PrunedScan.monthLabel(d.getYear, d.getMonthValue)
-        PrunedScan.monthPartitionedFiles(
-          spark.sessionState.newHadoopConf(), new Path(root), "timestamp",
-          Some(p), Some(loMonth), None, c,
-          PrunedScan.sessionInstant(spark, "9999-01-01")) match {
-          case None => plain()
-          case Some(Nil) => plain().filter(lit(false)) // schema-exact empty
-          case Some(paths) =>
-            spark.read.option("basePath", root)
-              .parquet(paths.map(_.toString): _*)
-              .filter(col("instrument") === p)
-              .select(OhlcGenerator.Columns.map(col): _*)
-        }
+      case Some(Nil) => plain().filter(lit(false)) // schema-exact empty
+      case Some(paths) =>
+        exact(spark.read.option("basePath", root)
+          .parquet(paths.map(_.toString): _*)
+          .filter(col("instrument") === p)
+          .select(OhlcGenerator.Columns.map(col): _*))
     }
   }
 
@@ -634,23 +658,29 @@ final class Processor(spark: SparkSession, warehouse: String) {
   def queryOhlcPage(
       pair: String,
       cursor: Option[Timestamp],
-      pageSize: Int = 1000
+      pageSize: Int = 1000,
+      start: Option[String] = None,
+      end: Option[String] = None
   ): QueryEngine.CursorPage = {
     val p = validatePair(pair)
-    QueryEngine.cursorPageBy(readOhlc1mFrom(p, _), "timestamp", Nil, cursor, pageSize)
+    validateRange(start, end)
+    QueryEngine.cursorPageBy(ohlcFrom(p, start, end), "timestamp", Nil, cursor, pageSize)
   }
 
   /** Batch iterator (`query_ohlc_batches`, `clickhouse_query_engine.py:
     * 474-534`). Successive pages prune ever more months as the iterator
-    * advances (see [[readOhlc1mFrom]]).
+    * advances (see [[ohlcFrom]]).
     */
   def queryOhlcBatches(
       pair: String,
       pageSize: Int = 1000,
-      maxBatches: Option[Int] = None
+      maxBatches: Option[Int] = None,
+      start: Option[String] = None,
+      end: Option[String] = None
   ): Iterator[DataFrame] = {
     val p = validatePair(pair)
-    QueryEngine.batchesBy(readOhlc1mFrom(p, _), "timestamp", Nil, pageSize, maxBatches)
+    validateRange(start, end)
+    QueryEngine.batchesBy(ohlcFrom(p, start, end), "timestamp", Nil, pageSize, maxBatches)
   }
 }
 

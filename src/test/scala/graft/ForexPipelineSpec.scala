@@ -211,6 +211,51 @@ class ForexPipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(full.map(_.toString).sorted))
   }
 
+  test("OHLC pagination date bounds compose with the cursor (r17 verdict item 2)") {
+    val (p, _) = env
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // bounded pages tile exactly the bounded range: start drops the
+    // Jan 1 bar, end drops the Feb bar -> the three Jan-10 bars
+    val b = (Some("2024-01-02"), Some("2024-01-31"))
+    val pg1 = p.queryOhlcPage("EURUSD", None, pageSize = 2,
+      start = b._1, end = b._2)
+    assert(pg1.pageSize === 2 && pg1.hasMore)
+    assert(pg1.rows.collect().map(_.getAs[java.sql.Timestamp]("timestamp"))
+      === Array(ts("2024-01-10 14:30:00"), ts("2024-01-10 14:31:00")))
+    val pg2 = p.queryOhlcPage("EURUSD", pg1.nextCursor, pageSize = 2,
+      start = b._1, end = b._2)
+    assert(pg2.pageSize === 1 && !pg2.hasMore)
+    assert(pg2.rows.head().getAs[java.sql.Timestamp]("timestamp")
+      === ts("2024-01-10 14:33:00"))
+    // composition pin (the r17 ticks discipline replayed for OHLC): the
+    // cursor TIGHTENS, never widens, the pruned lower bound — a cursor
+    // above `start` must not resurrect months below itself...
+    val scan = p.ohlcFrom("EURUSD", Some("2024-01-01"), None)(
+      Some(ts("2024-02-01 00:00:00")))
+    assert(scan.inputFiles.nonEmpty &&
+      scan.inputFiles.forall(_.contains("yyyymm=202402")),
+      s"planned: ${scan.inputFiles.mkString(", ")}")
+    // ...and a start above the cursor keeps the stricter start bound
+    val scan2 = p.ohlcFrom("EURUSD", Some("2024-02-01"), None)(
+      Some(ts("2024-01-05 00:00:00")))
+    assert(scan2.inputFiles.nonEmpty &&
+      scan2.inputFiles.forall(_.contains("yyyymm=202402")),
+      s"planned: ${scan2.inputFiles.mkString(", ")}")
+    // end bound prunes the upper months by name too
+    val scan3 = p.ohlcFrom("EURUSD", None, Some("2024-01-31"))(None)
+    assert(scan3.inputFiles.nonEmpty &&
+      scan3.inputFiles.forall(_.contains("yyyymm=202401")),
+      s"planned: ${scan3.inputFiles.mkString(", ")}")
+    // bounded batch iterator tiles the same three bars
+    val batches = p.queryOhlcBatches("EURUSD", pageSize = 2,
+      start = b._1, end = b._2).toSeq
+    assert(batches.map(_.count()).sum === 3)
+    // invalid range still rejected on the pagination surfaces
+    intercept[IllegalArgumentException](
+      p.queryOhlcPage("EURUSD", None, start = Some("2024-02-02"),
+        end = Some("2024-01-01")))
+  }
+
   test("zero-spread query plans only files whose bid/ask ranges can overlap (r17 verdict item 1)") {
     // month 1: quiet market, bid in [1.1000, 1.1010] with a constant
     // 0.002 spread — ask range sits wholly above bid range, so the file
