@@ -1009,7 +1009,32 @@ object ScaleProbe {
       import graft.storage.{Manifest, PrunedScan, RangeWriter}
       val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
       val hi = java.sql.Timestamp.valueOf("2024-01-10 23:59:59.999999")
-      println(f"${"zorder_2col"}%-14s ${"files"}%6s ${"planned"}%8s ${"rows"}%10s ${"wall_s"}%8s")
+      // input-pass accounting for the export (r17 verdict item 4): count
+      // Spark jobs during writeZOrdered. The listener bus is async, so
+      // drain with a bounded settle wait before reading the counter.
+      val exportJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          exportJobs.incrementAndGet(); ()
+        }
+      }
+      def countJobs(f: => Unit): Int = {
+        spark.sparkContext.addSparkListener(jobListener)
+        try { exportJobs.set(0); f; Thread.sleep(2000); exportJobs.get() }
+        finally spark.sparkContext.removeSparkListener(jobListener)
+      }
+      // dimension bounds from ONE small agg over the BASE slice, scaled
+      // arithmetically per replication factor — the per-export exact
+      // min/max pre-aggregation (a full input pass) is gone; cell()'s
+      // two-sided clamp makes supplied bounds safe by construction
+      val sb = src.agg(
+        min(col("event_id")), max(col("event_id")),
+        // tmin is a true-division DOUBLE column; bounds are cast-to-long
+        // semantics (truncation is monotone, so these are valid extremes)
+        min((unix_micros(col("ts")) / 60000000L).cast("long")),
+        max((unix_micros(col("ts")) / 60000000L).cast("long"))).head()
+      println(f"${"zorder_2col"}%-14s ${"files"}%6s ${"planned"}%8s ${"rows"}%10s ${"wall_s"}%8s ${"wr_jobs"}%8s ${"agg_jobs"}%8s")
       Seq(1, 4, 16).foreach { m =>
         val out = s"$base/zorder2_x$m"
         val reps = spark.range(m.toLong).select(col("id").as("rep"))
@@ -1017,12 +1042,29 @@ object ScaleProbe {
           .withColumn("event_id", col("event_id") + col("rep") * lit(10000000L))
           .select(col("event_id"), col("ts"), col("user_id"), col("value"),
             (unix_micros(col("ts")) / 60000000L).as("tmin"))
+        var wroteJobs = -1
+        var aggJobs = -1
         if (!new java.io.File(s"$out/_manifest").exists()) {
           // tmin (whole minutes) rides along as the z-order's second
           // dimension; ts itself carries the manifest's primary stats
-          RangeWriter.writeZOrdered(df, out, "event_id", "tmin",
-            bits = 12, numFiles = 64 * m,
-            manifestKey = Some(("ts", Seq("event_id"))))
+          wroteJobs = countJobs {
+            RangeWriter.writeZOrdered(df, out, "event_id", "tmin",
+              bits = 12, numFiles = 64 * m,
+              manifestKey = Some(("ts", Seq("event_id"))),
+              bounds = Some((sb.getLong(0),
+                sb.getLong(1) + (m - 1).toLong * 10000000L,
+                sb.getLong(2), sb.getLong(3))))
+          }
+          // comparison export through the exact-agg path (one extra full
+          // input pass): the job delta IS the eliminated pre-aggregation
+          val cmp = s"$base/zorder2_cmp"
+          aggJobs = countJobs {
+            RangeWriter.writeZOrdered(df, cmp, "event_id", "tmin",
+              bits = 12, numFiles = 64 * m,
+              manifestKey = Some(("ts", Seq("event_id"))))
+          }
+          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cmp))
+          ()
         }
         val total = new java.io.File(out).listFiles()
           .count(_.getName.endsWith(".parquet"))
@@ -1033,7 +1075,7 @@ object ScaleProbe {
         val tPruned = PrunedScan.readRange(spark, out, "ts", lo, hi)
         val wT = time(agg(tPruned))
         assert(tPruned.count() == tFull.count(), "time scan must match")
-        println(f"${s"time_x$m"}%-14s $total%6d ${tPruned.inputFiles.length}%8d ${tPruned.count()}%10d $wT%8.2f")
+        println(f"${s"time_x$m"}%-14s $total%6d ${tPruned.inputFiles.length}%8d ${tPruned.count()}%10d $wT%8.2f $wroteJobs%8d $aggJobs%8d")
         // id-range scan (secondary axis — the pattern a (ts, id) sort
         // cannot prune at all on a replicated export)
         val iFull = spark.read.parquet(out)

@@ -59,13 +59,14 @@ object RangeWriter {
       yCol: String,
       bits: Int,
       numFiles: Int,
-      manifestKey: Option[(String, Seq[String])] = None
+      manifestKey: Option[(String, Seq[String])] = None,
+      bounds: Option[(Long, Long, Long, Long)] = None
   ): Unit = {
     require(numFiles >= 1)
     require(xCol != yCol,
       "z-order needs two distinct dimensions (and the default manifest " +
         "records y as the key's secondary)")
-    val clustered = zOrderedLayout(df, xCol, yCol, bits, numFiles)
+    val clustered = zOrderedLayout(df, xCol, yCol, bits, numFiles, bounds)
     clustered.getOrElse(df).write.mode("overwrite").parquet(path)
     // ship the zone-map manifest WITH the data (the q_pruned_scan_2col
     // shape): keyed on x with y as the secondary by default — a caller
@@ -101,12 +102,24 @@ object RangeWriter {
       xCol: String,
       yCol: String,
       bits: Int,
-      numFiles: Int
+      numFiles: Int,
+      bounds: Option[(Long, Long, Long, Long)] = None
   ): Option[DataFrame] = {
-    val b = df.agg(
-      min(col(xCol).cast("long")), max(col(xCol).cast("long")),
-      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
-    if (b.isNullAt(0) || b.isNullAt(2)) return None
+    // bounds (r17 verdict item 4): a caller who already KNOWS the
+    // dimensions' cast-to-long ranges — a re-clusterer folding them from
+    // the sitting `_manifest` ([[Compactor]] via
+    // [[PrunedScan.longColBounds]]), an exporter with domain knowledge —
+    // skips the exact min/max pre-aggregation, eliminating one full input
+    // pass per export. Out-of-range values are safe: cell() clamps BOTH
+    // edges, so approximate bounds only blur the edge cells' clustering,
+    // never the result (the scan re-applies exact filters anyway).
+    val (loX, hiX, loY, hiY) = bounds.getOrElse {
+      val b = df.agg(
+        min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+        min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
+      if (b.isNullAt(0) || b.isNullAt(2)) return None
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    }
     val grid = (1L << bits).toDouble
     def cell(c: String, lo: Long, hi: Long): Column = {
       // span and the per-row delta are computed entirely in DOUBLE:
@@ -115,14 +128,17 @@ object RangeWriter {
       // every row into one clamped cell via math.max(1, negative). Double
       // subtraction of longs cannot overflow; the rounding only blurs cell
       // boundaries, never breaks monotonicity at clustering granularity.
+      // greatest(0, …) clamps values BELOW supplied bounds into the edge
+      // cell (exact-aggregated bounds never go below, supplied ones can).
       val span = math.max(1.0, hi.toDouble - lo.toDouble)
-      least(lit((1L << bits) - 1),
-        floor((col(c).cast("double") - lit(lo.toDouble)) / span * grid)
-          .cast("long"))
+      greatest(lit(0L),
+        least(lit((1L << bits) - 1),
+          floor((col(c).cast("double") - lit(lo.toDouble)) / span * grid)
+            .cast("long")))
     }
     val z = graft.functions.exprs.zValue(
-      cell(xCol, b.getLong(0), b.getLong(1)),
-      cell(yCol, b.getLong(2), b.getLong(3)),
+      cell(xCol, loX, hiX),
+      cell(yCol, loY, hiY),
       bits)
     Some(df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
