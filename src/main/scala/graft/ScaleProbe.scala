@@ -1223,6 +1223,95 @@ object ScaleProbe {
         println(f"stream_state   $keys%10d ${keys * 4}%10d $w%8.2f ${peak.get()}%10d ${peak.get().toDouble / keys}%9.2f ${peakBytes.get() / 1e6}%8.1f")
       } finally spark.streams.removeListener(listener)
     }
+    // (d2) carry TTL under a CHURNING key space (r18, verdict item 6):
+    //     session-like keys never recur, so the rights-only carry is one
+    //     state row per key EVER SEEN — unbounded over a stream's
+    //     lifetime. With rightTtlMs the carry dies once the watermark
+    //     passes it by the TTL, so state tracks the ACTIVE key window.
+    //     20 files × 10k fresh keys each (1 right + 1 left per key, file
+    //     times 60 s apart, 2 min watermark): results are IDENTICAL both
+    //     ways (every left matches its same-file right before the carry
+    //     can expire) — only the state footprint differs.
+    if (sec("streamttl")) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import graft.streaming.StreamingAsof
+      val files = 20; val perFile = 10000L
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val last = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val so = e.progress.stateOperators
+          if (so.nonEmpty) {
+            peak.getAndAccumulate(so.map(_.numRowsTotal).sum, math.max)
+            last.set(so.map(_.numRowsTotal).sum)
+          }
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      def run(ttl: Option[Long]): (Long, Long, Double) = {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_streamttl").toString
+        val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+        val t0 = 1704067200L
+        val mod0 = System.currentTimeMillis() - 3600000L
+        (0 until files).foreach { i =>
+          val keys = spark.range(i * perFile, (i + 1) * perFile)
+          keys.select(col("id").as("k"),
+              timestamp_seconds(lit(t0 + i * 60L)).as("t"),
+              lit(0).as("side"), array(col("id").cast("double")).as("v"),
+              col("id").as("ord"))
+            .unionByName(keys.select(col("id").as("k"),
+              timestamp_seconds(lit(t0 + i * 60L + 1L)).as("t"),
+              lit(1).as("side"), array(col("id").cast("double")).as("v"),
+              col("id").as("ord")))
+            .coalesce(1).write.mode("append").parquet(in)
+          new java.io.File(in).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+              f.lastModified() > mod0 + i * 60000L)
+            .foreach(_.setLastModified(mod0 + i * 60000L))
+        }
+        Seq(10, 20).zipWithIndex.foreach { case (plusMin, j) =>
+          spark.range(1).select(lit(Long.MinValue).as("k"),
+              timestamp_seconds(lit(t0 + files * 60L + plusMin * 60L)).as("t"),
+              lit(0).as("side"), array(lit(0.0)).as("v"), lit(0L).as("ord"))
+            .coalesce(1).write.mode("append").parquet(in)
+          new java.io.File(in).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+              f.lastModified() > mod0 + (files + j) * 60000L)
+            .foreach(_.setLastModified(mod0 + (files + j) * 60000L))
+        }
+        import spark.implicits._
+        peak.set(0L); last.set(0L)
+        spark.streams.addListener(listener)
+        val w = try time {
+          val stream = spark.readStream
+            .schema(spark.read.parquet(in).schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)
+            .withWatermark("t", "2 minutes")
+            .as[StreamingAsof.In]
+          val q = StreamingAsof.leftAsofStream(stream, ttl).toDF()
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val got = spark.read.parquet(out).filter(col("k") =!= Long.MinValue)
+          require(got.count() == files * perFile &&
+            got.filter(col("rord").isNotNull).count() == files * perFile,
+            "TTL must not change results here — every left matches in-file")
+        } finally { Thread.sleep(2000); spark.streams.removeListener(listener) }
+        (peak.get(), last.get(), w)
+      }
+      println(f"${"stream_ttl"}%-14s ${"keys"}%8s ${"peak_rows"}%10s ${"final_rows"}%10s ${"wall_s"}%8s")
+      val (p0, l0, w0) = run(None)
+      println(f"${"no_ttl"}%-14s ${files * perFile}%8d $p0%10d $l0%10d $w0%8.2f")
+      val (p1, l1, w1) = run(Some(60000L))
+      println(f"${"ttl_60s"}%-14s ${files * perFile}%8d $p1%10d $l1%10d $w1%8.2f")
+    }
     // (e) the COMPOSED corpus pipeline (r14, carried from the r12 brief):
     //     CorpusPipelineSpec's 6-stage chain (quality → exact dedup →
     //     near-dup dedup → span removal → decontaminate → split) run as

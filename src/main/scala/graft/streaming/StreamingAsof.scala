@@ -36,7 +36,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * or above the watermark). Rights-only state deliberately persists (one
   * compacted tuple per key) so a key that goes quiet keeps its carry for
   * a much-later left; per-key state is O(1) after compaction, the same
-  * class as any keyed streaming aggregate.
+  * class as any keyed streaming aggregate. For UNBOUNDED key spaces
+  * (session-like keys that never recur), pass `rightTtlMs`: a carry idle
+  * more than the TTL behind the watermark is evicted, so total state
+  * tracks the ACTIVE key set instead of every key ever seen; a left
+  * arriving after its key's eviction NULL-fills (the same explicit
+  * late-row degradation as above — the batch twin re-run reconciles).
   *
   * Tie-breaks replicate the batch operator exactly: the right side is
   * inclusive (tR == tL matches), and among equal-tR rights the MAX
@@ -80,7 +85,7 @@ object StreamingAsof {
     * with none (the flush path for pending lefts whose watermark arrived
     * without new data for the key).
     */
-  private def mergeGroup(
+  private def mergeGroup(ttlMs: Option[Long])(
       k: Long,
       rows: Iterator[In],
       state: GroupState[St]): Iterator[Out] = {
@@ -109,7 +114,17 @@ object StreamingAsof {
     val cut = rights.lastIndexWhere(_._1 < wmUs)
     val keptRights = if (cut <= 0) rights else rights.drop(cut)
 
-    if (pending.isEmpty && keptRights.isEmpty) state.remove()
+    // opt-in carry TTL (r17 verdict item 6): the per-key state is O(1),
+    // but |keys| is unbounded for session-like key spaces — a carry for a
+    // key that went quiet forever is state that never dies. With a TTL,
+    // rights-only state whose last right sits more than ttl behind the
+    // watermark is EVICTED; a left for that key arriving later NULL-fills
+    // (the documented late-row contract — the batch twin re-run
+    // reconciles). Without a TTL the carry persists indefinitely,
+    // exactly as before.
+    val expired = ttlMs.exists(t => pending.isEmpty && keptRights.nonEmpty &&
+      wmUs >= keptRights.last._1 + t * 1000L)
+    if (expired || (pending.isEmpty && keptRights.isEmpty)) state.remove()
     else {
       state.update(St(pending, keptRights))
       if (pending.nonEmpty) {
@@ -119,10 +134,16 @@ object StreamingAsof {
         val wakeMs = Math.max(pending.head._1 / 1000L,
           state.getCurrentWatermarkMs()) + 1L
         state.setTimeoutTimestamp(wakeMs)
+      } else ttlMs.foreach { t =>
+        // rights-only under a TTL: arm the eviction wake-up (strictly
+        // above the current watermark, at/after the carry's expiry)
+        val wakeMs = Math.max(keptRights.last._1 / 1000L + t,
+          state.getCurrentWatermarkMs() + 1L)
+        state.setTimeoutTimestamp(wakeMs)
       }
-      // rights-only state keeps NO timeout: the carry must survive a
-      // quiet key indefinitely (dropping it would NULL-fill a later
-      // left the batch twin matches)
+      // TTL-less rights-only state keeps NO timeout: the carry must
+      // survive a quiet key indefinitely (dropping it would NULL-fill a
+      // later left the batch twin matches)
     }
     out.iterator
   }
@@ -132,11 +153,15 @@ object StreamingAsof {
     * Emits one [[Out]] row per left row, in append mode, once the
     * watermark passes the row's event time.
     */
-  def leftAsofStream(union: Dataset[In]): Dataset[Out] = {
+  def leftAsofStream(
+      union: Dataset[In],
+      rightTtlMs: Option[Long] = None): Dataset[Out] = {
     import union.sparkSession.implicits._
+    require(rightTtlMs.forall(_ > 0L), "rightTtlMs must be positive")
     union
       .groupByKey(_.k)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(mergeGroup)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        mergeGroup(rightTtlMs))
   }
 }

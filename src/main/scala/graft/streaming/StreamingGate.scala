@@ -176,7 +176,8 @@ object StreamingGate {
       left: DataFrame,
       right: DataFrame,
       valueCols: Seq[String] = Seq("v"),
-      watermark: String = "2 minutes"
+      watermark: String = "2 minutes",
+      rightTtlMs: Option[Long] = None
   ): DataFrame = withGatePartitions(spark) {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("stream_asof").toString
@@ -227,7 +228,7 @@ object StreamingGate {
         .parquet(in)
         .withWatermark("t", watermark)
         .as[StreamingAsof.In]
-      val joined = StreamingAsof.leftAsofStream(stream)
+      val joined = StreamingAsof.leftAsofStream(stream, rightTtlMs)
       val q = joined.toDF().writeStream
         .outputMode("append")
         .format("parquet")

@@ -342,6 +342,59 @@ class StreamingAsofSpec extends SparkSpec {
       "the already-emitted row must stay NULL-filled (append: no retraction)")
   }
 
+  test("rightTtlMs evicts idle carries; a post-eviction left NULL-fills (documented contract)") {
+    def df(rows: Seq[(Long, String, Double, Long)]) =
+      rows.toDF("k", "ts", "v", "ord")
+        .select(col("k"), col("ts").cast("timestamp").as("t"), col("v"), col("ord"))
+    import graft.streaming.StreamingAsof
+    def run(ttl: Option[Long]): Array[org.apache.spark.sql.Row] = {
+      val root = java.nio.file.Files.createTempDirectory("asof_ttl").toString
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      def tag(df0: DataFrame, s: Int) = df0.select(col("k").cast("long"),
+        col("t").cast("timestamp"), lit(s).as("side"),
+        array(col("v").cast("double")).as("v"), col("ord").cast("long"))
+      def sentinel(hhmm: String) =
+        tag(df(Seq((Long.MinValue, s"2024-03-01 $hhmm:00", 0.0, 0L))), 0)
+      val batches = Seq(
+        tag(df(Seq((1L, "2024-03-01 10:00:00", 5.0, 5L))), 0), // carry for k1
+        tag(df(Seq((2L, "2024-03-01 12:00:00", 0.0, 6L))), 0), // churn: wm -> 11:58
+        tag(df(Seq((2L, "2024-03-01 12:10:00", 0.0, 7L))), 0), // k1 TTL timeout fires here
+        tag(df(Seq((1L, "2024-03-01 12:20:00", 1.0, 1L))), 1), // left AFTER eviction
+        sentinel("18:00"), sentinel("19:00"))
+      val t0 = System.currentTimeMillis() - 600000L
+      batches.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.mode("append").parquet(in)
+        new java.io.File(in).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            f.lastModified() > t0 + i * 60000L)
+          .foreach(_.setLastModified(t0 + i * 60000L))
+      }
+      import spark.implicits._
+      val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .withWatermark("t", "2 minutes")
+        .as[StreamingAsof.In]
+      val q = StreamingAsof.leftAsofStream(stream, ttl).toDF().writeStream
+        .outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).filter(col("k") === 1L).collect()
+    }
+    // TTL 30 min: the 10:00 carry is > 30 min behind the watermark when
+    // the churn batches advance it, so the eviction timeout fires before
+    // the 12:20 left arrives — that left NULL-fills, per the contract
+    val evicted = run(Some(30L * 60000L))
+    assert(evicted.length == 1)
+    assert(evicted.head.isNullAt(evicted.head.fieldIndex("rt")),
+      "a left arriving after its key's TTL eviction must NULL-fill")
+    // no TTL: the carry survives the quiet spell and the same left matches
+    val kept = run(None)
+    assert(kept.length == 1)
+    assert(kept.head.getAs[Long]("rord") == 5L,
+      "without a TTL the carry must survive indefinitely")
+  }
+
   test("lefts inside the trailing watermark window still flush (sentinel path)") {
     def df(rows: Seq[(Long, String, Double, Long)]) =
       rows.toDF("k", "ts", "v", "ord")
