@@ -47,13 +47,20 @@ object Stage {
     // (Manifest.write) would see zero files inside a hidden dir and ship
     // an empty sidecar — pruning then silently degrades to full scans.
     // Nothing lists the stage root as a table, so visibility is moot;
-    // the `_STAGED` marker, not the name, is the done signal.
-    val tmp = new File(root, s"${target.getName}.build")
+    // the `_STAGED` marker, not the name, is the done signal. Unique per
+    // process+call: two JVMs staging the same fixture concurrently (a
+    // driver Verify beside a local test run) must never build into one
+    // shared tmp dir — the rename race below picks a winner instead.
+    val tmp = new File(root,
+      s"${target.getName}.build-${java.lang.ProcessHandle.current.pid}-${System.nanoTime()}")
     if (tmp.exists()) deleteRecursively(tmp)
     tmp.mkdirs()
     build(tmp.getAbsolutePath)
     if (!tmp.renameTo(target)) {
-      // lost a cross-process race: the winner's marker decides
+      // lost a cross-process race: the winner's marker decides (it lands
+      // a moment after the winner's rename — wait it out briefly)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!marker.isFile && System.nanoTime() < deadline) Thread.sleep(100)
       if (!marker.isFile)
         sys.error(s"could not move staged fixture into place: $target")
       deleteRecursively(tmp)
