@@ -103,7 +103,8 @@ object Bench {
     // build the staged derived-layout fixtures for the TIMED sf dir now,
     // outside the calibration bracket: the timed bodies must measure the
     // pruned scan, not a first-call fixture write (r17 verdict item 3)
-    try SparkEntry.stageFixtures(spark, sfDir) catch { case _: Throwable => () }
+    try SparkEntry.stageFixtures(spark, sfDir, Some(selected.keySet))
+    catch { case _: Throwable => () }
     // A query that throws is a FAILURE, never a timing: recording its
     // time-to-exception would make broken queries look like fast ones (the
     // r7 bench artifact did exactly that). Failures are excluded from the

@@ -150,10 +150,21 @@ object SparkEntry {
       graft.ingest.TickIngest.writeTicks(src, tmp, "EURUSD", "raw_spread")
     }
 
-  /** Build every staged fixture for `dir` (idempotent, skip-if-staged). */
-  def stageFixtures(s: SparkSession, dir: String): Unit = {
-    stagedZonemap(s, dir); stagedZonemap2(s, dir); stagedZscan(s, dir)
-    stagedPriceband(s, dir); stagedZeroSpread(s, dir)
+  /** Build the staged fixtures for `dir` (idempotent, skip-if-staged).
+    * `forQueries` narrows to the fixtures the named queries actually use
+    * (r18 review: a single-query profiling run must not pay five fixture
+    * builds — two sorted exports, a z-ordered export, two warehouse
+    * ingests — for a query that touches none of them); None = all.
+    */
+  def stageFixtures(
+      s: SparkSession, dir: String,
+      forQueries: Option[Set[String]] = None): Unit = {
+    def wanted(q: String) = forQueries.forall(_.contains(q))
+    if (wanted("q_pruned_scan")) stagedZonemap(s, dir)
+    if (wanted("q_pruned_scan_2col")) stagedZonemap2(s, dir)
+    if (wanted("q_zorder_scan")) stagedZscan(s, dir)
+    if (wanted("q_priceband")) stagedPriceband(s, dir)
+    if (wanted("q_zero_spread")) stagedZeroSpread(s, dir)
     ()
   }
 

@@ -539,22 +539,32 @@ final class Processor(spark: SparkSession, warehouse: String) {
       variant: String,
       start: Option[String],
       end: Option[String]): Option[Timestamp] => DataFrame = { cursor =>
+    TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
+        prunedLowerBound(start, cursor), end.map(_ + " 23:59:59.999999"))
+      .select("timestamp", "bid", "ask")
+  }
+
+  /** The pruned read's wall-clock LOWER bound for a paged scan, shared by
+    * the tick and OHLC cursor factories (r18 review — the r17 locale bug
+    * had to be fixed in two copies of this block): the page's cursor
+    * TIGHTENS (never widens) the caller's start date. The cursor instant
+    * is formatted losslessly in the session zone with an explicit
+    * Locale.ROOT formatter (the default FORMAT locale's DecimalStyle can
+    * emit non-ASCII digits [[graft.storage.PrunedScan.parseWallClock]]
+    * cannot parse); fixed-format timestamps order lexicographically, and
+    * a fraction suffix on an otherwise-equal prefix only moves the bound
+    * later, so `max` is exact.
+    */
+  private def prunedLowerBound(
+      start: Option[String], cursor: Option[Timestamp]): Option[String] = {
     val lo0 = start.map(_ + " 00:00:00")
     val loC = cursor.map { c =>
       val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-      // Locale.ROOT (r17 review): the default FORMAT locale's DecimalStyle
-      // can emit non-ASCII digits, which PrunedScan.parseWallClock cannot
-      // parse — the cursor bound must stay ASCII like every other label
       java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS", java.util.Locale.ROOT)
         .format(c.toInstant.atZone(zone))
     }
-    // fixed-format timestamps order lexicographically; a fraction suffix on
-    // an otherwise-equal prefix only moves the bound later, so max is exact
-    val lo = (lo0.toSeq ++ loC.toSeq).reduceOption((a, b) => if (a < b) b else a)
-    TickIngest.readTicksPruned(spark, warehouse, variant, Some(p),
-        lo, end.map(_ + " 23:59:59.999999"))
-      .select("timestamp", "bid", "ask")
+    (lo0.toSeq ++ loC.toSeq).reduceOption((a, b) => if (a < b) b else a)
   }
 
   /** Tick batch iterator (`query_ticks_batches`,
@@ -611,14 +621,7 @@ final class Processor(spark: SparkSession, warehouse: String) {
     import graft.storage.PrunedScan
     import org.apache.hadoop.fs.Path
     val root = s"$warehouse/ohlc_1m"
-    val lo0 = start.map(_ + " 00:00:00")
-    val loC = cursor.map { c =>
-      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-      java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS", java.util.Locale.ROOT)
-        .format(c.toInstant.atZone(zone))
-    }
-    val lo = (lo0.toSeq ++ loC.toSeq).reduceOption((a, b) => if (a < b) b else a)
+    val lo = prunedLowerBound(start, cursor)
     val hi = end.map(_ + " 23:59:59.999999")
     def exact(df: DataFrame): DataFrame = {
       // the cursor's own bound is NOT applied here (the pager re-applies

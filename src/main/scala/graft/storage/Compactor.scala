@@ -118,12 +118,8 @@ object Compactor {
       // re-cluster then pays NO min/max pre-aggregation scan. Either
       // dimension lacking usable stats falls back to the exact agg inside
       // zOrderedLayout.
-      val zBounds = for {
-        bx <- PrunedScan.longColBounds(
-          spark.sessionState.newHadoopConf(), d, x)
-        by <- PrunedScan.longColBounds(
-          spark.sessionState.newHadoopConf(), d, y)
-      } yield (bx._1, bx._2, by._1, by._2)
+      val zBounds = PrunedScan.longColBounds2(
+        spark.sessionState.newHadoopConf(), d, x, y)
       RangeWriter.zOrderedLayout(df, x, y, bits, n, zBounds)
     }
     val out = zClustered.getOrElse {

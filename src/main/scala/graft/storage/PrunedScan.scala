@@ -222,13 +222,46 @@ object PrunedScan {
       conf: org.apache.hadoop.conf.Configuration,
       dir: HPath,
       column: String): Option[(Long, Long)] =
+    try longColBoundsListed(conf, dir, column, listDataNames(conf, dir))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[longColBounds]] for BOTH z-order dimensions with one data-dir
+    * listing (r18 review — [[Compactor]]'s re-cluster path asks for two
+    * columns back-to-back). The `_manifest` sidecar is still parsed per
+    * column: [[Manifest.fileColRanges]]'s validation is column-keyed, and
+    * duplicating it for a once-per-compaction metadata path isn't worth
+    * the second copy of the parser.
+    */
+  private[graft] def longColBounds2(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: HPath,
+      x: String,
+      y: String): Option[(Long, Long, Long, Long)] =
     try {
-      val fs = dir.getFileSystem(conf)
-      val dataNames = fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(_.getPath.getName).toSet
+      val names = listDataNames(conf, dir)
+      for {
+        bx <- longColBoundsListed(conf, dir, x, names)
+        by <- longColBoundsListed(conf, dir, y, names)
+      } yield (bx._1, bx._2, by._1, by._2)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def listDataNames(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: HPath): Set[String] = {
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+  }
+
+  private def longColBoundsListed(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: HPath,
+      column: String,
+      dataNames: Set[String]): Option[(Long, Long)] =
+    try {
       def asLong(k: Key): Option[Long] = k match {
         case NumKey(v) => Some(v.toLong) // truncation toward zero = cast
         case TimeKey(us) => Some(Math.floorDiv(us, 1000000L)) // epoch s
@@ -389,7 +422,15 @@ object PrunedScan {
       java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val d0 = parseWallClock(t).toLocalDate
     val d = if (zone.getRules.isFixedOffset) d0 else d0.plusDays(days.toLong)
-    monthLabel(d.getYear, d.getMonthValue)
+    // clamp to the label's fixed yyyymm width (r18 review): slack past
+    // 9999-12-31 would print a 5-digit year whose label compares BELOW
+    // every real month lexicographically, collapsing an upper cut meant
+    // as "everything" to NO months — a sentinel end date like 9999-12-31
+    // must stay a superset, not an empty set. Mirror clamp below year 0
+    // for the lower cut (a negative year's '-' would break the zero-pad).
+    if (d.getYear > 9999) "999912"
+    else if (d.getYear < 0) "000001"
+    else monthLabel(d.getYear, d.getMonthValue)
   }
 
   /** Locale-independent zero-padded ASCII month label (r17 review): the

@@ -81,6 +81,28 @@ class ReviewFix18Spec extends SparkSpec {
     }
   }
 
+  test("sentinel end dates survive the transition-zone month slack (label clamp)") {
+    // r18 review: the one-day slack on 9999-12-31 would print year 10000
+    // as a 5-digit label that compares BELOW every real month, collapsing
+    // the upper cut to zero dirs — a "query everything" sentinel end date
+    // must stay a superset, never an empty set
+    withSessionZone("America/St_Johns") {
+      assert(PrunedScan.monthOfHi(spark, "9999-12-31 23:59:59.999999") === "999912")
+      assert(PrunedScan.monthOfLo(spark, "0000-01-01 00:00:00") === "000001")
+      val wh = Files.createTempDirectory("graft_r18_sentinel").toString
+      val ticks = Seq(
+        (Timestamp.valueOf("2024-01-10 10:00:00"), 1.1, 1.2),
+        (Timestamp.valueOf("2024-02-10 10:00:00"), 1.3, 1.4)
+      ).toDF("timestamp", "bid", "ask")
+      TickIngest.writeTicks(ticks, wh, "EURUSD", "raw_spread")
+      val p = new Processor(spark, wh)
+      val all = p.queryTicks("EURUSD",
+        start = Some("2024-01-01"), end = Some("9999-12-31"))
+      assert(all.count() === 2,
+        "a 9999-12-31 sentinel end must keep every month, not prune them all")
+    }
+  }
+
   test("fall-back across a month boundary: tail-cursor pagination loses no rows") {
     // America/St_Johns 2009-11-01: wall 00:01 Nov 1 falls back to 23:01
     // Oct 31 (tzdata), so a tick AFTER the transition instant carries an

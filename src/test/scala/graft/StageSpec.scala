@@ -45,6 +45,53 @@ class StageSpec extends SparkSpec {
     Stage.cleanup()
   }
 
+  test("the stage root is per-process, and cleanup sweeps only DEAD siblings") {
+    // r18 review: a machine-shared root let one JVM's end-of-run sweep
+    // delete fixtures a concurrent JVM was mid-scan over. Per-process
+    // roots have no cross-JVM interactions; crash-stranded roots of dead
+    // processes are swept by the next cleanup.
+    val pid = java.lang.ProcessHandle.current.pid
+    val (dir, _) = fixture("spec-pid")
+    assert(dir.contains(s"graft-stage-$pid"),
+      s"staged dir $dir must live under this process's own root")
+    val tmpBase = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    // a stranded root of a provably-dead pid (beyond pid_max) is swept...
+    val dead = new java.io.File(tmpBase, "graft-stage-999999999")
+    dead.mkdirs()
+    java.nio.file.Files.writeString(
+      dead.toPath.resolve("leftover.txt"), "stranded")
+    // ...while a LIVE sibling survives (pid 1 = init, alive on any Linux;
+    // skip the assertion in the unlikely case the handle isn't visible)
+    val live = new java.io.File(tmpBase, "graft-stage-1")
+    val oneAlive = java.lang.ProcessHandle.of(1L)
+      .map[Boolean](_.isAlive).orElse(false)
+    if (oneAlive) live.mkdirs()
+    Stage.cleanup()
+    assert(!dead.exists(), "dead-pid stage root must be swept")
+    assert(!new java.io.File(dir).exists(), "own root must be swept")
+    if (oneAlive) {
+      assert(live.exists(), "a live sibling's stage root must survive")
+      live.delete()
+    }
+  }
+
+  test("stageFixtures narrowed to a selection stages only what it needs") {
+    // r18 review: a single-query profiling run must not pay five fixture
+    // builds for a query that touches none of them
+    val pid = java.lang.ProcessHandle.current.pid
+    val root = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-stage-$pid")
+    Stage.cleanup()
+    SparkEntry.stageFixtures(spark, "/root/testdata/sf0.001",
+      forQueries = Some(Set("q1_pricing", "q_ohlc_1m")))
+    val staged = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    assert(staged.isEmpty,
+      s"no selected query uses a staged fixture, yet built: ${staged.mkString(", ")}")
+    Stage.cleanup()
+  }
+
   test("a crashed partial build (no marker) is rebuilt from scratch") {
     val src = java.nio.file.Files.createTempDirectory("graft_stage_src2").toString
     var first = true

@@ -159,6 +159,10 @@ class ZOrderSpec extends SparkSpec {
     assert(PrunedScan.longColBounds(conf, new Path(dir), "s") === None)
     // unrecorded column: no evidence
     assert(PrunedScan.longColBounds(conf, new Path(dir), "nope") === None)
+    // the one-listing two-column form agrees with the pairwise calls
+    assert(PrunedScan.longColBounds2(conf, new Path(dir), "k", "v")
+      === Some((0L, 99L, -10L, 39L)))
+    assert(PrunedScan.longColBounds2(conf, new Path(dir), "k", "s") === None)
     // staleness: adding a data file the sidecar doesn't know kills reuse
     val stray = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
