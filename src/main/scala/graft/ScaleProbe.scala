@@ -1087,6 +1087,50 @@ object ScaleProbe {
         println(f"${s"id_x$m"}%-14s $total%6d ${iPruned.inputFiles.length}%8d ${iPruned.count()}%10d $wI%8.2f")
       }
     }
+    // (e2d) bloom-sidecar point index (r18): on a HASH-clustered layout
+    //     every file spans ~the full value range, so min/max zone maps
+    //     prune nothing for `col = v` — but each value hashes into
+    //     exactly one file, and the manifest's per-file bloom sketches
+    //     (one base64 line field per file, built on the same single
+    //     stats scan) let the driver plan O(values) files with ZERO
+    //     data-file opens. The structural 100 TB metric: planned files
+    //     per point lookup stays ~constant as the export grows, and the
+    //     planning cost is one sidecar read (O(files) driver work, no
+    //     footer round-trips).
+    if (sec("bloom")) {
+      import graft.storage.{Manifest, PrunedScan}
+      println(f"${"bloom_point"}%-14s ${"files"}%6s ${"planned"}%8s ${"rows"}%10s ${"wall_s"}%8s ${"plan_s"}%8s")
+      Seq(1, 4, 16).foreach { m =>
+        val out = s"$base/bloom_x$m"
+        if (!new java.io.File(s"$out/_manifest").exists()) {
+          val reps = spark.range(m.toLong).select(col("id").as("rep"))
+          // users replicate with the data, so per-file distinct count
+          // stays ~constant as the export grows — the sizing that keeps
+          // a fixed-width sketch useful at any scale
+          val df = src.crossJoin(reps)
+            .withColumn("user_id", col("user_id") + col("rep") * lit(1000000L))
+            .select("event_id", "ts", "user_id", "value")
+          df.repartition(64 * m, col("user_id"))
+            .write.mode("overwrite").parquet(out)
+          Manifest.write(spark, out, "ts",
+            bloomCols = Seq("user_id"), bloomExpected = 20000L, bloomFpp = 0.02)
+        }
+        val total = new java.io.File(out).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val probe = Seq[Any](42L, 1000137L) // second exists only at m>=2
+        def agg(d: DataFrame) = d.agg(count(lit(1)), sum("value")).head()
+        val fullDf = spark.read.parquet(out)
+          .filter(col("user_id").isin(probe: _*))
+        val wFull = time(agg(fullDf))
+        val wPlan = time(PrunedScan.readPoint(spark, out, "user_id", probe))
+        val prunedDf = PrunedScan.readPoint(spark, out, "user_id", probe)
+        val wPruned = time(agg(prunedDf))
+        val rows = prunedDf.count()
+        assert(rows == fullDf.count(), "bloom scan must match the plain scan")
+        println(f"${s"full_x$m"}%-14s $total%6d $total%8d ${fullDf.count()}%10d $wFull%8.2f ${"-"}%8s")
+        println(f"${s"bloom_x$m"}%-14s $total%6d ${prunedDf.inputFiles.length}%8d $rows%10d $wPruned%8.2f $wPlan%8.2f")
+      }
+    }
     // (e2c) keyset pagination over the pruned month-partitioned warehouse
     //     (r17): each page derives loMonth + a zone-map lower bound from
     //     its cursor, so a page at the TAIL of a deep table lists and

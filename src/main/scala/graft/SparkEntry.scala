@@ -150,6 +150,20 @@ object SparkEntry {
       graft.ingest.TickIngest.writeTicks(src, tmp, "EURUSD", "raw_spread")
     }
 
+  private def stagedBloomPoint(s: SparkSession, dir: String): String =
+    Stage.staged("bloompoint", dir) { t =>
+      // HASH-clustered layout (the bucketing shape): every file spans
+      // ~the full user_id range, so min/max zone maps prove nothing for
+      // a point predicate — the manifest's per-file bloom sketches do
+      val src = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .repartition(12, col("user_id"))
+      src.write.mode("overwrite").parquet(t)
+      graft.storage.Manifest.write(s, t, "ts",
+        bloomCols = Seq("user_id"), bloomExpected = 20000L, bloomFpp = 0.02)
+    }
+
   /** Build the staged fixtures for `dir` (idempotent, skip-if-staged).
     * `forQueries` narrows to the fixtures the named queries actually use
     * (r18 review: a single-query profiling run must not pay five fixture
@@ -165,6 +179,7 @@ object SparkEntry {
     if (wanted("q_zorder_scan")) stagedZscan(s, dir)
     if (wanted("q_priceband")) stagedPriceband(s, dir)
     if (wanted("q_zero_spread")) stagedZeroSpread(s, dir)
+    if (wanted("q_bloom_prune")) stagedBloomPoint(s, dir)
     ()
   }
 
@@ -1580,6 +1595,20 @@ object SparkEntry {
     "q_zero_spread" -> ((s, dir) =>
       new graft.api.Processor(s, stagedZeroSpread(s, dir))
         .queryTicks("EURUSD", zeroSpread = true)),
+
+    // Bloom-sidecar point lookup (r18): the manifest carries per-file
+    // bloom sketches over xxhash64(user_id) built on the SAME single
+    // stats scan as the zone maps; on this hash-clustered layout every
+    // file spans ~the full user_id range (ranges prove nothing) but each
+    // user lives in exactly one file, so the driver plans O(values)
+    // files with zero data-file opens. Exact IN filter re-applied over
+    // survivors — byte-identical to the oracle's plain filtered scan.
+    "q_bloom_prune" -> ((s, dir) => {
+      val t = stagedBloomPoint(s, dir)
+      graft.storage.PrunedScan.readPoint(s, t, "user_id", Seq(3L, 7L, 11L))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    }),
 
     // near-dup GROUPS via label propagation over LSH buckets — linear in
     // docs×bands even on a fully-duplicated corpus (no pair enumeration).
@@ -4301,6 +4330,11 @@ object SparkEntry {
             WHERE event_type = 'purchase' AND user_id % 2 = 0
               AND event_id % 3 = 0
             ORDER BY timestamp""",
+
+      "q_bloom_prune" ->
+        s"""SELECT event_id, $evTs AS ts, user_id, value FROM events
+            WHERE event_type = 'purchase' AND user_id IN (3, 7, 11)
+            ORDER BY event_id""",
 
       "q_mixture_sample" ->
         """SELECT doc_id, source FROM documents

@@ -73,7 +73,8 @@ object Compactor {
         key: String,
         extras: Seq[String],
         interval: Option[(String, String)],
-        zorder: Option[(String, String, Int)])
+        zorder: Option[(String, String, Int)],
+        blooms: Option[(Seq[String], Long, Double)])
     val oldManifest: Option[OldManifest] = try {
       val mp = new Path(d, "_manifest")
       if (fs.exists(mp) && fs.getFileStatus(mp).isDirectory) {
@@ -92,10 +93,21 @@ object Compactor {
             Array(x, y) <- Option(zc.split(',')).filter(_.length == 2)
             if old.columns.contains("zorder_bits")
           } yield (x, y, r.getLong(r.fieldIndex("zorder_bits")).toInt)
+          // bloom witness (r18): carry the sketched columns + sizing so
+          // the rebuild regenerates equivalent point indexes instead of
+          // silently dropping them
+          val blooms = str("bloom_cols")
+            .map(_.split(',').toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
+            .filter(_ => old.columns.contains("bloom_expected") &&
+              old.columns.contains("bloom_fpp"))
+            .map { cs =>
+              (cs, r.getLong(r.fieldIndex("bloom_expected")),
+                r.getDouble(r.fieldIndex("bloom_fpp")))
+            }
           Some(OldManifest(
             r.getString(r.fieldIndex("key_col")),
             str("cols").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
-            interval, zorder))
+            interval, zorder, blooms))
         }
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -199,7 +211,10 @@ object Compactor {
         // the witness is carried only when the rewrite actually
         // re-clustered on it — a fallback/overridden layout must not
         // claim a z order it no longer has
-        zorder = zWitness.filter(_ => zClustered.isDefined))
+        zorder = zWitness.filter(_ => zClustered.isDefined),
+        bloomCols = m.blooms.map(_._1).getOrElse(Nil),
+        bloomExpected = m.blooms.map(_._2).getOrElse(100000L),
+        bloomFpp = m.blooms.map(_._3).getOrElse(0.05))
       catch { case scala.util.control.NonFatal(_) => }
     }
     n

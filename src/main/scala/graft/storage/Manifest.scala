@@ -33,7 +33,10 @@ object Manifest {
       keyCol: String,
       intervalCols: Option[(String, String)] = None,
       extraCols: Seq[String] = Nil,
-      zorder: Option[(String, String, Int)] = None): DataFrame = {
+      zorder: Option[(String, String, Int)] = None,
+      bloomCols: Seq[String] = Nil,
+      bloomExpected: Long = 100000L,
+      bloomFpp: Double = 0.05): DataFrame = {
     // up-front shape validation (r16 advice): a duplicate extra column
     // would alias two identical min__/max__ fields (write fails late and
     // uglier), a comma corrupts the comma-joined `cols` witness (split
@@ -44,6 +47,15 @@ object Manifest {
     require(extraCols.forall(c => !c.contains(",") && c != keyCol),
       s"extraCols must be comma-free and distinct from keyCol: " +
         extraCols.mkString("[", ", ", "]"))
+    // bloom columns may overlap extraCols or even the key (ranges and
+    // membership answer different predicates) — only the witness shape
+    // is constrained
+    require(bloomCols.distinct == bloomCols,
+      s"duplicate bloomCols: ${bloomCols.mkString(",")}")
+    require(bloomCols.forall(!_.contains(",")),
+      s"bloomCols must be comma-free: ${bloomCols.mkString("[", ", ", "]")}")
+    require(bloomCols.isEmpty || (bloomExpected > 0L && bloomFpp > 0 && bloomFpp < 1),
+      s"bloom sizing out of range: expected=$bloomExpected fpp=$bloomFpp")
     val base = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
     val stats = Seq(
@@ -71,6 +83,17 @@ object Manifest {
         val wf = when(col(s).isNotNull && col(e).isNotNull && len > 0L, len)
         Seq(max(wf).as("max_len_us"),
           percentile_approx(wf, lit(0.99), lit(10000)).as("p99_len_us"))
+      } ++
+      // per-file bloom sketches (r18): a base64 membership index over the
+      // column's xxhash64 values, same single scan. Point predicates
+      // (`col = v`, `IN`) then prune FILES on layouts where min/max
+      // ranges prove nothing — a hash-clustered table's every file spans
+      // the full range, but each value lives in exactly one file
+      // ([[graft.functions.BloomSketch]];
+      // [[PrunedScan.prunedDataFilesPoint]] is the reader).
+      bloomCols.map { c =>
+        graft.functions.BloomSketch.agg(col(c), bloomExpected, bloomFpp)
+          .as(s"bloom__$c")
       }
     val withKey = base.agg(stats.head, stats.tail: _*)
       .withColumn("key_col", lit(keyCol))
@@ -101,7 +124,16 @@ object Manifest {
         .withColumn("zorder_bits", lit(bits))
       case None => withIv
     }
-    withZ.orderBy("min_key", "file")
+    // bloom witness (r18): WHICH columns carry sketches plus the sizing,
+    // so a rebuilder ([[Compactor]]) regenerates equivalent sketches
+    // instead of silently dropping the point index on compaction
+    val withBloom =
+      if (bloomCols.isEmpty) withZ
+      else withZ
+        .withColumn("bloom_cols", lit(bloomCols.mkString(",")))
+        .withColumn("bloom_expected", lit(bloomExpected))
+        .withColumn("bloom_fpp", lit(bloomFpp))
+    withBloom.orderBy("min_key", "file")
   }
 
   /** Write the manifest as JSON under `<path>/_manifest` (one part file —
@@ -113,8 +145,12 @@ object Manifest {
       keyCol: String,
       intervalCols: Option[(String, String)] = None,
       extraCols: Seq[String] = Nil,
-      zorder: Option[(String, String, Int)] = None): Unit =
-    build(spark, path, keyCol, intervalCols, extraCols, zorder)
+      zorder: Option[(String, String, Int)] = None,
+      bloomCols: Seq[String] = Nil,
+      bloomExpected: Long = 100000L,
+      bloomFpp: Double = 0.05): Unit =
+    build(spark, path, keyCol, intervalCols, extraCols, zorder,
+        bloomCols, bloomExpected, bloomFpp)
       .coalesce(1)
       .write.mode("overwrite")
       // full µs precision with an explicit offset: the default JSON
@@ -290,6 +326,60 @@ object Manifest {
           val mn = minPat.findFirstMatchIn(line).map(_.group(1))
           val mx = maxPat.findFirstMatchIn(line).map(_.group(1))
           file -> (mn, mx)
+        }
+      }
+      Some(entries.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Driver-side per-file bloom sketches for `column` from a manifest
+    * sidecar written with `bloomCols` — basename → decoded sketch —
+    * WITHOUT a Spark job, same parse-the-JSON-parts discipline as
+    * [[fileRowCounts]]. `None` when no sidecar exists, it is garbled,
+    * the column is not listed in the `bloom_cols` witness, or any line
+    * lacks its sketch (the aggregator always emits one, so a missing
+    * field means the sidecar was not written by this code — suspect).
+    * Callers MUST freshness-check the returned key set against the
+    * directory's actual parquet basenames, exactly as for
+    * [[fileRowCounts]].
+    */
+  def fileBlooms(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path,
+      column: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val mdir = new Path(dir, "_manifest")
+      val fs = mdir.getFileSystem(conf)
+      if (!fs.exists(mdir)) return None
+      val parts = fs.listStatus(mdir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".json"))
+      if (parts.isEmpty) return None
+      val filePat = """"file":"([^"]+)"""".r
+      val witnessPat = """"bloom_cols":"([^"]*)"""".r
+      val q = java.util.regex.Pattern.quote(column)
+      val bloomPat = (""""bloom__""" + q + """":"([A-Za-z0-9+/=]+)"""").r
+      val entries = parts.flatMap { p =>
+        val in = fs.open(p.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.filter(_.nonEmpty).map { line =>
+          val file = filePat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(f) => f.split('/').last
+            case None => return None // garbled line: the sidecar is suspect
+          }
+          val listed = witnessPat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(cs) => cs.split(',').contains(column)
+            case None => false // no bloom witness on this line
+          }
+          if (!listed) return None // column not sketched: no evidence
+          bloomPat.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(b64) => file -> graft.functions.BloomSketch.decode(b64)
+            case None => return None // listed but sketch-less: suspect
+          }
         }
       }
       Some(entries.toMap)

@@ -706,4 +706,74 @@ object PrunedScan {
       case None => spark.read.parquet(path).filter(exact)
     }
   }
+
+  /** Spark's `xxhash64(col)` for ONE literal, evaluated on the driver —
+    * the query-side half of the bloom sidecar contract
+    * ([[graft.functions.BloomSketch]] hashes column values with the same
+    * expression executor-side). The value's EXTERNAL type must match the
+    * column's Spark type (Long for a long column, Int for an int column,
+    * String, java.sql.Timestamp): xxhash64 hashes by physical width, so
+    * an Int literal probed against a long column's sketch would miss.
+    * Agreement is spec-pinned per type in BloomSpec.
+    */
+  private[graft] def sparkHash64(v: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(v)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+  }
+
+  /** Surviving data-file paths for a POINT predicate `column IN (values)`
+    * via the manifest's per-file bloom sketches, or None when the index
+    * cannot be used (missing/stale/garbled sidecar, column not sketched)
+    * — the caller then reads every file and relies on its exact filter.
+    * A bloom false positive only reads one extra file; a miss is
+    * impossible (the sketch saw every non-NULL value), so pruning is
+    * sound under the caller's re-applied exact filter. This is what
+    * min/max zone maps cannot do on hash-clustered layouts: every
+    * bucket file spans ~the full range, but each value hashes into
+    * exactly one file.
+    */
+  private[graft] def prunedDataFilesPoint(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: HPath,
+      column: String,
+      values: Seq[Any]): Option[Seq[HPath]] =
+    try {
+      require(values.nonEmpty, "at least one point value required")
+      val dataNames = listDataNames(conf, dir)
+      val hashes = values.filter(_ != null).map(sparkHash64)
+      if (hashes.isEmpty) return Some(Nil) // IN (NULL…) matches nothing
+      for {
+        blooms <- Manifest.fileBlooms(conf, dir, column)
+        if blooms.keySet == dataNames // stale/partial sidecar
+      } yield blooms.toSeq
+        .collect { case (n, bf) if hashes.exists(bf.mightContainLong) => n }
+        .sorted.map(n => new HPath(dir, n))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Point-lookup scan over a bloom-indexed flat directory: plans only
+    * the files whose sketches might contain a requested value, with the
+    * exact `IN` filter re-applied over the survivors (byte-identical to
+    * the plain filtered scan, faster on clustered layouts). Sidecar
+    * problems fall back to the full read — slower, never wrong.
+    */
+  def readPoint(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readPoint needs at least one value")
+    val exact: Column = col(column).isin(values: _*)
+    prunedDataFilesPoint(spark.sessionState.newHadoopConf(),
+        new HPath(path), column, values) match {
+      case Some(Nil) =>
+        // every file proven value-free: empty result, real schema
+        val schema = spark.read.parquet(path).schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(paths) =>
+        spark.read.parquet(paths.map(_.toString): _*).filter(exact)
+      case None => spark.read.parquet(path).filter(exact)
+    }
+  }
 }
