@@ -293,6 +293,32 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
   * query's flat (subspace-major) distance LUT (array<double>). One static
   * codegen'd call per (doc, query) pair — the PQ scan's hot kernel.
   */
+/** Argmin-by-squared-L2 over a flattened centroid-matrix literal (the PQ
+  * assignment hot path): returns the 0-based index of the nearest of
+  * `nCells` centroids — one static-call kernel per (row, subspace) inside
+  * whole-stage codegen. See [[VectorKernels.nearestCellIdx]] for the
+  * ordering contract (exact l2sq folds, strict-improvement scan = the
+  * row_number(d asc, cell asc) winner when centroids are cell-sorted).
+  */
+case class NearestCellIdxL2(left: Expression, right: Expression, nCells: Int)
+    extends BinaryExpression {
+  require(nCells >= 1, "nCells must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.nearestCellIdx(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.nearestCellIdx($a, $b, $nCells)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCellIdxL2 =
+    copy(l, r)
+  override def prettyName: String = "nearest_cell_idx_l2"
+}
+
 case class AdcDistance(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
   require(ksub >= 1, "ksub must be positive")
@@ -325,6 +351,8 @@ object exprs {
   def l2Sq(a: Column, b: Column): Column = co(L2Sq(ex(a), ex(b)))
   def adcDistance(codes: Column, lut: Column, ksub: Int): Column =
     co(AdcDistance(ex(codes), ex(lut), ksub))
+  def nearestCellIdxL2(sv: Column, centsFlat: Column, nCells: Int): Column =
+    co(NearestCellIdxL2(ex(sv), ex(centsFlat), nCells))
   def hyperplaneBuckets(v: Column, nbits: Int, tables: Int): Column =
     co(HyperplaneBuckets(ex(v), nbits, tables))
   def wordShingles(c: Column, n: Int, unicode: Boolean = false): Column =

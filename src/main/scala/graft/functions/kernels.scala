@@ -158,6 +158,54 @@ object VectorKernels {
     acc
   }
 
+  /** Index of the nearest centroid to `sv` among `nCells` flattened
+    * float centroids (PQ assignment argmin): distances are the exact
+    * [[l2sq]] fold per centroid (same element order and association),
+    * scanned in centroid order keeping strict improvements only — with
+    * centroids pre-sorted by cell id this reproduces the
+    * `row_number over (order by d asc, cell asc)` winner bit for bit,
+    * including NaN-after-every-real (Spark's double ordering; a NaN
+    * distance never displaces a real one, NaN-vs-NaN falls to the
+    * earlier = smaller cell). One static call per (row, subspace)
+    * replaces a broadcast-join×ksub row blowup through a row_number
+    * exchange.
+    */
+  def nearestCellIdx(sv: ArrayData, centsFlat: ArrayData, nCells: Int): Int = {
+    if (nCells < 1 || centsFlat.numElements() % nCells != 0)
+      throw new IllegalArgumentException(
+        s"nearestCellIdx: flattened centroids (${centsFlat.numElements()}) " +
+          s"not divisible into $nCells cells")
+    val dsub = centsFlat.numElements() / nCells
+    if (sv.numElements() != dsub)
+      throw new IllegalArgumentException(
+        s"nearestCellIdx: vector dimensions differ (${sv.numElements()} vs $dsub)")
+    var best = 0
+    var bestD = 0.0
+    var c = 0
+    while (c < nCells) {
+      val off = c * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) {
+        val d = sv.getFloat(i).toDouble - centsFlat.getFloat(off + i).toDouble
+        acc = acc + d * d
+        i += 1
+      }
+      // strict-less under Spark's double ordering (NaN > every real,
+      // NaN == NaN): only a strict improvement displaces, so equal
+      // distances keep the earlier = smaller cell — the tie rule
+      val less =
+        if (bestD.isNaN) !acc.isNaN
+        else acc < bestD
+      if (c == 0 || less) {
+        best = c
+        bestD = acc
+      }
+      c += 1
+    }
+    best
+  }
+
   /** PQ asymmetric distance: codes are dense per-subspace centroid indices
     * (0..ksub-1), lut is the query's flat distance table ordered by
     * (subspace, centroid index). adc = Σ_s lut[s·ksub + codes[s]], summed
