@@ -84,24 +84,35 @@ object Triangles {
     // an order-free explode→groupBy
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(collect_list(col("dst")).as("nbrs"))
+    // shuffle_hash on the adjacency side: adj is ≤ n rows carrying m longs
+    // — a per-partition hash build is bounded by the adjacency slice, while
+    // the default sort-merge sorts the EDGE frame twice (once per join key)
+    // plus the adjacency twice; the hint drops all four sorts and keeps
+    // the same exchanges (planner falls back to sort-merge only if the
+    // build side can't hash; broadcast still wins below the threshold)
     val withCommon = oriented
-      .join(adj.select(col("n").as("src"), col("nbrs").as("__nu")), "src")
+      .join(adj.select(col("n").as("src"), col("nbrs").as("__nu"))
+        .hint("shuffle_hash"), "src")
       // dst may have no out-edges → left join, empty neighbor set
-      .join(adj.select(col("n").as("dst"), col("nbrs").as("__nv")),
-        Seq("dst"), "left")
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("__nv"))
+        .hint("shuffle_hash"), Seq("dst"), "left")
       .select(col("src"), col("dst"),
         array_intersect(col("__nu"),
           coalesce(col("__nv"), array().cast("array<long>"))).as("__w"))
       .filter(size(col("__w")) > 0)
-    // endpoint credit rides pre-aggregated; only closers explode
+    // endpoint credit rides pre-aggregated; only closers explode. ONE
+    // generator emits endpoint AND closer credits together — the earlier
+    // unionByName of two selects over withCommon planned the whole
+    // join+intersect subtree TWICE (no common-subexpression reuse across
+    // union branches; measured ~2× the triangle-stage wall)
     val credits = withCommon
-      .select(explode(array(
-        struct(col("src").as("node"), size(col("__w")).cast("long").as("c")),
-        struct(col("dst").as("node"), size(col("__w")).cast("long").as("c"))))
+      .select(explode(concat(
+        array(
+          struct(col("src").as("node"), size(col("__w")).cast("long").as("c")),
+          struct(col("dst").as("node"), size(col("__w")).cast("long").as("c"))),
+        transform(col("__w"), w => struct(w.as("node"), lit(1L).as("c")))))
         .as("e"))
       .select(col("e.node"), col("e.c"))
-      .unionByName(withCommon
-        .select(explode(col("__w")).as("node"), lit(1L).as("c")))
     credits.groupBy("node").agg(sum(col("c")).as("n_tri"))
   }
 }
