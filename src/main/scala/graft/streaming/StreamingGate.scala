@@ -84,9 +84,15 @@ object StreamingGate {
     val chk = s"$root/chk"
 
     val src = points.select(Seq(keyCol, time, value, tiebreak).distinct.map(col): _*)
-    val maxTs = src.agg(max(col(time))).head().getTimestamp(0)
-    require(!src.head(1).isEmpty && maxTs != null, "streaming gate needs data")
-    require(src.filter(col(keyCol) === FlushKey).head(1).isEmpty,
+    // one setup pass: max event time, row presence and the reserved-key
+    // guard come out of a single aggregation job (this was three separate
+    // jobs — a full agg pass, a head(1) pass and a filter+head pass that
+    // scans the whole input when the guard holds, i.e. always)
+    val probe = src.agg(max(col(time)), count(lit(1)),
+      count(when(col(keyCol) === FlushKey, lit(1)))).head()
+    val maxTs = probe.getTimestamp(0)
+    require(probe.getLong(1) > 0 && maxTs != null, "streaming gate needs data")
+    require(probe.getLong(2) == 0,
       s"input already uses the reserved flush key $FlushKey")
 
     def sentinel(plusMinutes: Int) = {
@@ -136,7 +142,13 @@ object StreamingGate {
   private def stageWithSentinels(
       in: String, data: org.apache.spark.sql.DataFrame,
       sentinels: Seq[org.apache.spark.sql.DataFrame]): Unit = {
-    data.coalesce(1).write.parquet(in)
+    // repartition(1), not coalesce(1): coalesce collapses the WHOLE
+    // upstream computation of the staged frame to one task; the explicit
+    // exchange keeps the source scan/filter parallel and only the final
+    // write runs single-task (row order within the one staged file is
+    // irrelevant — each micro-batch is order-insensitive under the
+    // watermark/state semantics)
+    data.repartition(1).write.parquet(in)
     def files(): Set[String] = new java.io.File(in).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getName).toSet
@@ -204,11 +216,14 @@ object StreamingGate {
     val src = taggedL.filter(col("k").isNotNull && col("t").isNotNull)
       .unionByName(tagged(right, 0)
         .filter(col("k").isNotNull && col("t").isNotNull))
-    require(src.filter(col("k") === FlushKeyL).head(1).isEmpty,
-      s"input already uses the reserved flush key $FlushKeyL")
-
+    // one setup pass (see ohlc1mAvailableNow): flush-key guard + max
+    // event time in a single aggregation job instead of two scans
     val outCols = Seq("k", "t", "ord", "v", "rt", "rv", "rord")
-    val maxTs = src.agg(max(col("t"))).head().getTimestamp(0)
+    val probe = src.agg(max(col("t")),
+      count(when(col("k") === FlushKeyL, lit(1)))).head()
+    require(probe.getLong(1) == 0,
+      s"input already uses the reserved flush key $FlushKeyL")
+    val maxTs = probe.getTimestamp(0)
     // empty stream (no joinable row on either side): the batch twin
     // returns its lefts NULL-filled — here exactly the bypass rows
     if (maxTs == null)
