@@ -33,7 +33,9 @@ object Itemsets {
     val b = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBaskets = b.select(col("bk")).distinct().count()
+    // basket total rides the plan as a 1-row broadcast scalar instead of a
+    // separate driver-side count job (one fewer pass over the basket frame)
+    val nBaskets = b.agg(countDistinct(col("bk")).as("__nbk"))
     val singles = b.groupBy(col("it")).agg(count(lit(1)).as("n_single"))
     // per-basket pair explosion (not a basket self-join): one partial-agg
     // groupBy to the sorted item set, then an in-row (x, later-y) expansion
@@ -52,8 +54,9 @@ object Itemsets {
         col("n_single").as("__na"))), "item_a")
       .join(broadcast(singles.select(col("it").as("item_b"),
         col("n_single").as("__nb"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_pair"),
-        expr(s"n_pair * ${nBaskets}L * 1000000L div (__na * __nb)")
+        expr("n_pair * __nbk * 1000000L div (__na * __nb)")
           .as("lift_e6"))
     val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
     cut.count()

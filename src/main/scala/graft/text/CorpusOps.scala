@@ -109,6 +109,11 @@ object CorpusOps {
       idCol: String,
       textCol: String
   ): DataFrame = {
+    // NOTE (r18): the lead()-window form is deliberate. Rewriting bigrams
+    // as an in-row zip_with + caching the bigram stream measured 2.9×
+    // SLOWER: the three consumers below share the window subtree, whose
+    // exchange Spark deduplicates (ReuseExchange) — the window already
+    // runs ONCE, while the cache paid a full string materialization.
     val toks = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
     val wdoc = org.apache.spark.sql.expressions.Window
@@ -152,14 +157,18 @@ object CorpusOps {
   ): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val n = lit(chunkTokens)
+    // chunk ONCE and cache: the corpus-wide frequency table and the
+    // reassembly join both consume the chunk stream, and re-deriving it
+    // meant tokenizing + re-chunking the whole corpus a second time
     val chunks = docs.select(
       col(idCol).as("id"),
       posexplode(transform(
         sequence(lit(0), ((size(toks) + n - lit(1)) / n).cast("int") - lit(1)),
         i => array_join(slice(toks, i * n + lit(1), n), " ")))
         .as(Seq("pos", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-    chunks.join(freq, "chunk")
+    val out = chunks.join(freq, "chunk")
       .groupBy("id")
       .agg(
         count(lit(1)).cast("long").as("n_chunks"),
@@ -170,6 +179,10 @@ object CorpusOps {
               when(col("cnt") <= maxOccurrences, struct(col("pos"), col("chunk"))))),
             e => e.getField("chunk")),
           " ").as("cleaned_text"))
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
+    cut.count()
+    chunks.unpersist(blocking = false)
+    cut
   }
 
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
@@ -208,15 +221,19 @@ object CorpusOps {
       m: Int = 1024,
       tokenMode: String = "ws"
   ): DataFrame = {
+    // tokenize ONCE and cache the narrow hashed stream (id, tgt, f — the
+    // token string is dropped before the cache): the per-cell counts and
+    // the final per-doc join both consume it, and re-deriving it meant a
+    // second full tokenize+hash pass over the corpus
     val toks = docs.select(col(idCol).as("id"), col(targetCol).as("__tgt"),
         explode(TextFunctions.tokenizerFor(tokenMode)(col(textCol))).as("token"))
       .withColumn("f",
         pmod(TextFunctions.polyHash(col("token"), lit(0L)), lit(m.toLong)))
+      .select(col("id"), col("__tgt"), col("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE tokenization pass yields both per-cell counts (raw + target as a
     // conditional sum), and the corpus-wide totals are a sum over the
-    // resulting m-row frame — not two more corpus scans. The only other
-    // corpus pass is the final per-doc join below: 2 passes total, down
-    // from 4.
+    // resulting m-row frame — not two more corpus scans.
     val byF = toks.groupBy("f").agg(
       count(lit(1)).as("raw_f"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("target_f"))
@@ -234,10 +251,16 @@ object CorpusOps {
       .withColumn("delta_e6",
         when(col("__a") >= col("__b"), col("__mag")).otherwise(-col("__mag")))
       .select("f", "delta_e6")
-    toks
+    val out = toks
       .join(broadcast(delta), "f")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("delta_e6")).as("w_e6"))
+    // per-doc result is small: cut + materialize so the token cache frees
+    // here instead of living past the operator (the Itemsets discipline)
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
+    cut.count()
+    toks.unpersist(blocking = false)
+    cut
   }
 
   /** Duplicate-SPAN removal (Lee et al. 2022, "Deduplicating Training Data
