@@ -225,12 +225,47 @@ object CorpusOps {
     // token string is dropped before the cache): the per-cell counts and
     // the final per-doc join both consume it, and re-deriving it meant a
     // second full tokenize+hash pass over the corpus
-    val toks = docs.select(col(idCol).as("id"), col(targetCol).as("__tgt"),
+    val toks = hashedTokens(docs, idCol, textCol, targetCol, m, tokenMode)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = dsirWeightsFrom(toks, m)
+    // per-doc result is small: cut + materialize so the token cache frees
+    // here instead of living past the operator (the Itemsets discipline)
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
+    cut.count()
+    toks.unpersist(blocking = false)
+    cut
+  }
+
+  /** The UNCUT, uncached DSIR plan — `dsirLogWeights` minus the token
+    * cache and the lineage cut, so plan-shape pins (PlanSpec) can assert
+    * the broadcast/exchange structure that the production path's cut
+    * RDD-scan leaf hides. Same expressions, same result.
+    */
+  private[graft] def dsirLogWeightsUncut(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCol: String,
+      m: Int = 1024,
+      tokenMode: String = "ws"
+  ): DataFrame =
+    dsirWeightsFrom(hashedTokens(docs, idCol, textCol, targetCol, m, tokenMode), m)
+
+  private def hashedTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCol: String,
+      m: Int,
+      tokenMode: String
+  ): DataFrame =
+    docs.select(col(idCol).as("id"), col(targetCol).as("__tgt"),
         explode(TextFunctions.tokenizerFor(tokenMode)(col(textCol))).as("token"))
       .withColumn("f",
         pmod(TextFunctions.polyHash(col("token"), lit(0L)), lit(m.toLong)))
       .select(col("id"), col("__tgt"), col("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def dsirWeightsFrom(toks: DataFrame, m: Int): DataFrame = {
     // ONE tokenization pass yields both per-cell counts (raw + target as a
     // conditional sum), and the corpus-wide totals are a sum over the
     // resulting m-row frame — not two more corpus scans.
@@ -251,16 +286,10 @@ object CorpusOps {
       .withColumn("delta_e6",
         when(col("__a") >= col("__b"), col("__mag")).otherwise(-col("__mag")))
       .select("f", "delta_e6")
-    val out = toks
+    toks
       .join(broadcast(delta), "f")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("delta_e6")).as("w_e6"))
-    // per-doc result is small: cut + materialize so the token cache frees
-    // here instead of living past the operator (the Itemsets discipline)
-    val cut = org.apache.spark.sql.graft.bridge.cutLineage(out)
-    cut.count()
-    toks.unpersist(blocking = false)
-    cut
   }
 
   /** Duplicate-SPAN removal (Lee et al. 2022, "Deduplicating Training Data

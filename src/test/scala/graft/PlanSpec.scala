@@ -335,7 +335,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_dsir_weights: the m-cell delta table broadcasts back to the token stream") {
-    val df = SparkEntry.queries("q_dsir_weights")(spark, dir)
+    // the production path caches the hashed token stream and lineage-cuts
+    // the per-doc result (r18), so the query's final plan is an RDD-scan
+    // leaf; assert the broadcast/exchange shape on the UNCUT twin, which
+    // plans the identical expressions (the Triangles orient/countsFrom
+    // split, applied here)
+    val docs = graft.catalog.Tables.documents(spark, dir)
+      .withColumn("is_target", col("lang") === "en")
+    val df = graft.text.CorpusOps
+      .dsirLogWeightsUncut(docs, "doc_id", "text", "is_target", m = 1024)
+      .orderBy(col("w_e6").desc, col("id")).limit(100)
     val plan = finalPlan(df)
     val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
     // two broadcasts: the 1-row totals crossJoin and the m-row delta join
