@@ -1927,11 +1927,17 @@ object SparkEntry {
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf
-        .join(dfreq, "token")
+      // idf is a pure function of (n_docs, df): evaluate the 20-step
+      // fixed-point log2 fold ONCE per vocab token on the df frame, not
+      // once per (doc, token) row (r18 — identical integers, ~|tf|/|vocab|
+      // fewer fold evaluations)
+      val idf = dfreq
         .crossJoin(broadcast(nDocs))
-        .withColumn("score_e6",
-          (col("tf") * expr(log2e6Sql("n_docs", "df"))).cast("long"))
+        .withColumn("idf_e6", expr(log2e6Sql("n_docs", "df")))
+        .select("token", "df", "idf_e6")
+      val scored = tf
+        .join(idf, "token")
+        .withColumn("score_e6", (col("tf") * col("idf_e6")).cast("long"))
       val w = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("token"))
       scored
         .withColumn("rnk", row_number().over(w))
@@ -1953,9 +1959,13 @@ object SparkEntry {
       val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
       val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(cnts, "token")
-        .crossJoin(broadcast(total))
+      // surprisal is a pure function of (n_total, cnt): run the log2 fold
+      // once per vocab entry on the count table, not once per token
+      // OCCURRENCE (r18 — identical integers, corpus-token× fewer folds)
+      val lm = cnts.crossJoin(broadcast(total))
         .withColumn("s_e6", expr(log2e6Sql("n_total", "cnt")))
+        .select("token", "s_e6")
+      toks.join(lm, "token")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("s_e6")).as("sum_surprisal_e6"))
         .withColumn("mean_surprisal_e6",

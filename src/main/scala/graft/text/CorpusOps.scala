@@ -75,11 +75,14 @@ object CorpusOps {
       .groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tTotal = toks.agg(count(lit(1)).as("t_total"))
-    tf.join(dl, "id")
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(nDocs))
-      .crossJoin(broadcast(tTotal))
+    // idf depends only on (n_docs, df): fold once per query term on the
+    // ≤|terms|-row df frame instead of once per (doc, term) row (r18)
+    val idf = dfreq.crossJoin(nDocs)
       .withColumn("idf_e6", expr(log2e6Sql("n_docs", "df")))
+      .select(col("token"), col("idf_e6"), col("n_docs"))
+    tf.join(dl, "id")
+      .join(broadcast(idf), "token")
+      .crossJoin(broadcast(tTotal))
       .withColumn("term_e6", expr(
         "(idf_e6 * tf * 22 * t_total) div (10*tf*t_total + 3*t_total + 9*dl*n_docs)"))
       .groupBy("id")
@@ -125,9 +128,18 @@ object CorpusOps {
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = toks.agg(countDistinct(col("token")).as("v"))
-    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // surprisal is a pure function of the bigram TYPE's counts (c1, c12,
+    // v), so the 20-step fixed-point log2 fold is evaluated on the
+    // type-level frame (distinct bigrams) and the occurrence stream joins
+    // it in — not per occurrence row, where the identical integer was
+    // recomputed once per token position (r18; same values, the fold is
+    // deterministic). This also drops the second occurrence-stream join:
+    // bg joins once on (w1, w2) instead of on (w1, w2) and then w1.
+    val typ = c12.join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("s_e6", expr(log2e6Sql("c1 + v", "c12 + 1")))
+      .select("w1", "w2", "s_e6")
+    bg.join(typ, Seq("w1", "w2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e6")).as("sum_surprisal_e6"))
       .withColumn("mean_surprisal_e6", expr("sum_surprisal_e6 div n_bigrams"))
