@@ -17,18 +17,25 @@ import org.apache.spark.sql.functions._
   * — signed integer division truncating toward zero, which Spark `div`,
   * Scala `Long./` and DuckDB `//` all agree on.
   *
-  * Scale shape: the feature table is built once and persisted (one
-  * explode + groupBy); each iteration is feature-table ⋈ broadcast
-  * m-row weights → per-doc partial-agg sum, then ⋈ labels → per-bucket
-  * partial-agg grad. The m-row gradient is collected to the driver per
-  * iteration — a bounded pin like the IVF centroid collect, NOT a
-  * data-sized collect. Two corpus-sized shuffles per iteration, both
-  * partially aggregated map-side.
+  * Scale shape (r18): full-batch squared-loss GD needs the corpus only
+  * through two m-bounded sufficient statistics — the Gram matrix
+  * `G_jk = Σ_i x_ij·x_ik` and the label moment `b_j = Σ_i x_ij·y_i` —
+  * because `grad_j = Σ_i x_ij·(Σ_k x_ik·w_k − y_i) = Σ_k G_jk·w_k − b_j`
+  * exactly over the integers (sums of longs are order-independent, so
+  * the expansion is bit-identical to the per-doc form it replaces).
+  * Both statistics are computed ONCE (a per-doc self-join bounded at
+  * ≤ m rows per doc side, partially aggregated map-side) and every
+  * gradient iteration is then driver arithmetic on the m×m matrix — the
+  * distributed loop of earlier rounds paid two corpus-sized shuffles
+  * PER ITERATION for numbers already determined by G and b. The m²-entry
+  * collect is a bounded pin like the IVF centroid collect, NOT a
+  * data-sized collect (m = 32 ⇒ 1024 longs).
   *
-  * Overflow bound: `Σ_i x_ij·|pred_i − y_i| < 2^62` — with per-doc token
-  * counts t and |w| ≤ W this is n·t·(m·t·W + 1e6), fine up to ~10^8 docs
-  * at default sizes; beyond that, shard the gradient sum into e6-scaled
-  * partial means before combining.
+  * Overflow bound: unchanged from the per-doc form — `Σ_k G_jk·|w_k| =
+  * Σ_i x_ij·|Σ_k x_ik·w_k|` term-for-term, so the documented
+  * n·t·(m·t·W + 1e6) < 2^62 envelope applies to both; G itself is
+  * ≤ n·t² per entry. Beyond ~10^8 docs at default sizes, shard into
+  * e6-scaled partial means before combining.
   *
   * @return (id, y_e6, score_e6) — final-weight scores for every doc
   */
@@ -58,15 +65,27 @@ object LinearProbe {
         when(col(labelCol), lit(1000000L)).otherwise(lit(0L)).as("y_e6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = y.count()
-    var w: Map[Long, Long] = (0L until m.toLong).map(_ -> 0L).toMap
+    // sufficient statistics: one bounded self-join pass for G, one
+    // label-join pass for b — the only corpus-sized work of training
+    val gram: Map[(Long, Long), Long] = feats
+      .join(feats.select(col("id"), col("j").as("k"), col("x").as("xk")), "id")
+      .groupBy("j", "k").agg(sum(col("x") * col("xk")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bvec: Map[Long, Long] = feats
+      .join(y, "id")
+      .groupBy("j").agg(sum(col("x") * col("y_e6")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = (0L until m.toLong).toSeq
+    var w: Map[Long, Long] = buckets.map(_ -> 0L).toMap
     for (_ <- 1 to iters) {
-      val wDf = w.toSeq.toDF("j", "w_e6")
-      val pred = feats.join(broadcast(wDf), "j")
-        .groupBy("id").agg(sum(col("x") * col("w_e6")).as("pred_e6"))
-      val grad = feats.join(pred, "id").join(y, "id")
-        .select(col("j"), (col("x") * (col("pred_e6") - col("y_e6"))).as("g"))
-        .groupBy("j").agg(sum(col("g")).as("grad"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // grad_j = Σ_k G_jk·w_k − b_j — exactly the distributed
+      // Σ_i x_ij·(pred_i − y_i) of the per-doc form (see scaladoc)
+      val grad: Map[Long, Long] = buckets.map { j =>
+        val gw = buckets.foldLeft(0L) { (acc, k) =>
+          acc + gram.getOrElse((j, k), 0L) * w(k)
+        }
+        j -> (gw - bvec.getOrElse(j, 0L))
+      }.toMap
       w = w.map { case (j, wj) =>
         j -> (wj - grad.getOrElse(j, 0L) / (lrDen * n)) }
     }
