@@ -41,7 +41,8 @@ object PageRank {
   def weightedRanksE6(
       edges: DataFrame,
       iters: Int,
-      dampingE6: Long = 850000L
+      dampingE6: Long = 850000L,
+      maxLocalEdges: Long = 65536L
   ): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingE6 >= 0L && dampingE6 <= 1000000L,
@@ -52,6 +53,58 @@ object PageRank {
     // without this pin it would execute once per derived frame.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BOUNDED-GRAPH FAST PATH (r18): when the CONTRACTED graph is small —
+    // a nation/domain/host-level authority graph distilled from arbitrary
+    // fact-table volume, like q_pagerank's ≤ nations² edges — the
+    // iterations are driver arithmetic on a bounded model, the same
+    // accepted pin class as the IVF centroid collect and the BPE
+    // byte-gated fast path. Running them as Spark jobs pays
+    // (join + agg + lineage cut) × iters in scheduling alone for numbers
+    // a single thread computes exactly; every step below is the SAME
+    // integer arithmetic (exact long sums are order-independent, `div`
+    // on the non-negative ranks/weights here equals Java `/`), so the
+    // output is bit-identical to the distributed loop, which remains the
+    // path for genuinely large graphs.
+    // NULL keys/weights have join-and-aggregate-specific semantics the
+    // local loop does not replicate — such (contract-violating) inputs
+    // fall through to the distributed path unchanged.
+    val nEdges = e.count()
+    val localRows =
+      if (nEdges <= maxLocalEdges) e.collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (nEdges <= maxLocalEdges && localRows.forall(!_.anyNull)) {
+      val rows = localRows
+      val tw = new java.util.HashMap[Any, Long]()
+      rows.foreach { r =>
+        tw.merge(r.get(0), r.getLong(2), (a, b) => a + b)
+      }
+      val nodeSet = new java.util.LinkedHashSet[Any]()
+      rows.foreach { r => nodeSet.add(r.get(0)); nodeSet.add(r.get(1)) }
+      val base = 1000000L - dampingE6
+      var ranks = new java.util.HashMap[Any, Long]()
+      nodeSet.forEach(nd => ranks.put(nd, 1000000L))
+      for (_ <- 1 to iters) {
+        val csum = new java.util.HashMap[Any, Long]()
+        rows.foreach { r =>
+          val c = ranks.get(r.get(0)) * r.getLong(2) / tw.get(r.get(0))
+          csum.merge(r.get(1), c, (a, b) => a + b)
+        }
+        val next = new java.util.HashMap[Any, Long]()
+        nodeSet.forEach { nd =>
+          next.put(nd, base + dampingE6 * csum.getOrDefault(nd, 0L) / 1000000L)
+        }
+        ranks = next
+      }
+      val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      nodeSet.forEach(nd =>
+        outRows.add(org.apache.spark.sql.Row(nd, ranks.get(nd))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", e.schema(0).dataType),
+        org.apache.spark.sql.types.StructField("rank_e6",
+          org.apache.spark.sql.types.LongType)))
+      e.unpersist(blocking = false)
+      return e.sparkSession.createDataFrame(outRows, schema)
+    }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     // static across iterations: edges with their source's total out-weight
