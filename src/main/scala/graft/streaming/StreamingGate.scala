@@ -31,6 +31,40 @@ object StreamingGate {
 
   private val FlushKey = "__flush"
 
+  /** Scratch root for one gate run (staged input, sink, checkpoint) —
+    * ephemeral per-invocation fixture state, NOT query data. Placed on
+    * tmpfs (/dev/shm) when writable: the checkpoint protocol pays
+    * several create+rename metadata round-trips per micro-batch per
+    * state partition, which on a journaling disk FS is pure latency the
+    * timed gate inherits (measured; production streams put checkpoints
+    * on durable storage by necessity — these bounded correctness gates
+    * have no durability requirement). Override with
+    * SPARK_GRAFT_GATE_TMP; falls back to java.io.tmpdir. Every root is
+    * removed at JVM exit (closing the r17 stranded-temp-dir class —
+    * mandatory on tmpfs, where stranding would be RAM), not at gate
+    * return: the returned frames read the sink directory lazily.
+    */
+  private def gateScratch(prefix: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_GATE_TMP").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm") else None
+    }
+    val root = base match {
+      case Some(b) => java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(b), prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+    val f = root.toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
+    root.toString
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   /** Serializes [[withGatePartitions]] bodies: the shuffle-partition
     * override is a SESSION-GLOBAL mutation, so two concurrent gates on the
     * shared session could interleave their read-set/restore and clobber
@@ -55,10 +89,26 @@ object StreamingGate {
   private def withGatePartitions[T](spark: SparkSession)(body: => T): T =
     gateLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
+      // no-data micro-batches (engine-scheduled empty batches that only
+      // advance the watermark / fire timeouts) are redundant under the
+      // two-sentinel flush discipline: the second sentinel file IS the
+      // batch in which the first sentinel's watermark advance lands, for
+      // both the windowed aggregation and the as-of event-time timeouts —
+      // the gate contract above explicitly promises determinism with or
+      // without trailing no-data batches. Each suppressed batch saves a
+      // full micro-batch round (state-store load/commit × partitions +
+      // job scheduling) per stateful query.
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prev = spark.conf.getOption(key)
+      val prevNoData = spark.conf.getOption(noDataKey)
       spark.conf.set(key, "8")
+      spark.conf.set(noDataKey, "false")
       try body
-      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      finally {
+        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        prevNoData.fold(spark.conf.unset(noDataKey))(
+          spark.conf.set(noDataKey, _))
+      }
     }
 
   /** Streaming 1-minute OHLC over a bounded point frame, emitted through a
@@ -78,7 +128,7 @@ object StreamingGate {
       value: String,
       tiebreak: String
   ): DataFrame = withGatePartitions(spark) {
-    val root = java.nio.file.Files.createTempDirectory("stream_gate").toString
+    val root = gateScratch("stream_gate")
     val in = s"$root/in"
     val out = s"$root/out"
     val chk = s"$root/chk"
@@ -192,7 +242,7 @@ object StreamingGate {
       rightTtlMs: Option[Long] = None
   ): DataFrame = withGatePartitions(spark) {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("stream_asof").toString
+    val root = gateScratch("stream_asof")
     val in = s"$root/in"
     val out = s"$root/out"
     val chk = s"$root/chk"
@@ -332,7 +382,7 @@ object StreamingGate {
 
     // stage 2: windowed 1m bars over the SILVER STREAM + per-batch
     // calendar enrichment in foreachBatch (gold)
-    val root = java.nio.file.Files.createTempDirectory("stream_enrich").toString
+    val root = gateScratch("stream_enrich")
     val in = s"$root/in"
     val out = s"$root/out"
     val chk = s"$root/chk"
