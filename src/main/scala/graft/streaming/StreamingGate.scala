@@ -447,13 +447,20 @@ object StreamingGate {
       .option("checkpointLocation", chk)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // pin the micro-batch output: every action on `batch` RE-RUNS the
+        // batch plan, and this body takes three (the emptiness probe,
+        // enrichBars' min/max-date aggregation, the final write) — the
+        // standard foreachBatch persist makes that one execution
         val real = batch.filter(col("k") =!= FlushKeyL)
           .withColumn("instrument", decode).drop("k")
-        // pre-watermark and sentinel-only batches emit nothing real; an
-        // empty parquet write would leave a schemaless directory
-        if (!real.isEmpty)
-          graft.ohlc.OhlcGenerator.enrichBars(real)
-            .write.mode("append").parquet(out)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // pre-watermark and sentinel-only batches emit nothing real; an
+          // empty parquet write would leave a schemaless directory
+          if (!real.isEmpty)
+            graft.ohlc.OhlcGenerator.enrichBars(real)
+              .write.mode("append").parquet(out)
+        } finally real.unpersist(blocking = false)
       }
       .start()
     q.awaitTermination()
