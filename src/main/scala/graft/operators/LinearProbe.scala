@@ -31,11 +31,13 @@ import org.apache.spark.sql.functions._
   * collect is a bounded pin like the IVF centroid collect, NOT a
   * data-sized collect (m = 32 ⇒ 1024 longs).
   *
-  * Overflow bound: unchanged from the per-doc form — `Σ_k G_jk·|w_k| =
-  * Σ_i x_ij·|Σ_k x_ik·w_k|` term-for-term, so the documented
-  * n·t·(m·t·W + 1e6) < 2^62 envelope applies to both; G itself is
-  * ≤ n·t² per entry. Beyond ~10^8 docs at default sizes, shard into
-  * e6-scaled partial means before combining.
+  * Overflow bound: `Σ_k G_jk·w_k = Σ_i x_ij·pred_i` exactly (no abs —
+  * both sides are the same signed sum reassociated), so the final
+  * gradient value is identical mod 2^64 to the per-doc form's and fits
+  * whenever that form's documented n·t·(m·t·W + 1e6) < 2^62 envelope
+  * holds; intermediate partial sums may wrap, harmlessly, in
+  * two's-complement. G itself is ≤ n·t² per entry. Beyond ~10^8 docs at
+  * default sizes, shard into e6-scaled partial means before combining.
   *
   * @return (id, y_e6, score_e6) — final-weight scores for every doc
   */

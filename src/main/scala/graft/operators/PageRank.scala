@@ -67,12 +67,28 @@ object PageRank {
     // path for genuinely large graphs.
     // NULL keys/weights have join-and-aggregate-specific semantics the
     // local loop does not replicate — such (contract-violating) inputs
-    // fall through to the distributed path unchanged.
+    // fall through to the distributed path unchanged. Same for node key
+    // TYPES whose Java equals/hashCode diverges from Spark's join/groupBy
+    // equality: BinaryType (Array[Byte] compares by reference — a HashMap
+    // get would miss and NPE on unboxing) and fractional types (-0.0 vs
+    // 0.0: Spark normalizes, java.lang.Double.equals does not) — only
+    // atomic keys with Java-compatible equality take the fast path.
+    def javaKeySafe(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             TimestampType | DateType | BooleanType => true
+        case _ => false
+      }
+    }
+    val keysLocalSafe =
+      javaKeySafe(e.schema(0).dataType) && javaKeySafe(e.schema(1).dataType)
     val nEdges = e.count()
     val localRows =
-      if (nEdges <= maxLocalEdges) e.collect()
+      if (keysLocalSafe && nEdges <= maxLocalEdges) e.collect()
       else Array.empty[org.apache.spark.sql.Row]
-    if (nEdges <= maxLocalEdges && localRows.forall(!_.anyNull)) {
+    if (keysLocalSafe && nEdges <= maxLocalEdges &&
+        localRows.forall(!_.anyNull)) {
       val rows = localRows
       val tw = new java.util.HashMap[Any, Long]()
       rows.foreach { r =>

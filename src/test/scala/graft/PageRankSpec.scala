@@ -37,4 +37,28 @@ class PageRankSpec extends SparkSpec {
     val r2 = PageRank.weightedRanksE6(edges.repartition(7), iters = 4)
     assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
   }
+
+  test("the distributed loop is bit-identical to the local fast path") {
+    // maxLocalEdges = 0 forces the distributed iteration loop (the path
+    // large graphs take) on the same graph the default runs locally —
+    // a non-trivial topology: weighted cycle + chords + a dangling sink
+    val edges = ((0L until 12L).map(i => (i, (i + 1) % 12L, 1L + i % 3)) ++
+      Seq((0L, 6L, 5L), (3L, 9L, 2L), (7L, 100L, 1L)))
+      .toDF("src", "dst", "w")
+    val local = PageRank.weightedRanksE6(edges, iters = 6)
+    val dist = PageRank.weightedRanksE6(edges, iters = 6, maxLocalEdges = 0L)
+    assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty)
+  }
+
+  test("java-equality-unsafe key types fall through to the distributed loop") {
+    // BinaryType keys: Array[Byte] compares by reference under Java
+    // equals — the local HashMap path would miss/NPE; the gate must send
+    // the graph down the distributed loop, which handles them via Spark
+    // join/groupBy equality. 2-cycle of binary nodes: uniform fixpoint.
+    val a = Array[Byte](1); val b = Array[Byte](2)
+    val edges = Seq((a, b, 1L), (b, a, 1L)).toDF("src", "dst", "w")
+    val ranks = PageRank.weightedRanksE6(edges, iters = 3)
+    assert(ranks.count() === 2)
+    assert(ranks.filter(col("rank_e6") =!= 1000000L).count() === 0)
+  }
 }
