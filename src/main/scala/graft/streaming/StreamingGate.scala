@@ -54,9 +54,38 @@ object StreamingGate {
         .createTempDirectory(java.nio.file.Paths.get(b), prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }
-    val f = root.toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
+    // ONE static exit hook draining a shared queue — a hook THREAD per
+    // gate invocation accumulated unboundedly over a long bench session
+    // (r18 advice). The queue is the exception backstop only: the happy
+    // path frees each root eagerly in [[sealGate]].
+    installExitHook
+    scratchRoots.add(root.toFile)
     root.toString
+  }
+
+  /** Scratch roots not yet freed; drained by the single exit hook. */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+
+  private lazy val installExitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var f = scratchRoots.poll()
+      while (f != null) { deleteRec(f); f = scratchRoots.poll() }
+    }))
+
+  /** Close out a gate: pin the (bounded) result off the scratch sink via a
+    * lineage cut, materialize it, and delete the gate's scratch root NOW —
+    * on tmpfs a root that lives to JVM exit is RAM held for the rest of a
+    * 176-query bench pass (r18 advice). The cut frame is an RDD leaf, so
+    * nothing downstream can reach back into the deleted directory.
+    */
+  private def sealGate(frame: DataFrame, root: String): DataFrame = {
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(frame)
+    cut.count()
+    val f = new java.io.File(root)
+    deleteRec(f)
+    scratchRoots.remove(f)
+    cut
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -159,7 +188,7 @@ object StreamingGate {
 
     val stream = spark.readStream
       .schema(src.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(in)
     val bars = StreamingOhlc.bars1m(
       stream, keys = Seq(keyCol), time = time, value = value,
@@ -173,11 +202,11 @@ object StreamingGate {
       .start()
     q.awaitTermination()
 
-    spark.read.parquet(out)
+    sealGate(spark.read.parquet(out)
       .filter(col(keyCol) =!= FlushKey)
       .select(col(keyCol), col("bar_ts"), col("open"), col("high"),
         col("low"), col("close"), col("tick_count"))
-      .orderBy(col(keyCol), col("bar_ts"))
+      .orderBy(col(keyCol), col("bar_ts")), root)
   }
 
   /** Reserved key for the as-of flush sentinels (LONG key space). */
@@ -186,8 +215,22 @@ object StreamingGate {
   /** Stage a bounded input directory for an AvailableNow run: the data as
     * one file, then each sentinel frame as its own file, with STRICTLY
     * increasing pinned modification times so the file source (sorted by
-    * mtime, maxFilesPerTrigger=1) processes data first and sentinels in
-    * order — the shared discipline of every gate in this object.
+    * mtime) processes data before the later sentinel — the shared
+    * discipline of every gate in this object.
+    *
+    * The readers run maxFilesPerTrigger=2, so the run is TWO micro-batches:
+    * {data, sentinel₁} then {sentinel₂}. This is output-identical to the
+    * earlier one-file-per-batch form: nothing finalizes before the
+    * watermark strictly passes it, the watermark only advances at batch
+    * boundaries, and within a batch rows are order-independent (keyed
+    * state sorts per group; the windowed agg is commutative) — so riding
+    * sentinel₁ with the data changes only WHEN the watermark jump happens
+    * (after batch 1 instead of after batch 2), and batch 2 is still the
+    * batch in which that advance lands for both the windowed aggregation
+    * and the as-of event-time timeouts. Each micro-batch saved is a full
+    * round of state-store load/commit × partitions + job scheduling per
+    * stateful query. Two batches is the floor: with no-data batches off,
+    * a single batch would leave everything pending behind the watermark.
     */
   private def stageWithSentinels(
       in: String, data: org.apache.spark.sql.DataFrame,
@@ -277,7 +320,8 @@ object StreamingGate {
     // empty stream (no joinable row on either side): the batch twin
     // returns its lefts NULL-filled — here exactly the bypass rows
     if (maxTs == null)
-      nullOut.select(outCols.map(col): _*).orderBy("k", "t", "ord")
+      sealGate(nullOut.select(outCols.map(col): _*).orderBy("k", "t", "ord"),
+        root)
     else {
       def sentinel(plusMinutes: Int) = {
         val ts = new java.sql.Timestamp(maxTs.getTime + plusMinutes * 60000L)
@@ -289,7 +333,7 @@ object StreamingGate {
 
       val stream = spark.readStream
         .schema(spark.read.parquet(in).schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(in)
         .withWatermark("t", watermark)
         .as[StreamingAsof.In]
@@ -312,9 +356,9 @@ object StreamingGate {
         if (emittedAny)
           spark.read.parquet(out).filter(col("k") =!= FlushKeyL)
         else nullOut.filter(lit(false))
-      emitted.select(outCols.map(col): _*)
+      sealGate(emitted.select(outCols.map(col): _*)
         .unionByName(nullOut)
-        .orderBy("k", "t", "ord")
+        .orderBy("k", "t", "ord"), root)
     }
   }
 
@@ -391,8 +435,8 @@ object StreamingGate {
     // same input — an empty 27-column frame (if/else, not a non-local
     // return, so withGatePartitions' restore semantics stay obvious)
     if (maxTs == null)
-      graft.ohlc.OhlcGenerator.generate(rawSpread, standard)
-        .orderBy("instrument", "timestamp")
+      sealGate(graft.ohlc.OhlcGenerator.generate(rawSpread, standard)
+        .orderBy("instrument", "timestamp"), root)
     else enrichedStage2(spark, silver, instruments, code, watermark, maxTs,
       root, in, out, chk)
   }
@@ -421,7 +465,7 @@ object StreamingGate {
     val ordS = struct(col("t"), bid.as("bid"), ask.as("ask"))
     val bars = spark.readStream
       .schema(spark.read.parquet(in).schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(in)
       .withWatermark("t", watermark)
       .groupBy(col("k"), window(col("t"), "1 minute").as("w"))
@@ -465,6 +509,6 @@ object StreamingGate {
       .start()
     q.awaitTermination()
 
-    spark.read.parquet(out).orderBy("instrument", "timestamp")
+    sealGate(spark.read.parquet(out).orderBy("instrument", "timestamp"), root)
   }
 }
