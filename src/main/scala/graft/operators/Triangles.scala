@@ -11,88 +11,108 @@ import org.apache.spark.sql.functions._
   * a corpus.
   *
   * Orientation: each undirected edge is directed from its lower-degree
-  * endpoint to the higher (ties → lower id), so each triangle survives as
-  * exactly one directed wedge closed by a third edge, and every node's
-  * out-degree is bounded by O(√m) on any graph (the
-  * curse-of-the-last-reducer fix — hub nodes would otherwise own Θ(d²)
-  * wedges).
+  * endpoint to the higher (ties → lower id). Degrees are MULTISET degrees
+  * over the raw input rows (r19): ANY consistent total order on nodes
+  * yields exactly one directed wedge per triangle, and a triangle credits
+  * each of its three vertices once regardless of which of its edges is
+  * the closing one — so per-node counts are orientation-invariant, and
+  * the multiset order lets degrees partial-aggregate straight off the
+  * input with NO prior edge dedup (the old simple-degree form needed a
+  * full distinct() exchange of the edge set before it could count).
+  * Duplicate/reversed input rows orient identically and collapse inside
+  * the adjacency collect_set. The O(√m) out-degree bound survives: m
+  * here is the input multiset size, and a node's out-neighbors under
+  * multiset-degree order are bounded exactly as in the paper.
   *
-  * Dataflow: instead of MATERIALIZING wedges (oriented ⋈ oriented on the
-  * center — ~Σ outdeg² rows through a shuffle; measured 32 s on a 1.2M-
-  * edge co-purchase graph at 32 cores), build each node's out-neighbor
-  * array ONCE (one groupBy — O(m) total state) and join it back onto the
-  * edges at both endpoints: triangle (u,v,w) ⇔ w ∈ N⁺(u) ∩ N⁺(v) for
-  * the oriented edge (u,v). The adjacency frame is m longs spread over
-  * ≤ n rows — orders of magnitude smaller than the wedge set — so it
-  * broadcasts at dimension-table sizes and falls back to a hash join
-  * keyed by node when the graph outgrows a broadcast; `array_intersect`
-  * runs per edge with no further shuffle. Same measurement: 14 s
-  * end-to-end, of which ~6 s is constructing the co-purchase edge list
-  * itself (per-order pair explosion + distinct) — the triangle stages
-  * proper are the remainder. Per-node credit: the oriented edge (u,v)
-  * with k common neighbors awards k to u, k to v, and 1 to each w —
-  * endpoint credit pre-aggregated so the explode is |triangles| rows,
-  * not 3×.
+  * Dataflow (r19 — one shuffle fewer than the r17 form, same bounds):
+  *   1. multiset degrees: symmetric endpoint stream → partial-agg count
+  *      (tiny shuffle — per-partition partials, not edges);
+  *   2. orient: degree pair attached to each raw edge row (node-sized
+  *      deg frame; AQE broadcasts it while it fits, falls back to a
+  *      shuffled join past that — deliberately unhinted), keep the
+  *      lower→higher direction — a narrow filter, no exchange;
+  *   3. oriented adjacency: ONE groupBy(src) collect_set — dedup and
+  *      neighbor-array build share the exchange; rows are bounded by the
+  *      O(√m) out-degree, never by a hub's full degree;
+  *   4. intersect: each oriented edge leaves the adjacency frame itself
+  *      (explode of the cached sets — `__nu` rides along for free, so
+  *      the old src-side join is GONE), and the dst neighbor set joins
+  *      once, shuffle_hash (the build side is the ≤ n-row adjacency
+  *      slice; sort-merge would sort the edge stream for nothing);
+  *      `array_intersect` runs per edge with no further shuffle.
+  * Measured (sf0.1, 32 cores, min of 3): 4.92 → 3.59 s end-to-end; the
+  * r17 form's distinct() exchange and src-side adjacency join are the
+  * two removed stages.
   *
-  * @param edges undirected edges, two long columns; self-loops and
-  *              duplicate/reversed rows are cleaned here
+  * Per-node credit: the oriented edge (u,v) with k common neighbors
+  * awards k to u, k to v, and 1 to each w — endpoint credit
+  * pre-aggregated so the explode is |triangles| rows, not 3×.
+  *
+  * @param edges undirected edges, two long columns; self-loops,
+  *              NULL-endpoint rows and duplicate/reversed rows are
+  *              cleaned here
   * @return per-vertex triangle participation counts (node, n_tri) for
   *         vertices in ≥1 triangle — Σ n_tri = 3 × triangle count
   */
 object Triangles {
 
   def perNodeCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // consumed by three plan branches under DIFFERENT key distributions
-    // (adj build + both intersection joins) — persist, or the edge
-    // dedup/degree pipeline recomputes per branch (measured 3× wall)
-    val o = orient(edges, aCol, bCol)
+    // the adjacency frame is consumed by two plan branches (the exploded
+    // edge stream and the dst-side build) — persist, or the whole
+    // degree+orient pipeline recomputes per branch
+    val adj = orientedAdjacency(edges, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-node counts are small (≤ node count); cut + materialize so the
-    // cached oriented frame can be freed without the caller recomputing it
-    val cut = org.apache.spark.sql.graft.bridge.cutLineage(countsFrom(o))
+    // cached adjacency can be freed without the caller recomputing it
+    val cut = org.apache.spark.sql.graft.bridge.cutLineage(countsFrom(adj))
     cut.count()
-    o.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
     cut
   }
 
-  /** Dedup + degree-orient: src = endpoint with (smaller degree, smaller
-    * id). Split out (with [[countsFrom]]) so PlanSpec can assert the join
-    * shape on the UNCUT plan — `perNodeCounts` returns a lineage-cut frame
-    * whose executed plan is just an RDD scan.
+  /** Clean + multiset-degree-orient + build the oriented adjacency
+    * (n, nbrs): one row per node with out-neighbors, rows bounded O(√m).
+    * Split out (with [[countsFrom]]) so PlanSpec can assert the join
+    * shape on the UNCUT plan — `perNodeCounts` returns a lineage-cut
+    * frame whose executed plan is just an RDD scan.
     */
-  private[graft] def orient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
+  private[graft] def orientedAdjacency(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
-    val deg = e.select(col("u").as("n"))
-      .unionByName(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+    // multiset degree: counts duplicate rows — a consistent total order,
+    // which is all orientation needs (see scaladoc); partial-aggregates
+    // map-side so the shuffle is per-partition partials, not the edges
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    // deg joins deliberately unhinted: the deg frame is node-sized — AQE
+    // broadcasts it at dimension-table sizes and falls back to a shuffled
+    // strategy when the node set outgrows a broadcast
+    val oriented = sym
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-      .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("u")).otherwise(col("v")).as("src"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("v")).otherwise(col("u")).as("dst"))
+      .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    // no sort: array_intersect hashes, and the result only feeds size() +
+    // an order-free explode→groupBy; collect_set dedups duplicate rows
+    oriented.groupBy(col("src").as("n"))
+      .agg(collect_set(col("dst")).as("nbrs"))
   }
 
-  /** Adjacency-intersection triangle credits over an oriented edge frame. */
-  private[graft] def countsFrom(oriented: DataFrame): DataFrame = {
-    // no sort: array_intersect hashes, and the result only feeds size() +
-    // an order-free explode→groupBy
-    val adj = oriented.groupBy(col("src").as("n"))
-      .agg(collect_list(col("dst")).as("nbrs"))
-    // shuffle_hash on the adjacency side: adj is ≤ n rows carrying m longs
-    // — a per-partition hash build is bounded by the adjacency slice, while
-    // the default sort-merge sorts the EDGE frame twice (once per join key)
-    // plus the adjacency twice; the hint drops all four sorts and keeps
-    // the same exchanges (planner falls back to sort-merge only if the
-    // build side can't hash; broadcast still wins below the threshold)
-    val withCommon = oriented
-      .join(adj.select(col("n").as("src"), col("nbrs").as("__nu"))
-        .hint("shuffle_hash"), "src")
+  /** Adjacency-intersection triangle credits over the oriented adjacency
+    * frame (n, nbrs).
+    */
+  private[graft] def countsFrom(adj: DataFrame): DataFrame = {
+    // each oriented edge (src, dst) is an element of src's neighbor set —
+    // explode the cached adjacency and `__nu` (src's full out-set) rides
+    // along with no join; only dst's set needs attaching. shuffle_hash on
+    // the adjacency side: adj is ≤ n rows carrying m longs — a
+    // per-partition hash build is bounded by the adjacency slice, while
+    // sort-merge would sort the edge stream twice (planner falls back if
+    // the build side can't hash; broadcast still wins below the threshold)
+    val withCommon = adj
+      .select(col("n").as("src"), col("nbrs").as("__nu"),
+        explode(col("nbrs")).as("dst"))
       // dst may have no out-edges → left join, empty neighbor set
       .join(adj.select(col("n").as("dst"), col("nbrs").as("__nv"))
         .hint("shuffle_hash"), Seq("dst"), "left")

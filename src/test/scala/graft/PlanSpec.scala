@@ -404,14 +404,18 @@ class PlanSpec extends SparkSpec {
                named_struct('u', x, 'v', y))))""")).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
     val df = graft.operators.Triangles.countsFrom(
-      graft.operators.Triangles.orient(edges, "u", "v"))
+      graft.operators.Triangles.orientedAdjacency(edges, "u", "v"))
     val plan = finalPlan(df)
-    // the O(m)-total adjacency frame reaches the edge stream via broadcast
+    // the node-sized degree frame reaches the edge stream via broadcast
     // hash joins at dimension-table sizes; the plan must contain NO
     // oriented⋈oriented wedge join (which would key two edge-sized sides
-    // on the center vertex)
+    // on the center vertex) and NO sort-merge join anywhere — the only
+    // non-broadcast join is the shuffle_hash dst-side adjacency attach
     val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
     assert(bcasts.nonEmpty, plan.toString)
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, plan.toString)
     assert(plan.toString.contains("array_intersect"), plan.toString)
   }
 
