@@ -30,18 +30,27 @@ object Itemsets {
       itemCol: String,
       minSupport: Long = 2L
   ): DataFrame = {
+    // ONE aggregation dedups and builds the per-basket item set (r19):
+    // the earlier (bk, it).distinct() exchange fed a SECOND groupBy(bk)
+    // exchange of the same rows — collect_set dedups within the basket by
+    // itself, so the sets frame is both the dedup and the pair source,
+    // and singles/nBaskets derive from it narrowly (explode + tiny
+    // partial-agg; basket count = one row per set). The persisted frame
+    // shrinks from one row per (basket, item) to one row per basket.
     val b = baskets
-      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .groupBy("bk")
+      .agg(array_sort(collect_set(col("it"))).as("its"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // basket total rides the plan as a 1-row broadcast scalar instead of a
     // separate driver-side count job (one fewer pass over the basket frame)
-    val nBaskets = b.agg(countDistinct(col("bk")).as("__nbk"))
-    val singles = b.groupBy(col("it")).agg(count(lit(1)).as("n_single"))
-    // per-basket pair explosion (not a basket self-join): one partial-agg
-    // groupBy to the sorted item set, then an in-row (x, later-y) expansion
-    // — identical pair multiset to join-on-bk + a<b, one exchange fewer
-    val pairs = b.groupBy("bk")
-      .agg(array_sort(collect_set(col("it"))).as("its"))
+    val nBaskets = b.agg(count(lit(1)).as("__nbk"))
+    val singles = b.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n_single"))
+    // per-basket pair explosion (not a basket self-join): an in-row
+    // (x, later-y) expansion over the sorted set — identical pair multiset
+    // to join-on-bk + a<b, one exchange fewer
+    val pairs = b
       .select(explode(expr(
         """flatten(transform(its, (x, i) ->
              transform(slice(its, i + 2, size(its)), y ->

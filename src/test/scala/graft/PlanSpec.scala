@@ -430,9 +430,10 @@ class PlanSpec extends SparkSpec {
     // basket table is self-joining again
     df.count() // executes fine end-to-end
     val b = graft.catalog.Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("bk"), col("l_partkey").as("it")).distinct()
-    val pairs = b.groupBy("bk")
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+      .groupBy("bk")
       .agg(array_sort(collect_set(col("it"))).as("its"))
+    val pairs = b
       .select(explode(expr(
         """flatten(transform(its, (x, i) ->
              transform(slice(its, i + 2, size(its)), y ->
