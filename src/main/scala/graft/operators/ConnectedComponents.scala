@@ -169,9 +169,14 @@ object ConnectedComponents {
     def largeStar(e: DataFrame) = {
       val s = sym(e)
       val m = s.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no .distinct() here (r19): duplicate (a, b) rows — several u
+      // mapping the same v to the same minimum — collapse in the
+      // small-star step's own groupBy(a, b) dedup aggregation, and the
+      // intermediate is bounded by |sym(E)| rows regardless, so the
+      // removed exchange bought nothing but a per-round shuffle
       s.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     // small-star, with the PREVIOUS edge set riding through the step's own
     // dedup aggregation tagged `__new = false`: per canonical edge,
